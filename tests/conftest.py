@@ -6,8 +6,10 @@ import os
 import sys
 from pathlib import Path
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Must be set before jax is imported anywhere. NOTE: this environment ships a
+# jaxlib that force-registers the TPU ("axon") platform and overrides the
+# JAX_PLATFORMS env var, so we must ALSO override via jax.config below.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +18,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 REPO_ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
