@@ -211,10 +211,22 @@ def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig):
     return mm(xo, layer["att.output.weight"]), new_xx, heads
 
 
-def att_v7(layer: Params, x, att_xx, heads, v_first: Optional[jnp.ndarray], cfg: ModelConfig):
+def att_v7(
+    layer: Params,
+    x,
+    att_xx,
+    heads,
+    v_first: Optional[jnp.ndarray],
+    cfg: ModelConfig,
+    is_first=None,
+):
     """rwkv_att_v7 (rwkv_graph.inc:387-482): six-way shift, low-rank
     w/a/g/v gates, l2-normalized kk, cross-layer value residual, and the
-    r·k·r_k bonus term."""
+    r·k·r_k bonus term.
+
+    `is_first`: None for the unrolled path (v_first=None marks layer 0);
+    a traced boolean for the scan-over-layers serving path, where layer 0's
+    missing v0/v1/v2 are zero-padded and selected away."""
     h, s = cfg.head_count, cfg.head_size
     t, c = x.shape
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
@@ -237,12 +249,19 @@ def att_v7(layer: Params, x, att_xx, heads, v_first: Optional[jnp.ndarray], cfg:
     k = k + (a * ka - ka)
 
     v = mm(xv, layer["att.value.weight"])
-    if v_first is None:
-        v_first = v
+    if is_first is None:
+        if v_first is None:
+            v_first = v
+        else:
+            v = v + (v_first - v) * jax.nn.sigmoid(
+                mm(mm(xv, layer["att.v1"]), layer["att.v2"]) + layer["att.v0"]
+            )
     else:
-        v = v + (v_first - v) * jax.nn.sigmoid(
+        v_mix = v + (v_first - v) * jax.nn.sigmoid(
             mm(mm(xv, layer["att.v1"]), layer["att.v2"]) + layer["att.v0"]
         )
+        v_first = jnp.where(is_first, v, v_first)
+        v = jnp.where(is_first, v, v_mix)
 
     rh = r.reshape(t, h, s)
     wh = w.reshape(t, h, s)

@@ -1,0 +1,285 @@
+"""Serving path: TPU-optimized execution of RWKV models.
+
+Where `rwkv_tpu.models.model.RWKVModel` is the numerics-parity engine, this
+module is the throughput engine:
+
+- Weights are dequantized once at load into dense bf16 (or f32) arrays —
+  matmuls hit the MXU as bf16 x bf16 -> f32. (A Pallas fused dequant-matmul
+  path that keeps weights packed in HBM lives in rwkv_tpu.ops.kernels.)
+- Layers are STACKED and executed with `lax.scan` — one compiled layer body
+  regardless of depth (the reference builds an O(L) ggml graph per eval;
+  XLA compile time here is O(1) in depth).
+- Batch is a real leading axis (vmap over the sequence graph), giving
+  batched decode for continuous batching.
+- Prefill uses power-of-two chunk buckets: any T is decomposed into at most
+  log2(T) compiled chunk sizes, so recompiles are bounded without padding
+  or masking (the reference instead rebuilds its graph per T,
+  rwkv_eval.inc:112-120).
+- `generate` runs the whole sample-eval-append loop on device inside one
+  jit (lax.scan + jax.random.categorical) — no per-token host round-trip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rwkv_tpu.models.config import ModelConfig
+from rwkv_tpu.models import graph as G
+from rwkv_tpu.models.loader import load_params
+from rwkv_tpu.models.state import init_state
+from rwkv_tpu.ops.parity import Weight, layer_norm
+
+# Prefill chunk buckets, largest first. Any sequence length is greedily
+# decomposed, so at most len(BUCKETS) distinct graphs are ever compiled.
+PREFILL_BUCKETS = (256, 64, 16, 4, 1)
+
+
+def _densify(w, dtype):
+    """Weight leaf -> dense array in serving dtype."""
+    if isinstance(w, Weight):
+        if w.kind == "dense":
+            arr = w.w.astype(jnp.float32)
+        else:
+            arr = w.q.astype(jnp.float32) * w.d[..., None]
+            if w.m is not None:
+                arr = arr + w.m[..., None]
+            arr = arr.reshape(w.q.shape[0], -1)
+        return arr.astype(dtype)
+    return w  # non-weight leaves stay as-is (f32 vectors)
+
+
+def _prepare_weight(w, dtype, mode):
+    """Weight leaf -> serving representation.
+
+    mode 'dense': always dense in `dtype`.
+    mode 'keep-quant': file-quantized tensors stay packed (fused
+      dequant-matmul at run time); dense tensors go to `dtype`.
+    mode 'q8': everything 2-D (including originally-dense tensors like the
+      head) is packed to per-block int8 — maximum HBM bandwidth savings.
+    """
+    from rwkv_tpu.ops.kernels import PackedQuantWeight, quantize_q8_serving
+
+    if isinstance(w, Weight):
+        if w.kind == "quant" and mode in ("keep-quant", "q8"):
+            return PackedQuantWeight.from_weight(w)
+        if mode == "q8":
+            arr = _densify(w, jnp.float32)
+            if arr.ndim == 2 and arr.shape[-1] % 32 == 0:
+                return quantize_q8_serving(arr)
+            return arr.astype(dtype)
+        return _densify(w, dtype)
+    return w
+
+
+def stack_layer_params(
+    params: dict, cfg: ModelConfig, dtype=jnp.bfloat16, mode: str = "dense"
+) -> dict:
+    """Prepare and stack per-layer params into [L, ...] pytrees for
+    scan-over-layers. v7 layer 0's missing v0/v1/v2 are zero-padded (they
+    are selected away by the is_first flag in att_v7)."""
+    blocks = [dict(b) for b in params["blocks"]]
+    if cfg.version_major == 7 and len(blocks) > 1:
+        for key in ("att.v0", "att.v1", "att.v2"):
+            if key not in blocks[0]:
+                blocks[0][key] = jax.tree.map(jnp.zeros_like, blocks[1][key])
+    keys = sorted(blocks[0].keys())
+    stacked = {}
+    for k in keys:
+        leaves = [_prepare_weight(b[k], dtype, mode) for b in blocks]
+        stacked[k] = jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+    return {
+        "emb": params["emb"].astype(dtype),
+        "ln0": params["ln0"],
+        "ln_out": params["ln_out"],
+        "head": _prepare_weight(params["head"], dtype, mode),
+        "blocks": stacked,
+    }
+
+
+def forward_stacked(
+    params: dict,
+    state: dict,
+    tokens: jnp.ndarray,
+    cfg: ModelConfig,
+    compute_logits: bool = True,
+):
+    """Single-sequence forward with lax.scan over layers. Same math as
+    graph.forward; state arrays are consumed/produced layer-stacked."""
+    major = cfg.version_major
+    emb = params["emb"][tokens]
+    x = layer_norm(emb.astype(jnp.float32), *params["ln0"])
+    n_layer = cfg.n_layer
+
+    if major >= 5:
+        xs = (params["blocks"], state["att_xx"], state["ffn_xx"], state["heads"],
+              jnp.arange(n_layer))
+
+        def body(carry, inp):
+            x, v_first = carry
+            layer, att_xx, ffn_xx, heads, idx = inp
+            if major == 7:
+                dx, att_xx, heads, v_first = G.att_v7(
+                    layer, x, att_xx, heads, v_first, cfg, is_first=(idx == 0)
+                )
+                x = x + dx
+                dx, ffn_xx = G.ffn_v7(layer, x, ffn_xx)
+            elif major == 6:
+                dx, att_xx, heads = G.att_v6(layer, x, att_xx, heads, cfg)
+                x = x + dx
+                dx, ffn_xx = G.ffn_v6(layer, x, ffn_xx)
+            else:
+                dx, att_xx, heads = G.att_v5(layer, x, att_xx, heads, cfg)
+                x = x + dx
+                dx, ffn_xx = G.ffn_v4_v5(layer, x, ffn_xx)
+            x = x + dx
+            return (x, v_first), (att_xx, ffn_xx, heads)
+
+        v_first0 = jnp.zeros_like(x)
+        (x, _), (att_xx, ffn_xx, heads) = jax.lax.scan(body, (x, v_first0), xs)
+        new_state = {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+    else:
+        xs = (params["blocks"], state["att_xx"], state["ffn_xx"],
+              state["aa"], state["bb"], state["pp"])
+
+        def body(carry, inp):
+            x = carry
+            layer, att_xx, ffn_xx, aa, bb, pp = inp
+            dx, att_xx, aa, bb, pp = G.att_v4(layer, x, att_xx, aa, bb, pp)
+            x = x + dx
+            dx, ffn_xx = G.ffn_v4_v5(layer, x, ffn_xx)
+            x = x + dx
+            return x, (att_xx, ffn_xx, aa, bb, pp)
+
+        x, (att_xx, ffn_xx, aa, bb, pp) = jax.lax.scan(body, x, xs)
+        new_state = {"att_xx": att_xx, "ffn_xx": ffn_xx, "aa": aa, "bb": bb, "pp": pp}
+
+    logits = None
+    if compute_logits:
+        xo = layer_norm(x[-1], *params["ln_out"])
+        logits = G.mm(xo[None, :], params["head"])[0]
+    return logits, new_state
+
+
+class ServingModel:
+    """Batched, compile-bounded RWKV serving engine."""
+
+    def __init__(
+        self,
+        source,
+        precision: str = "bf16",
+        params_cfg: Optional[tuple] = None,
+    ):
+        if isinstance(source, str):
+            cfg, params = load_params(source)
+        else:
+            cfg, params = source
+        self.config = cfg
+        # precision: 'bf16' | 'f32' (dense), 'quant' (keep the file's packed
+        # blocks, fused dequant-matmul), 'q8' (repack everything to int8).
+        dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+        mode = {"bf16": "dense", "f32": "dense", "quant": "keep-quant", "q8": "q8"}[precision]
+        self.precision = precision
+        self.params = stack_layer_params(params, cfg, dtype, mode)
+        self._jit_cache: dict[Any, Any] = {}
+
+    # -- state -------------------------------------------------------------
+    def init_state(self, batch_size: int = 1) -> dict:
+        one = init_state(self.config)
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a[None], (batch_size,) + a.shape), one
+        )
+
+    # -- compiled steps ----------------------------------------------------
+    def _batched_fn(self, t: int, compute_logits: bool):
+        key = ("fwd", t, compute_logits)
+        if key not in self._jit_cache:
+            cfg = self.config
+
+            @jax.jit
+            def run(params, state, tokens):  # tokens [B, t]
+                def one(state, toks):
+                    return forward_stacked(params, state, toks, cfg, compute_logits)
+
+                return jax.vmap(one)(state, tokens)
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def decode(self, tokens, state):
+        """One decode step for a batch: tokens [B] -> (logits [B, V], state)."""
+        tokens = jnp.asarray(tokens, jnp.int32).reshape(-1, 1)
+        return self._batched_fn(1, True)(self.params, state, tokens)
+
+    def prefill(self, tokens: Sequence[int], state: Optional[dict] = None,
+                compute_logits: bool = True):
+        """Single-sequence prefill with power-of-two chunk buckets."""
+        if state is None:
+            state = self.init_state(1)
+        toks = np.asarray(tokens, dtype=np.int32)
+        logits = None
+        pos, n = 0, len(toks)
+        while pos < n:
+            remaining = n - pos
+            size = next(b for b in PREFILL_BUCKETS if b <= remaining)
+            chunk = jnp.asarray(toks[pos : pos + size]).reshape(1, size)
+            is_last = pos + size >= n
+            logits, state = self._batched_fn(size, compute_logits and is_last)(
+                self.params, state, chunk
+            )
+            pos += size
+        return (logits[0] if logits is not None else None), state
+
+    # -- on-device generation ---------------------------------------------
+    def _generate_fn(self, n_tokens: int):
+        key = ("gen", n_tokens)
+        if key not in self._jit_cache:
+            cfg = self.config
+
+            @partial(jax.jit, static_argnames=())
+            def run(params, state, logits, rng, temperature):
+                def step(carry, _):
+                    state, logits, rng = carry
+                    rng, k = jax.random.split(rng)
+                    greedy = jnp.argmax(logits, axis=-1)
+                    sampled = jax.random.categorical(
+                        k, logits / jnp.maximum(temperature, 1e-6)
+                    )
+                    tok = jnp.where(temperature <= 0.0, greedy, sampled)  # [B]
+
+                    def one(state, t):
+                        return forward_stacked(params, state, t[None], cfg, True)
+
+                    logits, state = jax.vmap(one)(state, tok)
+                    return (state, logits, rng), tok
+
+                (state, logits, _), toks = jax.lax.scan(
+                    step, (state, logits, rng), None, length=n_tokens
+                )
+                return toks.T, logits, state  # [B, n_tokens]
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def generate(
+        self,
+        prompt_tokens: Sequence[int],
+        n_tokens: int,
+        temperature: float = 1.0,
+        seed: int = 0,
+    ):
+        """Prefill + n_tokens of on-device sampling (one jit for the whole
+        decode loop). Returns (tokens [n_tokens], final logits, state)."""
+        logits, state = self.prefill(prompt_tokens)
+        toks, logits, state = self._generate_fn(n_tokens)(
+            self.params,
+            state,
+            logits[None, :],
+            jax.random.PRNGKey(seed),
+            jnp.float32(temperature),
+        )
+        return np.asarray(toks[0]), logits[0], state

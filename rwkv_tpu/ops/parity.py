@@ -133,13 +133,27 @@ def _quant_matmul(x: jnp.ndarray, w: Weight) -> jnp.ndarray:
     return y
 
 
-def mm(x: jnp.ndarray, w: Weight) -> jnp.ndarray:
+def mm(x: jnp.ndarray, w) -> jnp.ndarray:
     """ggml_mul_mat-equivalent: y[..., o] = sum_i x[..., i] * W[o, i].
 
-    Dispatches on the weight's storage precision, reproducing ggml's
-    per-precision activation handling (FP16 weights see FP16-rounded
+    For `Weight` leaves, dispatches on the storage precision, reproducing
+    ggml's per-precision activation handling (FP16 weights see FP16-rounded
     activations; quantized weights see q8-quantized activations).
+
+    Plain-array weights are the SERVING path: bf16 weights run a bf16xbf16
+    MXU matmul with f32 accumulation; f32 weights run a plain f32 matmul.
     """
+    if not isinstance(w, Weight):
+        if not isinstance(w, jnp.ndarray) and hasattr(w, "q"):
+            # PackedQuantWeight — fused dequant-matmul (Pallas on TPU).
+            from rwkv_tpu.ops.kernels import quant_matmul
+
+            return quant_matmul(x, w)
+        if w.dtype == jnp.bfloat16:
+            return jnp.matmul(
+                x.astype(jnp.bfloat16), w.T, preferred_element_type=jnp.float32
+            )
+        return jnp.matmul(x, w.T)
     if w.kind == "dense":
         if w.w.dtype == jnp.float16:
             # Current ggml routes F16 matmuls through llamafile/tinyBLAS,
