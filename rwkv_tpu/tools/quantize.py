@@ -19,12 +19,32 @@ def main():
     p.add_argument("dest_path", help="Output quantized ggmf model file")
     p.add_argument("format_name", choices=list(QUANT_FORMATS), help="Target format")
     p.add_argument("--quiet", action="store_true")
+    p.add_argument(
+        "--python", action="store_true",
+        help="Force the pure-Python quantizer (default: native library when built)",
+    )
     args = p.parse_args()
 
     t0 = time.perf_counter()
-    orig, new = quantize_model_file(
-        args.src_path, args.dest_path, args.format_name, verbose=not args.quiet
-    )
+    native = None
+    if not args.python:
+        try:
+            from rwkv_tpu import native as native_mod
+
+            if native_mod.is_available():
+                native = native_mod
+        except Exception:
+            native = None
+    if native is not None:
+        from rwkv_tpu.io.quant import dtype_from_name
+
+        orig, new = native.quantize_model_file(
+            args.src_path, args.dest_path, int(dtype_from_name(args.format_name))
+        )
+    else:
+        orig, new = quantize_model_file(
+            args.src_path, args.dest_path, args.format_name, verbose=not args.quiet
+        )
     dt = time.perf_counter() - t0
     print(f"Quantized in {dt:.2f}s: {orig / 1048576:.2f} MB -> {new / 1048576:.2f} MB")
 

@@ -82,7 +82,16 @@ class WorldTokenizer:
 
 
 @functools.lru_cache(maxsize=1)
-def _default() -> WorldTokenizer:
+def _default():
+    # Prefer the native trie (bit-exact with this implementation, validated
+    # in tests/test_native.py) when the shared library is built.
+    try:
+        from rwkv_tpu import native
+
+        if native.is_available():
+            return native.NativeWorldTokenizer()
+    except Exception:
+        pass
     return WorldTokenizer()
 
 
