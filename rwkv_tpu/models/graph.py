@@ -74,15 +74,15 @@ def wkv6_scan(s, r, k, v, w, tf):
       out[h,i] = sum_j r[h,j] * (tf[h,j]*k[h,j]*v[h,i] + S[h,i,j])
       S'[h,i,j] = S[h,i,j]*w[h,j] + k[h,j]*v[h,i]
     r/k/v: [T,H,S]; w: [T,H,S] (v6) or [H,S] broadcast (v5); tf: [H,S]."""
-    if w.ndim == 2:
+    if w.ndim == 2:  # static per-head decay: broadcast over time (and batch)
         w = jnp.broadcast_to(w, r.shape)
 
     def step(s, inp):
         rt, kt, vt, wt = inp
-        y = jnp.einsum("hij,hj->hi", s, rt) + vt * jnp.sum(
+        y = jnp.einsum("...hij,...hj->...hi", s, rt) + vt * jnp.sum(
             rt * tf * kt, axis=-1, keepdims=True
         )
-        s = s * wt[:, None, :] + vt[:, :, None] * kt[:, None, :]
+        s = s * wt[..., None, :] + vt[..., :, None] * kt[..., None, :]
         return s, y
 
     s, y = jax.lax.scan(step, s, (r, k, v, w))
@@ -98,9 +98,9 @@ def wkv7_scan(s, r, w, k, v, a, b):
 
     def step(s, inp):
         rt, wt, kt, vt, at, bt = inp
-        sa = jnp.einsum("hij,hj->hi", s, at)
-        s = s * wt[:, None, :] + vt[:, :, None] * kt[:, None, :] + sa[:, :, None] * bt[:, None, :]
-        y = jnp.einsum("hij,hj->hi", s, rt)
+        sa = jnp.einsum("...hij,...hj->...hi", s, at)
+        s = s * wt[..., None, :] + vt[..., :, None] * kt[..., None, :] + sa[..., :, None] * bt[..., None, :]
+        y = jnp.einsum("...hij,...hj->...hi", s, rt)
         return s, y
 
     s, y = jax.lax.scan(step, s, (r, w, k, v, a, b))
@@ -134,7 +134,7 @@ def att_v4(layer: Params, x: jnp.ndarray, att_xx, aa, bb, pp):
 def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig):
     """rwkv_att_v5 (rwkv_graph.inc:199-292); covers v5.1 and v5.2."""
     h, s = cfg.head_count, cfg.head_size
-    t = x.shape[0]
+    lead = x.shape[:-1]  # (T,) or (T, B)
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
     x_prev, new_xx = _token_shift(xl, att_xx)
 
@@ -142,9 +142,9 @@ def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig):
     xv = _mix(xl, x_prev, layer["att.time_mix_v"])
     xr = _mix(xl, x_prev, layer["att.time_mix_r"])
 
-    r = mm(xr, layer["att.receptance.weight"]).reshape(t, h, s)
-    k = mm(xk, layer["att.key.weight"]).reshape(t, h, s)
-    v = mm(xv, layer["att.value.weight"]).reshape(t, h, s)
+    r = mm(xr, layer["att.receptance.weight"]).reshape(*lead, h, s)
+    k = mm(xk, layer["att.key.weight"]).reshape(*lead, h, s)
+    v = mm(xv, layer["att.value.weight"]).reshape(*lead, h, s)
 
     if cfg.version_minor >= 2:
         g = jax.nn.silu(mm(_mix(xl, x_prev, layer["att.time_mix_g"]), layer["att.gate.weight"]))
@@ -159,7 +159,7 @@ def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig):
 
     y, heads = wkv6_scan(heads, r, k, v, td, tf)
     xo = group_norm(
-        y.reshape(t, cfg.n_embed),
+        y.reshape(*lead, cfg.n_embed),
         layer["att.ln_x.weight"],
         layer["att.ln_x.bias"],
         h,
@@ -174,17 +174,17 @@ def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig):
     """rwkv_att_v6 (rwkv_graph.inc:294-385): LoRA-style dynamic five-way
     token-shift mix and dynamic decay."""
     h, s = cfg.head_count, cfg.head_size
-    t, c = x.shape
+    lead, c = x.shape[:-1], x.shape[-1]
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
     x_prev, new_xx = _token_shift(xl, att_xx)
     sx = x_prev - xl
 
     xxx = xl + sx * layer["att.time_maa_x"]
-    mix = jnp.tanh(mm(xxx, layer["att.time_maa_w1"]))  # [T, 5*dim]
-    mix = mix.reshape(t, 5, -1)
-    # m[s_idx, t, c] = sum_d mix[t, s_idx, d] * W2[s_idx, c, d]
+    mix = jnp.tanh(mm(xxx, layer["att.time_maa_w1"]))  # [..., 5*dim]
+    mix = mix.reshape(*lead, 5, -1)
+    # m[s_idx, ..., c] = sum_d mix[..., s_idx, d] * W2[s_idx, c, d]
     m = jnp.einsum(
-        "tsd,scd->stc", mix, layer["att.time_maa_w2"], precision=jax.lax.Precision.HIGHEST
+        "...sd,scd->s...c", mix, layer["att.time_maa_w2"], precision=jax.lax.Precision.HIGHEST
     )
     mw, mk_, mv, mr, mg = m[0], m[1], m[2], m[3], m[4]
 
@@ -194,18 +194,18 @@ def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig):
     xr = (mr + layer["att.time_maa_r"]) * sx + xl
     xg = (mg + layer["att.time_maa_g"]) * sx + xl
 
-    r = mm(xr, layer["att.receptance.weight"]).reshape(t, h, s)
-    k = mm(xk, layer["att.key.weight"]).reshape(t, h, s)
-    v = mm(xv, layer["att.value.weight"]).reshape(t, h, s)
+    r = mm(xr, layer["att.receptance.weight"]).reshape(*lead, h, s)
+    k = mm(xk, layer["att.key.weight"]).reshape(*lead, h, s)
+    v = mm(xv, layer["att.value.weight"]).reshape(*lead, h, s)
     g = jax.nn.silu(mm(xg, layer["att.gate.weight"]))
 
     w = mm(jnp.tanh(mm(xw, layer["att.time_decay_w1"])), layer["att.time_decay_w2"])
     w = w + layer["att.time_decay"].reshape(-1)
-    w = jnp.exp(-jnp.exp(w)).reshape(t, h, s)
+    w = jnp.exp(-jnp.exp(w)).reshape(*lead, h, s)
 
     y, heads = wkv6_scan(heads, r, k, v, w, layer["att.time_faaaa"])
     xo = group_norm(
-        y.reshape(t, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"], h, eps=64e-5
+        y.reshape(*lead, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"], h, eps=64e-5
     )
     xo = xo * g
     return mm(xo, layer["att.output.weight"]), new_xx, heads
@@ -228,12 +228,13 @@ def att_v7(
     a traced boolean for the scan-over-layers serving path, where layer 0's
     missing v0/v1/v2 are zero-padded and selected away."""
     h, s = cfg.head_count, cfg.head_size
-    t, c = x.shape
+    lead, c = x.shape[:-1], x.shape[-1]
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
     x_prev, new_xx = _token_shift(xl, att_xx)
     sx = x_prev - xl
 
-    xxx = xl[None] + sx[None] * layer["att.x_rwkvag"][:, None, :]  # [6, T, C]
+    coeff = layer["att.x_rwkvag"].reshape(6, *([1] * len(lead)), c)
+    xxx = xl[None] + sx[None] * coeff  # [6, ..., C]
     xr, xw, xk, xv, xa, xg = (xxx[i] for i in range(6))
 
     r = mm(xr, layer["att.receptance.weight"])
@@ -244,7 +245,7 @@ def att_v7(
     w = jnp.exp(jax.nn.sigmoid(w) * jnp.float32(-0.606531))
 
     k = mm(xk, layer["att.key.weight"])
-    kk = l2_normalize((k * layer["att.k_k"]).reshape(t, h, s))
+    kk = l2_normalize((k * layer["att.k_k"]).reshape(*lead, h, s))
     ka = k * layer["att.k_a"]
     k = k + (a * ka - ka)
 
@@ -263,17 +264,17 @@ def att_v7(
         v_first = jnp.where(is_first, v, v_first)
         v = jnp.where(is_first, v, v_mix)
 
-    rh = r.reshape(t, h, s)
-    wh = w.reshape(t, h, s)
-    kh = k.reshape(t, h, s)
-    vh = v.reshape(t, h, s)
-    ah = a.reshape(t, h, s)
+    rh = r.reshape(*lead, h, s)
+    wh = w.reshape(*lead, h, s)
+    kh = k.reshape(*lead, h, s)
+    vh = v.reshape(*lead, h, s)
+    ah = a.reshape(*lead, h, s)
 
     y, heads = wkv7_scan(heads, rh, wh, kh, vh, -kk, kk * ah)
     xo = group_norm(
-        y.reshape(t, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"], h, eps=64e-5
+        y.reshape(*lead, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"], h, eps=64e-5
     )
-    bonus = (vh * jnp.sum(kh * rh * layer["att.r_k"], axis=-1, keepdims=True)).reshape(t, c)
+    bonus = (vh * jnp.sum(kh * rh * layer["att.r_k"], axis=-1, keepdims=True)).reshape(*lead, c)
     xo = (xo + bonus) * g
     return mm(xo, layer["att.output.weight"]), new_xx, heads, v_first
 

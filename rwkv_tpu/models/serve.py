@@ -9,8 +9,9 @@ module is the throughput engine:
 - Layers are STACKED and executed with `lax.scan` — one compiled layer body
   regardless of depth (the reference builds an O(L) ggml graph per eval;
   XLA compile time here is O(1) in depth).
-- Batch is a real leading axis (vmap over the sequence graph), giving
-  batched decode for continuous batching.
+- Batch is a NATIVE axis (time-major [T, B, C] activations, no vmap): the
+  batched decode step compiles to single large MXU matmuls across the whole
+  batch, which is what continuous batching runs on.
 - Prefill uses power-of-two chunk buckets: any T is decomposed into at most
   log2(T) compiled chunk sizes, so recompiles are bounded without padding
   or masking (the reference instead rebuilds its graph per T,
@@ -108,8 +109,12 @@ def forward_stacked(
     cfg: ModelConfig,
     compute_logits: bool = True,
 ):
-    """Single-sequence forward with lax.scan over layers. Same math as
-    graph.forward; state arrays are consumed/produced layer-stacked."""
+    """Forward with lax.scan over layers; same math as graph.forward.
+
+    tokens: [T] (single sequence, state arrays [L, ...]) or [T, B]
+    (time-major batch, state arrays [L, B, ...]). Batch is a native axis —
+    no vmap — so the batched decode step compiles to single large matmuls.
+    """
     major = cfg.version_major
     emb = params["emb"][tokens]
     x = layer_norm(emb.astype(jnp.float32), *params["ln0"])
@@ -160,8 +165,11 @@ def forward_stacked(
 
     logits = None
     if compute_logits:
-        xo = layer_norm(x[-1], *params["ln_out"])
-        logits = G.mm(xo[None, :], params["head"])[0]
+        xo = layer_norm(x[-1], *params["ln_out"])  # [C] or [B, C]
+        if xo.ndim == 1:
+            logits = G.mm(xo[None, :], params["head"])[0]
+        else:
+            logits = G.mm(xo, params["head"])
     return logits, new_state
 
 
@@ -201,11 +209,13 @@ class ServingModel:
             cfg = self.config
 
             @jax.jit
-            def run(params, state, tokens):  # tokens [B, t]
-                def one(state, toks):
-                    return forward_stacked(params, state, toks, cfg, compute_logits)
-
-                return jax.vmap(one)(state, tokens)
+            def run(params, state, tokens):  # tokens [B, t]; state [B, L, ...]
+                state_lb = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+                logits, new_lb = forward_stacked(
+                    params, state_lb, tokens.T, cfg, compute_logits
+                )
+                new_state = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), new_lb)
+                return logits, new_state
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
@@ -242,6 +252,8 @@ class ServingModel:
 
             @partial(jax.jit, static_argnames=())
             def run(params, state, logits, rng, temperature):
+                state = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+
                 def step(carry, _):
                     state, logits, rng = carry
                     rng, k = jax.random.split(rng)
@@ -250,16 +262,15 @@ class ServingModel:
                         k, logits / jnp.maximum(temperature, 1e-6)
                     )
                     tok = jnp.where(temperature <= 0.0, greedy, sampled)  # [B]
-
-                    def one(state, t):
-                        return forward_stacked(params, state, t[None], cfg, True)
-
-                    logits, state = jax.vmap(one)(state, tok)
+                    logits, state = forward_stacked(
+                        params, state, tok[None, :], cfg, True
+                    )
                     return (state, logits, rng), tok
 
                 (state, logits, _), toks = jax.lax.scan(
                     step, (state, logits, rng), None, length=n_tokens
                 )
+                state = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
                 return toks.T, logits, state  # [B, n_tokens]
 
             self._jit_cache[key] = run
