@@ -56,35 +56,7 @@ def main():
         best = min(best, (time.perf_counter() - t0) / n_gen)
     tps_single = 1.0 / best
 
-    # Batched decode throughput (continuous-batching proxy), B=8: chain 32
-    # dependent batched steps.
-    batch = 8
-    bstate = srv.init_state(batch)
-    blogits = jnp.zeros((batch, cfg.n_vocab), jnp.float32)
-
-    @jax.jit
-    def batch_chain(params, state, logits):
-        def body(carry, _):
-            state, logits = carry
-            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
-            def one(st, t):
-                return forward_stacked(params, st, t[None], cfg, True)
-
-            logits, state = jax.vmap(one)(state, toks)
-            return (state, logits), None
-
-        (state, logits), _ = jax.lax.scan(body, (state, logits), None, length=32)
-        return logits
-
-    l = batch_chain(stacked, bstate, blogits)
-    _ = np.asarray(l)
-    t0 = time.perf_counter()
-    l = batch_chain(stacked, bstate, blogits)
-    _ = np.asarray(l)
-    tps_batched = batch * 32 / (time.perf_counter() - t0)
-
-    # Prefill throughput, T=256.
+    # Prefill throughput, T=256 (chunked matmul wkv for v5/v6; scan for v7).
     long_prompt = list(np.arange(256) % cfg.n_vocab)
     logits_p, _ = srv.prefill(long_prompt)
     _ = np.asarray(logits_p)
@@ -93,11 +65,7 @@ def main():
     _ = np.asarray(logits_p)
     tps_prefill = len(long_prompt) / (time.perf_counter() - t0)
 
-    print(
-        f"context: batched_decode B=8: {tps_batched:.0f} tok/s | "
-        f"prefill T=256: {tps_prefill:.0f} tok/s",
-        file=sys.stderr,
-    )
+    print(f"context: prefill T=256: {tps_prefill:.0f} tok/s", file=sys.stderr)
 
     baseline_tps = 1000.0 / 6.2  # reference's best 169M ms/token
     print(

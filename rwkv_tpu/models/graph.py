@@ -131,8 +131,10 @@ def att_v4(layer: Params, x: jnp.ndarray, att_xx, aa, bb, pp):
     return mm(r * wkv, layer["att.output.weight"]), new_xx, aa, bb, pp
 
 
-def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig):
-    """rwkv_att_v5 (rwkv_graph.inc:199-292); covers v5.1 and v5.2."""
+def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None):
+    """rwkv_att_v5 (rwkv_graph.inc:199-292); covers v5.1 and v5.2.
+    `wkv_fn` overrides the wkv recurrence (e.g. the chunked matmul form for
+    serving prefill, rwkv_tpu/ops/chunked.py); default is the exact scan."""
     h, s = cfg.head_count, cfg.head_size
     lead = x.shape[:-1]  # (T,) or (T, B)
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
@@ -157,7 +159,7 @@ def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig):
         tf = jnp.broadcast_to(layer["att.time_first"][:, None], (h, s))
         td = jnp.broadcast_to(layer["att.time_decay"][:, None], (h, s))
 
-    y, heads = wkv6_scan(heads, r, k, v, td, tf)
+    y, heads = (wkv_fn or wkv6_scan)(heads, r, k, v, td, tf)
     xo = group_norm(
         y.reshape(*lead, cfg.n_embed),
         layer["att.ln_x.weight"],
@@ -170,9 +172,9 @@ def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig):
     return mm(xo, layer["att.output.weight"]), new_xx, heads
 
 
-def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig):
+def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None):
     """rwkv_att_v6 (rwkv_graph.inc:294-385): LoRA-style dynamic five-way
-    token-shift mix and dynamic decay."""
+    token-shift mix and dynamic decay. `wkv_fn` as in att_v5."""
     h, s = cfg.head_count, cfg.head_size
     lead, c = x.shape[:-1], x.shape[-1]
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
@@ -203,7 +205,7 @@ def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig):
     w = w + layer["att.time_decay"].reshape(-1)
     w = jnp.exp(-jnp.exp(w)).reshape(*lead, h, s)
 
-    y, heads = wkv6_scan(heads, r, k, v, w, layer["att.time_faaaa"])
+    y, heads = (wkv_fn or wkv6_scan)(heads, r, k, v, w, layer["att.time_faaaa"])
     xo = group_norm(
         y.reshape(*lead, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"], h, eps=64e-5
     )

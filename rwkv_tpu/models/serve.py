@@ -120,6 +120,14 @@ def forward_stacked(
     x = layer_norm(emb.astype(jnp.float32), *params["ln0"])
     n_layer = cfg.n_layer
 
+    # Prefill (T > 1) uses the chunked matmul wkv for v5/v6 — same math,
+    # MXU-resident (rwkv_tpu/ops/chunked.py); decode and v7 use the scan.
+    wkv_fn = None
+    if major in (5, 6) and tokens.shape[0] > 1:
+        from rwkv_tpu.ops.chunked import wkv6_auto
+
+        wkv_fn = wkv6_auto
+
     if major >= 5:
         xs = (params["blocks"], state["att_xx"], state["ffn_xx"], state["heads"],
               jnp.arange(n_layer))
@@ -134,11 +142,11 @@ def forward_stacked(
                 x = x + dx
                 dx, ffn_xx = G.ffn_v7(layer, x, ffn_xx)
             elif major == 6:
-                dx, att_xx, heads = G.att_v6(layer, x, att_xx, heads, cfg)
+                dx, att_xx, heads = G.att_v6(layer, x, att_xx, heads, cfg, wkv_fn=wkv_fn)
                 x = x + dx
                 dx, ffn_xx = G.ffn_v6(layer, x, ffn_xx)
             else:
-                dx, att_xx, heads = G.att_v5(layer, x, att_xx, heads, cfg)
+                dx, att_xx, heads = G.att_v5(layer, x, att_xx, heads, cfg, wkv_fn=wkv_fn)
                 x = x + dx
                 dx, ffn_xx = G.ffn_v4_v5(layer, x, ffn_xx)
             x = x + dx

@@ -1,0 +1,75 @@
+"""Chunked wkv prefill: the matmul formulation must match the sequential
+scan, and serving prefill using it must match the parity engine."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import require_fixture
+
+
+def _rand(shape, seed, scale=1.0):
+    return jnp.asarray(
+        np.random.default_rng(seed).standard_normal(shape).astype(np.float32) * scale
+    )
+
+
+@pytest.mark.parametrize("t,chunk", [(16, 16), (32, 16), (64, 32)])
+@pytest.mark.parametrize("static_w", [False, True])
+def test_chunked_matches_scan(t, chunk, static_w):
+    from rwkv_tpu.models.graph import wkv6_scan
+    from rwkv_tpu.ops.chunked import wkv6_chunked
+
+    b, h, s = 2, 3, 8
+    r = _rand((t, b, h, s), 0, 0.5)
+    k = _rand((t, b, h, s), 1, 0.5)
+    v = _rand((t, b, h, s), 2, 0.5)
+    tf = _rand((h, s), 3, 0.3)
+    s0 = _rand((b, h, s, s), 4, 0.2)
+    if static_w:
+        w = jnp.exp(-jnp.exp(_rand((h, s), 5, 0.5)))
+    else:
+        w = jnp.exp(-jnp.exp(_rand((t, b, h, s), 5, 0.5)))
+
+    y_ref, s_ref = wkv6_scan(s0, r, k, v, w, tf)
+    y_chk, s_chk = wkv6_chunked(s0, r, k, v, w, tf, chunk_size=chunk)
+    np.testing.assert_allclose(np.asarray(y_chk), np.asarray(y_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref), rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_extreme_decay_stable():
+    """Very strong decay (w underflow territory) must not produce NaN/inf."""
+    from rwkv_tpu.ops.chunked import wkv6_chunked
+
+    t, b, h, s = 32, 1, 2, 4
+    r = _rand((t, b, h, s), 0)
+    k = _rand((t, b, h, s), 1)
+    v = _rand((t, b, h, s), 2)
+    tf = _rand((h, s), 3)
+    s0 = _rand((b, h, s, s), 4)
+    w = jnp.full((t, b, h, s), 1e-30, jnp.float32)  # near-total forgetting
+    y, s_next = wkv6_chunked(s0, r, k, v, w, tf, chunk_size=16)
+    assert np.isfinite(np.asarray(y)).all()
+    assert np.isfinite(np.asarray(s_next)).all()
+
+
+def test_auto_dispatch_rank3():
+    from rwkv_tpu.models.graph import wkv6_scan
+    from rwkv_tpu.ops.chunked import wkv6_auto
+
+    t, h, s = 32, 2, 8
+    r = _rand((t, h, s), 0, 0.5)
+    k = _rand((t, h, s), 1, 0.5)
+    v = _rand((t, h, s), 2, 0.5)
+    tf = _rand((h, s), 3, 0.3)
+    w = jnp.exp(-jnp.exp(_rand((t, h, s), 5, 0.5)))
+    s0 = _rand((h, s, s), 4, 0.2)
+    y_ref, s_ref = wkv6_scan(s0, r, k, v, w, tf)
+    y, s_out = wkv6_auto(s0, r, k, v, w, tf)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(s_out), np.asarray(s_ref), rtol=2e-4, atol=2e-5)
+    # Non-multiple T falls back to the scan exactly.
+    y2, _ = wkv6_auto(s0, r[:30], k[:30], v[:30], w[:30], tf)
+    y2_ref, _ = wkv6_scan(s0, r[:30], k[:30], v[:30], w[:30], tf)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y2_ref))
