@@ -221,6 +221,7 @@ def att_v7(
     v_first: Optional[jnp.ndarray],
     cfg: ModelConfig,
     is_first=None,
+    wkv_fn=None,
 ):
     """rwkv_att_v7 (rwkv_graph.inc:387-482): six-way shift, low-rank
     w/a/g/v gates, l2-normalized kk, cross-layer value residual, and the
@@ -272,7 +273,7 @@ def att_v7(
     vh = v.reshape(*lead, h, s)
     ah = a.reshape(*lead, h, s)
 
-    y, heads = wkv7_scan(heads, rh, wh, kh, vh, -kk, kk * ah)
+    y, heads = (wkv_fn or wkv7_scan)(heads, rh, wh, kh, vh, -kk, kk * ah)
     xo = group_norm(
         y.reshape(*lead, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"], h, eps=64e-5
     )

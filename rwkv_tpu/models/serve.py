@@ -120,13 +120,13 @@ def forward_stacked(
     x = layer_norm(emb.astype(jnp.float32), *params["ln0"])
     n_layer = cfg.n_layer
 
-    # Prefill (T > 1) uses the chunked matmul wkv for v5/v6 — same math,
-    # MXU-resident (rwkv_tpu/ops/chunked.py); decode and v7 use the scan.
+    # Prefill (T > 1) uses the chunked matmul wkv — same math, MXU-resident
+    # (rwkv_tpu/ops/chunked.py); decode (T=1) uses the sequential scan.
     wkv_fn = None
-    if major in (5, 6) and tokens.shape[0] > 1:
-        from rwkv_tpu.ops.chunked import wkv6_auto
+    if major in (5, 6, 7) and tokens.shape[0] > 1:
+        from rwkv_tpu.ops.chunked import wkv6_auto, wkv7_auto
 
-        wkv_fn = wkv6_auto
+        wkv_fn = wkv7_auto if major == 7 else wkv6_auto
 
     if major >= 5:
         xs = (params["blocks"], state["att_xx"], state["ffn_xx"], state["heads"],
@@ -137,7 +137,8 @@ def forward_stacked(
             layer, att_xx, ffn_xx, heads, idx = inp
             if major == 7:
                 dx, att_xx, heads, v_first = G.att_v7(
-                    layer, x, att_xx, heads, v_first, cfg, is_first=(idx == 0)
+                    layer, x, att_xx, heads, v_first, cfg, is_first=(idx == 0),
+                    wkv_fn=wkv_fn,
                 )
                 x = x + dx
                 dx, ffn_xx = G.ffn_v7(layer, x, ffn_xx)

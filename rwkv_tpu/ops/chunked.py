@@ -20,9 +20,15 @@ with dense matmuls (the chunked linear-attention / GLA formulation):
   factors) or clamped (the strictly-increasing local factors), keeping f32
   finite even for extreme decays.
 
-wkv7's delta rule couples the state into the update (S' depends on S@a), so
-it does not chunk this way; its chunked form (WY representation) is future
-work — v7 prefill uses the scan.
+wkv7's generalized delta rule couples the state into its own update
+(S' = S o w + v k^T + (S a) b^T), so the plain linear-attention chunking
+does not apply. Its chunked form here works on the DE-DECAYED state
+T_t = S_t o (1/W_t): within a chunk the self-coupling reduces to a unit
+lower-triangular linear system over the chunk's `sa_t = S_{t-1} a_t`
+vectors, solved with one batched triangular solve per chunk; everything
+else is masked [P, P] attention matmuls. wkv7's decay is bounded
+(w = exp(-0.6065*sigmoid(.)) in [0.545, 1]), so the 1/W ratio factors are
+at most e^{0.607 P} — comfortably finite in f32 for P <= 32.
 """
 
 from __future__ import annotations
@@ -108,6 +114,112 @@ def wkv6_auto(s, r, k, v, w, tf, chunk_size: int = 16):
             w = w[:, None]
         s = s[None]
     y, s2 = wkv6_chunked(s, r, k, v, w, tf, chunk_size)
+    if squeeze:
+        return y[:, 0], s2[0]
+    return y, s2
+
+
+# ---------------------------------------------------------------------------
+# wkv7 (generalized delta rule)
+# ---------------------------------------------------------------------------
+
+
+def _chunk_body7(s0, r, w, k, v, a, b, lw):
+    """One wkv7 chunk. Shapes: r/w/k/v/a/b/lw [P, B, H, S]; s0 [B, H, S, S]
+    (i = value dim, j = key dim). Returns (out [P, B, H, S], s_next).
+
+    Derivation (per head, de-decayed state T_t = S_t o 1/W_t, W_t the
+    elementwise cumulative decay within the chunk):
+      T_t = T_0 + sum_{tau<=t} (sa_tau btil_tau^T + v_tau ktil_tau^T)
+      sa_t = T_{t-1} atil_t,   atil = a o W_{t-1},
+      btil = b o (1/W), ktil = k o (1/W), rhat = r o W
+      => (I - B_strict) sa = T_0 atil + K_strict v   (unit lower triangular)
+      out_t = T_0 rhat_t + sum_{tau<=t} [sa_tau (btil_tau . rhat_t)
+                                         + v_tau (ktil_tau . rhat_t)]
+    """
+    from jax.scipy.linalg import solve_triangular
+
+    p = r.shape[0]
+    lcum = jnp.cumsum(lw, axis=0)
+    lcum_ex = lcum - lw
+
+    atil = a * jnp.exp(lcum_ex)
+    btil = b * jnp.exp(-lcum)
+    ktil = k * jnp.exp(-lcum)
+    rhat = r * jnp.exp(lcum)
+
+    strict = jnp.tril(jnp.ones((p, p), bool), k=-1)
+    incl = jnp.tril(jnp.ones((p, p), bool))
+
+    bmat = jnp.where(strict, jnp.einsum("tbhj,ubhj->bhtu", atil, btil), 0.0)
+    kmat = jnp.where(strict, jnp.einsum("tbhj,ubhj->bhtu", atil, ktil), 0.0)
+
+    rhs = jnp.einsum("bhij,tbhj->tbhi", s0, atil) + jnp.einsum(
+        "bhtu,ubhi->tbhi", kmat, v
+    )
+    # Solve (I - B) sa = rhs, batched over (B, H); unit lower triangular.
+    eye = jnp.eye(p)
+    sa = solve_triangular(
+        eye - bmat,                      # [B, H, P, P]
+        jnp.moveaxis(rhs, 0, 2),         # [B, H, P, S]
+        lower=True,
+        unit_diagonal=True,
+    )
+    sa = jnp.moveaxis(sa, 2, 0)          # [P, B, H, S]
+
+    br = jnp.where(incl, jnp.einsum("tbhj,ubhj->bhtu", rhat, btil), 0.0)
+    kr = jnp.where(incl, jnp.einsum("tbhj,ubhj->bhtu", rhat, ktil), 0.0)
+    out = (
+        jnp.einsum("bhij,tbhj->tbhi", s0, rhat)
+        + jnp.einsum("bhtu,ubhi->tbhi", br, sa)
+        + jnp.einsum("bhtu,ubhi->tbhi", kr, v)
+    )
+
+    t_last = (
+        s0
+        + jnp.einsum("ubhi,ubhj->bhij", sa, btil)
+        + jnp.einsum("ubhi,ubhj->bhij", v, ktil)
+    )
+    s_next = t_last * jnp.exp(lcum[-1])[..., None, :]
+    return out, s_next
+
+
+def wkv7_chunked(s0, r, w, k, v, a, b, chunk_size: int = 16):
+    """Chunked wkv7. Shapes as wkv7_scan but time-major batched:
+    r/w/k/v/a/b [T, B, H, S]; s0 [B, H, S, S]. T must be a multiple of
+    chunk_size."""
+    t = r.shape[0]
+    lw = jnp.log(jnp.maximum(w, jnp.float32(1e-30)))
+    n_chunks = t // chunk_size
+
+    def split(x):
+        return x.reshape(n_chunks, chunk_size, *x.shape[1:])
+
+    def body(s, inp):
+        rc, wc, kc, vc, ac, bc, lwc = inp
+        out, s = _chunk_body7(s, rc, wc, kc, vc, ac, bc, lwc)
+        return s, out
+
+    s, outs = jax.lax.scan(
+        body, s0, (split(r), split(w), split(k), split(v), split(a), split(b), split(lw))
+    )
+    return outs.reshape(t, *r.shape[1:]), s
+
+
+def wkv7_auto(s, r, w, k, v, a, b, chunk_size: int = 16):
+    """Dispatch: chunked form when T is a chunk multiple and > 1, scan
+    otherwise. Accepts rank-3 ([T, H, S]) or rank-4 ([T, B, H, S])."""
+    from rwkv_tpu.models.graph import wkv7_scan
+
+    t = r.shape[0]
+    if t == 1 or t % chunk_size != 0:
+        return wkv7_scan(s, r, w, k, v, a, b)
+
+    squeeze = r.ndim == 3
+    if squeeze:
+        r, w, k, v, a, b = (x[:, None] for x in (r, w, k, v, a, b))
+        s = s[None]
+    y, s2 = wkv7_chunked(s, r, w, k, v, a, b, chunk_size)
     if squeeze:
         return y[:, 0], s2[0]
     return y, s2

@@ -73,3 +73,48 @@ def test_auto_dispatch_rank3():
     y2, _ = wkv6_auto(s0, r[:30], k[:30], v[:30], w[:30], tf)
     y2_ref, _ = wkv6_scan(s0, r[:30], k[:30], v[:30], w[:30], tf)
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(y2_ref))
+
+
+@pytest.mark.parametrize("t,chunk", [(16, 16), (32, 16), (64, 32)])
+def test_wkv7_chunked_matches_scan(t, chunk):
+    from rwkv_tpu.models.graph import wkv7_scan
+    from rwkv_tpu.ops.chunked import wkv7_chunked
+    from rwkv_tpu.ops.parity import l2_normalize
+
+    b, h, s = 2, 3, 8
+    r = _rand((t, b, h, s), 0, 0.5)
+    k = _rand((t, b, h, s), 1, 0.5)
+    v = _rand((t, b, h, s), 2, 0.5)
+    # realistic v7 operands: bounded decay, a = -l2norm(kk), b = kk*gate
+    import jax
+
+    w = jnp.exp(jax.nn.sigmoid(_rand((t, b, h, s), 5)) * jnp.float32(-0.606531))
+    kk = l2_normalize(_rand((t, b, h, s), 6))
+    gate = jax.nn.sigmoid(_rand((t, b, h, s), 7))
+    a = -kk
+    bb = kk * gate
+    s0 = _rand((b, h, s, s), 4, 0.2)
+
+    y_ref, s_ref = wkv7_scan(s0, r, w, k, v, a, bb)
+    y_chk, s_chk = wkv7_chunked(s0, r, w, k, v, a, bb, chunk_size=chunk)
+    np.testing.assert_allclose(np.asarray(y_chk), np.asarray(y_ref), rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(s_chk), np.asarray(s_ref), rtol=3e-4, atol=3e-5)
+
+
+def test_wkv7_auto_rank3_and_fallback():
+    from rwkv_tpu.models.graph import wkv7_scan
+    from rwkv_tpu.ops.chunked import wkv7_auto
+
+    t, h, s = 32, 2, 8
+    ops = [_rand((t, h, s), i, 0.4) for i in range(6)]
+    r, w_raw, k, v, a, b = ops
+    w = jnp.exp(-jnp.abs(w_raw) * 0.5)
+    s0 = _rand((h, s, s), 9, 0.2)
+    y_ref, s_ref = wkv7_scan(s0, r, w, k, v, a, b)
+    y, s_out = wkv7_auto(s0, r, w, k, v, a, b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref), rtol=3e-4, atol=3e-5)
+    np.testing.assert_allclose(np.asarray(s_out), np.asarray(s_ref), rtol=3e-4, atol=3e-5)
+    # non-multiple falls back exactly
+    y2, _ = wkv7_auto(s0, r[:30], w[:30], k[:30], v[:30], a[:30], b[:30])
+    y2_ref, _ = wkv7_scan(s0, r[:30], w[:30], k[:30], v[:30], a[:30], b[:30])
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y2_ref))
