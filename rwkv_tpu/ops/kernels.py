@@ -39,23 +39,34 @@ QK = 32
 class PackedQuantWeight:
     """Block-quantized weight resident on device, transposed storage:
     y = x @ dequant(W), dequant(W)[b*32+i, o] = q[b*32+i, o] * d[b, o]
-    (+ m[b, o])."""
+    (+ m[b, o]).
 
-    q: jnp.ndarray  # int8 [..., in, out] (format offset already applied)
+    pack4: 4-bit formats (Q4_0/Q4_1) store TWO codes per int8 byte along the
+    in dim — byte s holds in-positions 2s (low nibble) and 2s+1 (high
+    nibble); `signed4` says whether nibbles sign-extend (Q4_0, offset
+    pre-applied) or are unsigned 0..15 (Q4_1). Halves code traffic again:
+    0.5 B/weight + 0.125 B/weight of scales vs 2 B/weight bf16."""
+
+    q: jnp.ndarray  # int8 [..., in, out] (or [..., in//2, out] when pack4)
     d: jnp.ndarray  # f32 [..., in//32, out]
     m: Optional[jnp.ndarray] = None  # f32 [..., in//32, out] for _1 formats
+    pack4: bool = False
+    signed4: bool = True
 
     def tree_flatten(self):
-        return (self.q, self.d, self.m), ()
+        return (self.q, self.d, self.m), (self.pack4, self.signed4)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children)
+        q, d, m = children
+        pack4, signed4 = aux
+        return cls(q=q, d=d, m=m, pack4=pack4, signed4=signed4)
 
     @property
     def shape(self):
         """Logical (out, in) shape, matching Weight.shape convention."""
-        return (self.q.shape[-1], self.q.shape[-2])
+        k = self.q.shape[-2] * (2 if self.pack4 else 1)
+        return (self.q.shape[-1], k)
 
     @classmethod
     def from_weight(cls, w: Weight) -> "PackedQuantWeight":
@@ -64,15 +75,42 @@ class PackedQuantWeight:
         q_t = jnp.swapaxes(w.q.reshape(out, nb * QK), -1, -2)  # [in, out]
         d_t = jnp.swapaxes(w.d, -1, -2)  # [nb, out]
         m_t = None if w.m is None else jnp.swapaxes(w.m, -1, -2)
+        if w.fmt in ("Q4_0", "Q4_1"):
+            signed = w.fmt == "Q4_0"
+            q_np = np.asarray(q_t)
+            lo = q_np[0::2].astype(np.uint8) & 0xF
+            hi = (q_np[1::2].astype(np.uint8) & 0xF) << 4
+            packed = (lo | hi).astype(np.int8)
+            return cls(q=jnp.asarray(packed), d=d_t, m=m_t, pack4=True, signed4=signed)
         return cls(q=q_t, d=d_t, m=m_t)
+
+
+def _unpack4(q: jnp.ndarray, signed: bool) -> jnp.ndarray:
+    """[.., K/2, N] packed nibbles -> [.., K, N] int8 codes (interleaved:
+    byte s -> rows 2s (low), 2s+1 (high))."""
+    if signed:
+        lo = jnp.left_shift(q, 4) >> 4          # arithmetic: sign-extends
+        hi = q >> 4
+    else:
+        qu = q.astype(jnp.uint8)
+        lo = (qu & 0xF).astype(jnp.int8)
+        hi = (qu >> 4).astype(jnp.int8)
+    stacked = jnp.stack([lo, hi], axis=-2 if q.ndim == 2 else q.ndim - 1)
+    # [.., K/2, 2, N] -> [.., K, N]
+    return stacked.reshape(*q.shape[:-2], q.shape[-2] * 2, q.shape[-1])
+
+
+def _codes(w: PackedQuantWeight) -> jnp.ndarray:
+    return _unpack4(w.q, w.signed4) if w.pack4 else w.q
 
 
 def dequant_weight(w: PackedQuantWeight, dtype=jnp.float32) -> jnp.ndarray:
     """[in, out] dense dequantization (transposed orientation)."""
-    k, out = w.q.shape[-2:]
+    q = _codes(w)
+    k, out = q.shape[-2:]
     nb = k // QK
-    lead = w.q.shape[:-2]
-    arr = w.q.astype(jnp.float32).reshape(*lead, nb, QK, out) * w.d[..., :, None, :]
+    lead = q.shape[:-2]
+    arr = q.astype(jnp.float32).reshape(*lead, nb, QK, out) * w.d[..., :, None, :]
     if w.m is not None:
         arr = arr + w.m[..., :, None, :]
     return arr.reshape(*lead, k, out).astype(dtype)
@@ -105,6 +143,14 @@ _TILE_N = 256
 _MAX_K = 8192
 
 
+def _dot(x, w):
+    return jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
 def _dequant_dot(x, q, d, m):
     k, tn = q.shape
     nb = k // QK
@@ -112,11 +158,30 @@ def _dequant_dot(x, q, d, m):
     if m is not None:
         w = w + m[:, None, :]
     w = w.reshape(k, tn)
-    return jax.lax.dot_general(
-        x, w,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    return _dot(x, w)
+
+
+def _dequant_dot4(x_even, x_odd, q, d, m, signed):
+    """Packed-nibble dot without interleaving: both nibbles of byte s belong
+    to the same 32-block (positions 2s, 2s+1), so
+    y = x_even @ (lo*scale) + x_odd @ (hi*scale)."""
+    kh, tn = q.shape          # kh = K/2
+    nb = kh // (QK // 2)      # 16 packed bytes per 32-element block
+    if signed:
+        lo = (jnp.left_shift(q, 4) >> 4).astype(jnp.float32)
+        hi = (q >> 4).astype(jnp.float32)
+    else:
+        qu = q.astype(jnp.uint8)
+        lo = (qu & 0xF).astype(jnp.float32)
+        hi = (qu >> 4).astype(jnp.float32)
+
+    def scale(codes):
+        w = codes.reshape(nb, QK // 2, tn) * d[:, None, :]
+        if m is not None:
+            w = w + m[:, None, :]
+        return w.reshape(kh, tn)
+
+    return _dot(x_even, scale(lo)) + _dot(x_odd, scale(hi))
 
 
 def _kernel_plain(x_ref, q_ref, d_ref, o_ref):
@@ -125,6 +190,20 @@ def _kernel_plain(x_ref, q_ref, d_ref, o_ref):
 
 def _kernel_min(x_ref, q_ref, d_ref, m_ref, o_ref):
     o_ref[:] = _dequant_dot(x_ref[:], q_ref[:], d_ref[:], m_ref[:])
+
+
+def _make_kernel4(signed, with_min):
+    if with_min:
+        def k4(xe_ref, xo_ref, q_ref, d_ref, m_ref, o_ref):
+            o_ref[:] = _dequant_dot4(
+                xe_ref[:], xo_ref[:], q_ref[:], d_ref[:], m_ref[:], signed
+            )
+    else:
+        def k4(xe_ref, xo_ref, q_ref, d_ref, o_ref):
+            o_ref[:] = _dequant_dot4(
+                xe_ref[:], xo_ref[:], q_ref[:], d_ref[:], None, signed
+            )
+    return k4
 
 
 def _pallas_quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, interpret: bool):
@@ -140,20 +219,37 @@ def _pallas_quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, interpret: bool):
         x = jnp.pad(x, ((0, m_pad - m_rows), (0, 0)))
 
     grid = (n // _TILE_N,)
-    in_specs = [
-        pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((k, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec((nb, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
-    ]
-    args = [x, w.q, w.d]
-    if w.m is not None:
-        in_specs.append(
-            pl.BlockSpec((nb, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM)
-        )
-        args.append(w.m)
-        kernel = _kernel_min
+    scale_spec = pl.BlockSpec((nb, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM)
+
+    if w.pack4:
+        # Split activations by parity of the in index (outside the kernel);
+        # the kernel never interleaves — see _dequant_dot4.
+        x3 = x.reshape(m_pad, k // 2, 2)
+        xe, xo = x3[:, :, 0], x3[:, :, 1]
+        in_specs = [
+            pl.BlockSpec((m_pad, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, k // 2), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k // 2, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            scale_spec,
+        ]
+        args = [xe, xo, w.q, w.d]
+        if w.m is not None:
+            in_specs.append(scale_spec)
+            args.append(w.m)
+        kernel = _make_kernel4(w.signed4, w.m is not None)
     else:
-        kernel = _kernel_plain
+        in_specs = [
+            pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            scale_spec,
+        ]
+        args = [x, w.q, w.d]
+        if w.m is not None:
+            in_specs.append(scale_spec)
+            args.append(w.m)
+            kernel = _kernel_min
+        else:
+            kernel = _kernel_plain
 
     out = pl.pallas_call(
         kernel,
@@ -172,8 +268,9 @@ def _xla_quant_matmul(x: jnp.ndarray, w: PackedQuantWeight) -> jnp.ndarray:
     return jnp.matmul(x, dequant_weight(w))
 
 
-def _kernel_ok(k: int, n: int) -> bool:
-    return k % 128 == 0 and n % _TILE_N == 0 and k <= _MAX_K
+def _kernel_ok(k: int, n: int, pack4: bool = False) -> bool:
+    k_eff = k // 2 if pack4 else k
+    return k_eff % 128 == 0 and n % _TILE_N == 0 and k <= _MAX_K
 
 
 def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = None):
@@ -189,7 +286,7 @@ def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = No
     mode = force
     if mode is None:
         on_tpu = jax.default_backend() == "tpu"
-        mode = "pallas" if (on_tpu and _kernel_ok(k, n)) else "xla"
+        mode = "pallas" if (on_tpu and _kernel_ok(k, n, w.pack4)) else "xla"
     if mode == "xla":
         out = _xla_quant_matmul(x2, w)
     else:

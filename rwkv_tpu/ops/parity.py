@@ -50,15 +50,16 @@ class Weight:
     d: Optional[jnp.ndarray] = None
     m: Optional[jnp.ndarray] = None
     q8_1_act: bool = False
+    fmt: str = ""  # on-disk format name for quant weights (e.g. "Q4_0")
 
     def tree_flatten(self):
-        return (self.w, self.q, self.d, self.m), (self.kind, self.q8_1_act)
+        return (self.w, self.q, self.d, self.m), (self.kind, self.q8_1_act, self.fmt)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         w, q, d, m = children
-        kind, q8_1_act = aux
-        return cls(kind=kind, w=w, q=q, d=d, m=m, q8_1_act=q8_1_act)
+        kind, q8_1_act, fmt = aux
+        return cls(kind=kind, w=w, q=q, d=d, m=m, q8_1_act=q8_1_act, fmt=fmt)
 
     @property
     def shape(self):
@@ -81,12 +82,15 @@ class Weight:
         m = blocks.get("m")
         if m is not None:
             m = jnp.asarray(m.astype(np.float32).reshape(out_dim, nb))
+        from rwkv_tpu.io.quant import dtype_name
+
         return cls(
             kind="quant",
             q=jnp.asarray(q),
             d=jnp.asarray(d),
             m=m,
             q8_1_act=dtype in _Q8_1_ACT,
+            fmt=dtype_name(dtype),
         )
 
 

@@ -91,3 +91,62 @@ def test_serving_q8_mode_runs():
     srv = ServingModel(path, precision="q8")
     logits, state = srv.prefill(list(b"abc"))
     assert np.isfinite(np.asarray(logits)).all()
+
+
+@pytest.mark.parametrize("fmt", ["Q4_0", "Q4_1"])
+@pytest.mark.parametrize("m_rows", [1, 8])
+def test_pack4_matches_int8_path(fmt, m_rows):
+    """4-bit packed storage must produce identical results to the int8-code
+    path for real ggml Q4 weights, in both XLA and Pallas(interpret) modes."""
+    from rwkv_tpu.models.loader import load_params
+    from rwkv_tpu.ops.kernels import PackedQuantWeight, quant_matmul
+
+    path = str(require_fixture(f"tiny-rwkv-5v2-730K-FP32-to-{fmt}.bin"))
+    _, params = load_params(path)
+    w = params["blocks"][0]["att.key.weight"]
+    packed4 = PackedQuantWeight.from_weight(w)
+    assert packed4.pack4
+    # int8 reference: force-build without packing
+    import jax.numpy as jnp
+    out, nb, _ = w.q.shape
+    ref8 = PackedQuantWeight(
+        q=jnp.swapaxes(w.q.reshape(out, nb * 32), -1, -2),
+        d=jnp.swapaxes(w.d, -1, -2),
+        m=None if w.m is None else jnp.swapaxes(w.m, -1, -2),
+    )
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((m_rows, w.q.shape[1] * 32)),
+        jnp.float32,
+    )
+    y8 = quant_matmul(x, ref8, force="xla")
+    y4_xla = quant_matmul(x, packed4, force="xla")
+    np.testing.assert_allclose(np.asarray(y4_xla), np.asarray(y8), rtol=1e-6, atol=1e-6)
+    # Pallas path needs aligned dims; this fixture is 64-wide -> interpret
+    # still exercises the kernel body with relaxed grid requirements.
+    if packed4.q.shape[-2] % 128 == 0 and packed4.q.shape[-1] % 256 == 0:
+        y4_pl = quant_matmul(x, packed4, force="interpret")
+        np.testing.assert_allclose(np.asarray(y4_pl), np.asarray(y8), rtol=1e-5, atol=1e-5)
+
+
+def test_pack4_pallas_interpret_aligned():
+    """Aligned synthetic Q4_0-style weight through the pallas pack4 kernel."""
+    from rwkv_tpu.ops.kernels import PackedQuantWeight, quant_matmul
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    out, k = 256, 256
+    codes = rng.integers(-8, 8, size=(k, out)).astype(np.int8)
+    d = (rng.random((k // 32, out)).astype(np.float32) + 0.1) * 0.02
+    lo = codes[0::2].astype(np.uint8) & 0xF
+    hi = (codes[1::2].astype(np.uint8) & 0xF) << 4
+    packed = PackedQuantWeight(
+        q=jnp.asarray((lo | hi).astype(np.int8)),
+        d=jnp.asarray(d),
+        pack4=True,
+        signed4=True,
+    )
+    ref8 = PackedQuantWeight(q=jnp.asarray(codes), d=jnp.asarray(d))
+    x = jnp.asarray(rng.standard_normal((4, k)), jnp.float32)
+    y8 = quant_matmul(x, ref8, force="xla")
+    y4 = quant_matmul(x, packed, force="interpret")
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y8), rtol=1e-5, atol=1e-5)
