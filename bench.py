@@ -3,25 +3,58 @@
 Headline: single-stream greedy decode throughput (tokens/sec) of a
 169M-parameter-class RWKV v7 model (L=12, C=768, head 64, vocab 65536) on
 one chip: serving engine, bf16 weights, scan-over-layers, the whole
-128-token decode loop in one on-device lax.scan, timing forced by host
-materialization (the tunnel's block_until_ready is asynchronous).
+256-token decode loop in one on-device lax.scan.
+
+Timing methodology (the axon tunnel adds ~30 ms fixed round-trip latency to
+ANY host synchronization and block_until_ready is asynchronous): each
+measurement transfers only a 4-byte probe scalar, and the separately
+measured null round-trip overhead is subtracted before dividing by the
+token count.
+
 `vs_baseline` compares against the reference's best published 169M-class
 decode latency: 6.2 ms/token (cuBLAS offload, i7-13700K + RTX 3060 Ti,
 README.md:45-56) = 161.3 tokens/sec.
-
-Context metrics (batched decode, prefill) go to stderr.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
+# Persistent compilation cache: tunnel compiles are slow; repeat runs hit
+# the cache and start in seconds.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+
+
+def _null_overhead(jax, jnp):
+    """Fixed cost of (dispatch + tiny host transfer) through the runtime."""
+
+    @jax.jit
+    def probe(x):
+        return x * 1.000001
+
+    x = jnp.ones((8,), jnp.float32)
+    _ = np.asarray(probe(x))
+    best = float("inf")
+    for _i in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(probe(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
 
     from rwkv_tpu.models.serve import ServingModel, forward_stacked
     from rwkv_tpu.models.state import init_state
@@ -30,7 +63,7 @@ def main():
     cfg = synth_config("7.0", n_layer=12, n_embed=768, n_vocab=65536, head_size=64)
     srv = ServingModel((cfg, synth_params(cfg, seed=0)), precision="bf16")
     stacked = srv.params
-    n_gen = 128
+    n_gen = 256
 
     @jax.jit
     def gen_scan(params, state, logits):
@@ -38,34 +71,47 @@ def main():
             state, logits = carry
             tok = jnp.argmax(logits)[None].astype(jnp.int32)
             logits, state = forward_stacked(params, state, tok, cfg, True)
-            return (state, logits), tok
+            return (state, logits), None
 
-        (state, logits), toks = jax.lax.scan(body, (state, logits), None, length=n_gen)
-        return toks, logits, state
+        (state, logits), _ = jax.lax.scan(body, (state, logits), None, length=n_gen)
+        return jnp.sum(logits)  # 4-byte probe
 
+    overhead = _null_overhead(jax, jnp)
     state = init_state(cfg)
     logits = jnp.zeros((cfg.n_vocab,), jnp.float32)
-    out = gen_scan(stacked, state, logits)
-    _ = np.asarray(out[1])  # compile + settle
+    _ = np.asarray(gen_scan(stacked, state, logits))  # compile + settle
 
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out = gen_scan(stacked, state, logits)
-        _ = np.asarray(out[1])  # force completion through the tunnel
-        best = min(best, (time.perf_counter() - t0) / n_gen)
-    tps_single = 1.0 / best
+        _ = np.asarray(gen_scan(stacked, state, logits))
+        best = min(best, time.perf_counter() - t0)
+    per_tok = max(best - overhead, 1e-9) / n_gen
+    tps_single = 1.0 / per_tok
 
-    # Prefill throughput, T=256 (chunked matmul wkv for v5/v6; scan for v7).
-    long_prompt = list(np.arange(256) % cfg.n_vocab)
-    logits_p, _ = srv.prefill(long_prompt)
-    _ = np.asarray(logits_p)
-    t0 = time.perf_counter()
-    logits_p, _ = srv.prefill(long_prompt)
-    _ = np.asarray(logits_p)
-    tps_prefill = len(long_prompt) / (time.perf_counter() - t0)
+    # Prefill throughput, T=256 (chunked matmul wkv; probe-only transfer).
+    prompt = jnp.asarray(np.arange(256, dtype=np.int32) % cfg.n_vocab).reshape(1, 256)
+    pre_state = srv.init_state(1)
+    fn = srv._batched_fn(256, True)
 
-    print(f"context: prefill T=256: {tps_prefill:.0f} tok/s", file=sys.stderr)
+    @jax.jit
+    def prefill_probe(params, state, tokens):
+        logits, _ = fn.__wrapped__(params, state, tokens) if hasattr(fn, "__wrapped__") else fn(params, state, tokens)
+        return jnp.sum(logits)
+
+    _ = np.asarray(prefill_probe(stacked, pre_state, prompt))
+    best_p = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(prefill_probe(stacked, pre_state, prompt))
+        best_p = min(best_p, time.perf_counter() - t0)
+    tps_prefill = 256 / max(best_p - overhead, 1e-9)
+
+    print(
+        f"context: prefill T=256: {tps_prefill:.0f} tok/s | "
+        f"sync overhead subtracted: {overhead * 1e3:.1f} ms",
+        file=sys.stderr,
+    )
 
     baseline_tps = 1000.0 / 6.2  # reference's best 169M ms/token
     print(

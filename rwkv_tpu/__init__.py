@@ -19,8 +19,24 @@ def __getattr__(name):
         from rwkv_tpu.models.model import RWKVModel
 
         return RWKVModel
+    if name == "ServingModel":
+        from rwkv_tpu.models.serve import ServingModel
+
+        return ServingModel
+    if name == "ContinuousBatcher":
+        from rwkv_tpu.parallel.batching import ContinuousBatcher
+
+        return ContinuousBatcher
+    if name == "ReservoirRWKV":
+        from rwkv_tpu.reservoir import ReservoirRWKV
+
+        return ReservoirRWKV
     if name == "ModelConfig":
         from rwkv_tpu.models.config import ModelConfig
 
         return ModelConfig
+    if name == "get_tokenizer":
+        from rwkv_tpu.utils.tokenizer import get_tokenizer
+
+        return get_tokenizer
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

@@ -153,19 +153,30 @@ def mm(x: jnp.ndarray, w) -> jnp.ndarray:
             from rwkv_tpu.ops.kernels import quant_matmul
 
             return quant_matmul(x, w)
+        # Flatten leading dims: [T, B, C] @ W.T as a single [T*B, C] GEMM.
+        # (jnp.matmul would otherwise treat T as a batch dim and emit T
+        # separate M=B matvecs — ~100x MXU waste for small B.)
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
         if w.dtype == jnp.bfloat16:
-            return jnp.matmul(
-                x.astype(jnp.bfloat16), w.T, preferred_element_type=jnp.float32
+            y = jnp.matmul(
+                x2.astype(jnp.bfloat16), w.T, preferred_element_type=jnp.float32
             )
-        return jnp.matmul(x, w.T)
+        else:
+            y = jnp.matmul(x2, w.T)
+        return y.reshape(*lead, w.shape[0])
     if w.kind == "dense":
+        lead = x.shape[:-1]
+        x2 = x.reshape(-1, x.shape[-1])
         if w.w.dtype == jnp.float16:
             # Current ggml routes F16 matmuls through llamafile/tinyBLAS,
             # which consumes RAW f32 activations against f32-converted f16
             # weights (validated against the 5v1 FP16 golden constant, which
             # only matches without activation rounding).
-            return jnp.matmul(x, w.w.astype(jnp.float32).T, precision=_HIGHEST)
-        return jnp.matmul(x, w.w.T, precision=_HIGHEST)
+            y = jnp.matmul(x2, w.w.astype(jnp.float32).T, precision=_HIGHEST)
+        else:
+            y = jnp.matmul(x2, w.w.T, precision=_HIGHEST)
+        return y.reshape(*lead, w.w.shape[0])
     return _quant_matmul(x, w)
 
 
