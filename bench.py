@@ -89,6 +89,33 @@ def main():
     per_tok = max(best - overhead, 1e-9) / n_gen
     tps_single = 1.0 / per_tok
 
+    # Batched decode (continuous-batching proxy), B=8, probe-only transfer.
+    batch = 8
+    bstate = jax.tree.map(
+        lambda a: jnp.swapaxes(jnp.broadcast_to(a[None], (batch,) + a.shape), 0, 1),
+        init_state(cfg),
+    )
+    blogits = jnp.zeros((batch, cfg.n_vocab), jnp.float32)
+
+    @jax.jit
+    def batch_chain(params, state, logits):
+        def body(carry, _):
+            state, logits = carry
+            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            logits, state = forward_stacked(params, state, toks[None, :], cfg, True)
+            return (state, logits), None
+
+        (state, logits), _ = jax.lax.scan(body, (state, logits), None, length=n_gen)
+        return jnp.sum(logits)
+
+    _ = np.asarray(batch_chain(stacked, bstate, blogits))
+    best_b = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(batch_chain(stacked, bstate, blogits))
+        best_b = min(best_b, time.perf_counter() - t0)
+    tps_batched = batch * n_gen / max(best_b - overhead, 1e-9)
+
     # Prefill throughput, T=256 (chunked matmul wkv; probe-only transfer).
     prompt = jnp.asarray(np.arange(256, dtype=np.int32) % cfg.n_vocab).reshape(1, 256)
     pre_state = srv.init_state(1)
@@ -108,7 +135,8 @@ def main():
     tps_prefill = 256 / max(best_p - overhead, 1e-9)
 
     print(
-        f"context: prefill T=256: {tps_prefill:.0f} tok/s | "
+        f"context: batched decode B=8: {tps_batched:.0f} tok/s | "
+        f"prefill T=256: {tps_prefill:.0f} tok/s | "
         f"sync overhead subtracted: {overhead * 1e3:.1f} ms",
         file=sys.stderr,
     )

@@ -167,13 +167,15 @@ def _dequant_dot4(x_even, x_odd, q, d, m, signed):
     y = x_even @ (lo*scale) + x_odd @ (hi*scale)."""
     kh, tn = q.shape          # kh = K/2
     nb = kh // (QK // 2)      # 16 packed bytes per 32-element block
+    # Nibble math in int32: Mosaic cannot legalize shifts on int8 vectors.
+    q32 = q.astype(jnp.int32)
     if signed:
-        lo = (jnp.left_shift(q, 4) >> 4).astype(jnp.float32)
-        hi = (q >> 4).astype(jnp.float32)
+        lo_u = q32 & 0xF
+        lo = (lo_u - ((lo_u & 0x8) << 1)).astype(jnp.float32)  # sign via bit 3
+        hi = (q32 >> 4).astype(jnp.float32)  # i32 arithmetic shift sign-extends
     else:
-        qu = q.astype(jnp.uint8)
-        lo = (qu & 0xF).astype(jnp.float32)
-        hi = (qu >> 4).astype(jnp.float32)
+        lo = (q32 & 0xF).astype(jnp.float32)
+        hi = ((q32 >> 4) & 0xF).astype(jnp.float32)
 
     def scale(codes):
         w = codes.reshape(nb, QK // 2, tn) * d[:, None, :]
