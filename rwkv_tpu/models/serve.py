@@ -62,16 +62,18 @@ def _prepare_weight(w, dtype, mode):
       dequant-matmul at run time); dense tensors go to `dtype`.
     mode 'q8': everything 2-D (including originally-dense tensors like the
       head) is packed to per-block int8 — maximum HBM bandwidth savings.
+    mode 'q8r': per-output-row int8 — the cheapest dequant (convert-only in
+      the kernel; row scales applied to the output), best decode latency.
     """
     from rwkv_tpu.ops.kernels import PackedQuantWeight, quantize_q8_serving
 
     if isinstance(w, Weight):
-        if w.kind == "quant" and mode in ("keep-quant", "q8"):
+        if w.kind == "quant" and mode in ("keep-quant", "q8", "q8r"):
             return PackedQuantWeight.from_weight(w)
-        if mode == "q8":
+        if mode in ("q8", "q8r"):
             arr = _densify(w, jnp.float32)
             if arr.ndim == 2 and arr.shape[-1] % 32 == 0:
-                return quantize_q8_serving(arr)
+                return quantize_q8_serving(arr, rowwise=(mode == "q8r"))
             return arr.astype(dtype)
         return _densify(w, dtype)
     return w
@@ -199,7 +201,8 @@ class ServingModel:
         # precision: 'bf16' | 'f32' (dense), 'quant' (keep the file's packed
         # blocks, fused dequant-matmul), 'q8' (repack everything to int8).
         dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
-        mode = {"bf16": "dense", "f32": "dense", "quant": "keep-quant", "q8": "q8"}[precision]
+        mode = {"bf16": "dense", "f32": "dense", "quant": "keep-quant",
+                "q8": "q8", "q8r": "q8r"}[precision]
         self.precision = precision
         self.params = stack_layer_params(params, cfg, dtype, mode)
         self._jit_cache: dict[Any, Any] = {}

@@ -48,19 +48,24 @@ class PackedQuantWeight:
     0.5 B/weight + 0.125 B/weight of scales vs 2 B/weight bf16."""
 
     q: jnp.ndarray  # int8 [..., in, out] (or [..., in//2, out] when pack4)
-    d: jnp.ndarray  # f32 [..., in//32, out]
+    d: jnp.ndarray  # f32 [..., in//32, out]; [..., 1, out] when rowwise
     m: Optional[jnp.ndarray] = None  # f32 [..., in//32, out] for _1 formats
     pack4: bool = False
     signed4: bool = True
+    # rowwise: one scale per OUTPUT row instead of per 32-block. The kernel
+    # then only CONVERTS codes (1 VPU op/weight) and applies scales to the
+    # [M, N] output — per-block dequant costs ~3 VPU ops/weight, which eats
+    # the bandwidth savings of weight-only quantization on v5e.
+    rowwise: bool = False
 
     def tree_flatten(self):
-        return (self.q, self.d, self.m), (self.pack4, self.signed4)
+        return (self.q, self.d, self.m), (self.pack4, self.signed4, self.rowwise)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, d, m = children
-        pack4, signed4 = aux
-        return cls(q=q, d=d, m=m, pack4=pack4, signed4=signed4)
+        pack4, signed4, rowwise = aux
+        return cls(q=q, d=d, m=m, pack4=pack4, signed4=signed4, rowwise=rowwise)
 
     @property
     def shape(self):
@@ -108,20 +113,33 @@ def dequant_weight(w: PackedQuantWeight, dtype=jnp.float32) -> jnp.ndarray:
     """[in, out] dense dequantization (transposed orientation)."""
     q = _codes(w)
     k, out = q.shape[-2:]
-    nb = k // QK
     lead = q.shape[:-2]
+    if w.rowwise:
+        return (q.astype(jnp.float32) * w.d).astype(dtype)
+    nb = k // QK
     arr = q.astype(jnp.float32).reshape(*lead, nb, QK, out) * w.d[..., :, None, :]
     if w.m is not None:
         arr = arr + w.m[..., :, None, :]
     return arr.reshape(*lead, k, out).astype(dtype)
 
 
-def quantize_q8_serving(arr: jnp.ndarray) -> PackedQuantWeight:
-    """Symmetric per-32-block int8 quantization of a dense [out, in] weight
-    (serving-side; same scheme as ggml Q8_0 but with f32 scales)."""
+def quantize_q8_serving(arr: jnp.ndarray, rowwise: bool = False) -> PackedQuantWeight:
+    """Symmetric int8 quantization of a dense [out, in] weight (serving
+    side). rowwise=False: per-32-block scales (ggml-Q8_0-like); rowwise=True:
+    one scale per output row (slightly coarser, much cheaper to dequantize)."""
     arr = np.asarray(arr, dtype=np.float32)
     out, k = arr.shape
     assert k % QK == 0
+    if rowwise:
+        amax = np.abs(arr).max(axis=-1)                     # [out]
+        d = amax / 127.0
+        inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
+        q = np.clip(np.rint(arr * inv[:, None]), -127, 127).astype(np.int8)
+        return PackedQuantWeight(
+            q=jnp.asarray(np.ascontiguousarray(q.T)),
+            d=jnp.asarray(d.astype(np.float32).reshape(1, out)),
+            rowwise=True,
+        )
     blocks = arr.reshape(out, k // QK, QK)
     amax = np.abs(blocks).max(axis=-1)
     d = amax / 127.0
@@ -190,6 +208,18 @@ def _kernel_plain(x_ref, q_ref, d_ref, o_ref):
     o_ref[:] = _dequant_dot(x_ref[:], q_ref[:], d_ref[:], None)
 
 
+def _kernel_rowwise(x_ref, q_ref, d_ref, o_ref):
+    # Convert-only dequant: int8 -> bf16 (1 VPU op/weight), MXU dot in bf16,
+    # row scales applied to the tiny [M, TN] output.
+    w = q_ref[:].astype(jnp.bfloat16)
+    y = jax.lax.dot_general(
+        x_ref[:].astype(jnp.bfloat16), w,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = y * d_ref[:]
+
+
 def _kernel_min(x_ref, q_ref, d_ref, m_ref, o_ref):
     o_ref[:] = _dequant_dot(x_ref[:], q_ref[:], d_ref[:], m_ref[:])
 
@@ -223,7 +253,15 @@ def _pallas_quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, interpret: bool):
     grid = (n // _TILE_N,)
     scale_spec = pl.BlockSpec((nb, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    if w.pack4:
+    if w.rowwise:
+        in_specs = [
+            pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        args = [x, w.q, w.d]
+        kernel = _kernel_rowwise
+    elif w.pack4:
         # Split activations by parity of the in index (outside the kernel);
         # the kernel never interleaves — see _dequant_dot4.
         x3 = x.reshape(m_pad, k // 2, 2)
@@ -292,5 +330,10 @@ def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = No
     if mode == "xla":
         out = _xla_quant_matmul(x2, w)
     else:
+        if not _kernel_ok(k, n, w.pack4):
+            raise ValueError(
+                f"quant_matmul kernel needs k%128==0 (k/2 for pack4), "
+                f"n%{_TILE_N}==0, k<={_MAX_K}; got k={k}, n={n}"
+            )
         out = _pallas_quant_matmul(x2, w, interpret=(mode == "interpret"))
     return out.reshape(*lead, n)

@@ -150,3 +150,33 @@ def test_pack4_pallas_interpret_aligned():
     y8 = quant_matmul(x, ref8, force="xla")
     y4 = quant_matmul(x, packed, force="interpret")
     np.testing.assert_allclose(np.asarray(y4), np.asarray(y8), rtol=1e-5, atol=1e-5)
+
+
+def test_rowwise_q8_matches_dequant():
+    from rwkv_tpu.ops.kernels import dequant_weight, quant_matmul, quantize_q8_serving
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(2)
+    arr = rng.standard_normal((256, 256)).astype(np.float32)
+    w = quantize_q8_serving(jnp.asarray(arr), rowwise=True)
+    assert w.rowwise and w.d.shape == (1, 256)
+    deq = np.asarray(dequant_weight(w)).T
+    step = np.abs(arr).max(axis=-1, keepdims=True) / 127.0 + 1e-9
+    assert (np.abs(deq - arr) <= step * 0.51 + 1e-8).all()
+    x = jnp.asarray(rng.standard_normal((4, 256)), jnp.float32)
+    y_xla = quant_matmul(x, w, force="xla")
+    y_pl = quant_matmul(x, w, force="interpret")
+    # kernel computes the dot in bf16 (vs XLA f32 dequant reference):
+    # per-product rel error ~0.4% accumulates to ~0.1 abs over K=256.
+    np.testing.assert_allclose(
+        np.asarray(y_pl), np.asarray(y_xla), rtol=5e-2, atol=1.5e-1
+    )
+
+
+def test_serving_q8r_mode_runs():
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin"))
+    srv = ServingModel(path, precision="q8r")
+    logits, _ = srv.prefill(list(b"abc"))
+    assert np.isfinite(np.asarray(logits)).all()
