@@ -89,6 +89,10 @@ def main():
     per_tok = max(best - overhead, 1e-9) / n_gen
     tps_single = 1.0 / per_tok
 
+    # Context metrics are best-effort: they add two more large graph
+    # compiles, which through a congested tunnel can be slow. The headline
+    # metric must always print.
+    tps_batched = tps_prefill = float("nan")
     # Batched decode (continuous-batching proxy), B=8, probe-only transfer.
     batch = 8
     bstate = jax.tree.map(
@@ -108,13 +112,16 @@ def main():
         (state, logits), _ = jax.lax.scan(body, (state, logits), None, length=n_gen)
         return jnp.sum(logits)
 
-    _ = np.asarray(batch_chain(stacked, bstate, blogits))
-    best_b = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    try:
         _ = np.asarray(batch_chain(stacked, bstate, blogits))
-        best_b = min(best_b, time.perf_counter() - t0)
-    tps_batched = batch * n_gen / max(best_b - overhead, 1e-9)
+        best_b = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(batch_chain(stacked, bstate, blogits))
+            best_b = min(best_b, time.perf_counter() - t0)
+        tps_batched = batch * n_gen / max(best_b - overhead, 1e-9)
+    except Exception as e:
+        print(f"batched context metric skipped: {e}", file=sys.stderr)
 
     # Prefill throughput, T=256 (chunked matmul wkv; probe-only transfer).
     prompt = jnp.asarray(np.arange(256, dtype=np.int32) % cfg.n_vocab).reshape(1, 256)
@@ -126,13 +133,16 @@ def main():
         logits, _ = fn.__wrapped__(params, state, tokens) if hasattr(fn, "__wrapped__") else fn(params, state, tokens)
         return jnp.sum(logits)
 
-    _ = np.asarray(prefill_probe(stacked, pre_state, prompt))
-    best_p = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
+    try:
         _ = np.asarray(prefill_probe(stacked, pre_state, prompt))
-        best_p = min(best_p, time.perf_counter() - t0)
-    tps_prefill = 256 / max(best_p - overhead, 1e-9)
+        best_p = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(prefill_probe(stacked, pre_state, prompt))
+            best_p = min(best_p, time.perf_counter() - t0)
+        tps_prefill = 256 / max(best_p - overhead, 1e-9)
+    except Exception as e:
+        print(f"prefill context metric skipped: {e}", file=sys.stderr)
 
     print(
         f"context: batched decode B=8: {tps_batched:.0f} tok/s | "
