@@ -68,12 +68,15 @@ def _prepare_weight(w, dtype, mode):
     from rwkv_tpu.ops.kernels import PackedQuantWeight, quantize_q8_serving
 
     if isinstance(w, Weight):
-        if w.kind == "quant" and mode in ("keep-quant", "q8", "q8r"):
+        if w.kind == "quant" and mode in ("keep-quant", "q8", "q8r", "w8a8"):
             return PackedQuantWeight.from_weight(w)
-        if mode in ("q8", "q8r"):
+        if mode in ("q8", "q8r", "w8a8"):
             arr = _densify(w, jnp.float32)
             if arr.ndim == 2 and arr.shape[-1] % 32 == 0:
-                return quantize_q8_serving(arr, rowwise=(mode == "q8r"))
+                return quantize_q8_serving(
+                    arr, rowwise=(mode in ("q8r", "w8a8")),
+                    int8_act=(mode == "w8a8"),
+                )
             return arr.astype(dtype)
         return _densify(w, dtype)
     return w
@@ -202,7 +205,7 @@ class ServingModel:
         # blocks, fused dequant-matmul), 'q8' (repack everything to int8).
         dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
         mode = {"bf16": "dense", "f32": "dense", "quant": "keep-quant",
-                "q8": "q8", "q8r": "q8r"}[precision]
+                "q8": "q8", "q8r": "q8r", "w8a8": "w8a8"}[precision]
         self.precision = precision
         self.params = stack_layer_params(params, cfg, dtype, mode)
         self._jit_cache: dict[Any, Any] = {}

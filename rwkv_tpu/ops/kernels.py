@@ -57,15 +57,21 @@ class PackedQuantWeight:
     # [M, N] output — per-block dequant costs ~3 VPU ops/weight, which eats
     # the bandwidth savings of weight-only quantization on v5e.
     rowwise: bool = False
+    # int8_act: quantize activations per row to int8 and run the matmul as
+    # s8 x s8 -> s32 on the MXU (w8a8). Requires rowwise.
+    int8_act: bool = False
 
     def tree_flatten(self):
-        return (self.q, self.d, self.m), (self.pack4, self.signed4, self.rowwise)
+        return (self.q, self.d, self.m), (
+            self.pack4, self.signed4, self.rowwise, self.int8_act,
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, d, m = children
-        pack4, signed4, rowwise = aux
-        return cls(q=q, d=d, m=m, pack4=pack4, signed4=signed4, rowwise=rowwise)
+        pack4, signed4, rowwise, int8_act = aux
+        return cls(q=q, d=d, m=m, pack4=pack4, signed4=signed4,
+                   rowwise=rowwise, int8_act=int8_act)
 
     @property
     def shape(self):
@@ -123,7 +129,9 @@ def dequant_weight(w: PackedQuantWeight, dtype=jnp.float32) -> jnp.ndarray:
     return arr.reshape(*lead, k, out).astype(dtype)
 
 
-def quantize_q8_serving(arr: jnp.ndarray, rowwise: bool = False) -> PackedQuantWeight:
+def quantize_q8_serving(
+    arr: jnp.ndarray, rowwise: bool = False, int8_act: bool = False
+) -> PackedQuantWeight:
     """Symmetric int8 quantization of a dense [out, in] weight (serving
     side). rowwise=False: per-32-block scales (ggml-Q8_0-like); rowwise=True:
     one scale per output row (slightly coarser, much cheaper to dequantize)."""
@@ -139,6 +147,7 @@ def quantize_q8_serving(arr: jnp.ndarray, rowwise: bool = False) -> PackedQuantW
             q=jnp.asarray(np.ascontiguousarray(q.T)),
             d=jnp.asarray(d.astype(np.float32).reshape(1, out)),
             rowwise=True,
+            int8_act=int8_act,
         )
     blocks = arr.reshape(out, k // QK, QK)
     amax = np.abs(blocks).max(axis=-1)
@@ -208,6 +217,17 @@ def _kernel_plain(x_ref, q_ref, d_ref, o_ref):
     o_ref[:] = _dequant_dot(x_ref[:], q_ref[:], d_ref[:], None)
 
 
+def _kernel_w8a8(x_ref, dx_ref, q_ref, d_ref, o_ref):
+    # Full int8 path: activations pre-quantized per row (dx [M, 1]); the
+    # MXU does s8 x s8 -> s32; scales applied to the [M, TN] output only.
+    acc = jax.lax.dot_general(
+        x_ref[:], q_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    o_ref[:] = acc.astype(jnp.float32) * dx_ref[:] * d_ref[:]
+
+
 def _kernel_rowwise(x_ref, q_ref, d_ref, o_ref):
     # Convert-only dequant: int8 -> bf16 (1 VPU op/weight), MXU dot in bf16,
     # row scales applied to the tiny [M, TN] output.
@@ -238,7 +258,9 @@ def _make_kernel4(signed, with_min):
     return k4
 
 
-def _pallas_quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, interpret: bool):
+def _pallas_quant_matmul(
+    x: jnp.ndarray, w: PackedQuantWeight, interpret: bool, int8_act: bool = False
+):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -253,7 +275,21 @@ def _pallas_quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, interpret: bool):
     grid = (n // _TILE_N,)
     scale_spec = pl.BlockSpec((nb, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM)
 
-    if w.rowwise:
+    if w.rowwise and int8_act:
+        # per-row activation quantization (outside the kernel; x is tiny)
+        amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127, 127).astype(jnp.int8)
+        in_specs = [
+            pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_pad, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ]
+        args = [x8, dx.astype(jnp.float32), w.q, w.d]
+        kernel = _kernel_w8a8
+    elif w.rowwise:
         in_specs = [
             pl.BlockSpec((m_pad, k), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((k, _TILE_N), lambda i: (0, i), memory_space=pltpu.VMEM),
@@ -316,7 +352,9 @@ def _kernel_ok(k: int, n: int, pack4: bool = False) -> bool:
 def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = None):
     """y[..., o] = sum_i x[..., i] * dequant(W)[i, o], f32 accumulation.
 
-    force: None (auto), 'pallas', 'xla', 'interpret'.
+    force: None (auto), 'pallas', 'xla', 'interpret', or 'w8a8' (rowwise
+    weights only: per-row int8 activation quantization + s8xs8->s32 MXU
+    matmul, scales applied to the output).
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
@@ -335,5 +373,8 @@ def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = No
                 f"quant_matmul kernel needs k%128==0 (k/2 for pack4), "
                 f"n%{_TILE_N}==0, k<={_MAX_K}; got k={k}, n={n}"
             )
-        out = _pallas_quant_matmul(x2, w, interpret=(mode == "interpret"))
+        out = _pallas_quant_matmul(
+            x2, w, interpret=(mode == "interpret"),
+            int8_act=(mode == "w8a8" or (w.int8_act and mode == "pallas")),
+        )
     return out.reshape(*lead, n)

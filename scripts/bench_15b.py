@@ -107,7 +107,7 @@ def synth_device(cfg, precision: str, seed: int = 0):
 @partial(jax.jit, static_argnames=("precision",))
 def _quantize_device_jit(arr, precision):
     out, k = arr.shape
-    if precision == "q8r":
+    if precision in ("q8r", "w8a8"):
         amax = jnp.max(jnp.abs(arr), axis=-1)
         d = amax / 127.0
         inv = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
@@ -135,7 +135,8 @@ def quantize_device(arr, precision):
     q, d = _quantize_device_jit(arr, precision)
     return PackedQuantWeight(
         q=q, d=d, pack4=(precision == "q4"), signed4=True,
-        rowwise=(precision == "q8r"),
+        rowwise=(precision in ("q8r", "w8a8")),
+        int8_act=(precision == "w8a8"),
     )
 
 
@@ -156,7 +157,7 @@ def main():
         ov = min(ov, time.perf_counter() - t0)
     print(f"sync overhead: {ov * 1e3:.1f} ms", flush=True)
 
-    for precision in ("q8r", "bf16"):
+    for precision in ("w8a8",):
         t0 = time.perf_counter()
         params = synth_device(cfg, precision)
         jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
