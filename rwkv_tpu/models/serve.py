@@ -33,7 +33,7 @@ from rwkv_tpu.models.config import ModelConfig
 from rwkv_tpu.models import graph as G
 from rwkv_tpu.models.loader import load_params
 from rwkv_tpu.models.state import init_state
-from rwkv_tpu.ops.parity import Weight, layer_norm
+from rwkv_tpu.ops.parity import Weight, group_norm, l2_normalize, layer_norm
 
 # Prefill chunk buckets, largest first. Any sequence length is greedily
 # decomposed, so at most len(BUCKETS) distinct graphs are ever compiled.
@@ -82,12 +82,23 @@ def _prepare_weight(w, dtype, mode):
     return w
 
 
+_V7_FUSED_RKV = ("att.receptance.weight", "att.key.weight", "att.value.weight")
+_V7_FUSED_LORA1 = ("att.w1", "att.a1", "att.g1", "att.v1")
+_V7_FUSED_LORA2 = ("att.w2", "att.a2", "att.g2", "att.v2")
+
+
 def stack_layer_params(
-    params: dict, cfg: ModelConfig, dtype=jnp.bfloat16, mode: str = "dense"
+    params: dict, cfg: ModelConfig, dtype=jnp.bfloat16, mode: str = "dense",
+    fuse: bool = True,
 ) -> dict:
     """Prepare and stack per-layer params into [L, ...] pytrees for
     scan-over-layers. v7 layer 0's missing v0/v1/v2 are zero-padded (they
-    are selected away by the is_first flag in att_v7)."""
+    are selected away by the is_first flag in att_v7).
+
+    For dense v7 weights, `fuse` additionally groups the r/k/v projections
+    into one [3, C, C] tensor and the eight LoRA matmuls into two [4, ., .]
+    tensors, so the layer runs 3 batched matmul kernels instead of 11 —
+    per-kernel launch overhead dominates the decode step at small batch."""
     blocks = [dict(b) for b in params["blocks"]]
     if cfg.version_major == 7 and len(blocks) > 1:
         for key in ("att.v0", "att.v1", "att.v2"):
@@ -98,6 +109,22 @@ def stack_layer_params(
     for k in keys:
         leaves = [_prepare_weight(b[k], dtype, mode) for b in blocks]
         stacked[k] = jax.tree.map(lambda *xs: jnp.stack(xs), *leaves)
+
+    if (
+        fuse
+        and cfg.version_major == 7
+        and all(isinstance(stacked[k], jnp.ndarray)
+                for k in _V7_FUSED_RKV + _V7_FUSED_LORA1 + _V7_FUSED_LORA2)
+    ):
+        stacked["att.rkv.weight"] = jnp.stack(
+            [stacked.pop(k) for k in _V7_FUSED_RKV], axis=1
+        )  # [L, 3, C, C]
+        stacked["att.lora1"] = jnp.stack(
+            [stacked.pop(k) for k in _V7_FUSED_LORA1], axis=1
+        )  # [L, 4, d, C]
+        stacked["att.lora2"] = jnp.stack(
+            [stacked.pop(k) for k in _V7_FUSED_LORA2], axis=1
+        )  # [L, 4, C, d]
     return {
         "emb": params["emb"].astype(dtype),
         "ln0": params["ln0"],
@@ -105,6 +132,75 @@ def stack_layer_params(
         "head": _prepare_weight(params["head"], dtype, mode),
         "blocks": stacked,
     }
+
+
+def _att_v7_fused(layer, x, att_xx, heads, v_first, cfg, is_first, wkv_fn):
+    """v7 attention with batched fused projections (see stack_layer_params):
+    same math as graph.att_v7, 3 matmul kernels instead of 11."""
+    h, hs = cfg.head_count, cfg.head_size
+    lead, c = x.shape[:-1], x.shape[-1]
+    xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
+    x_prev = jnp.concatenate([att_xx[None], xl[:-1]], axis=0)
+    new_xx = xl[-1]
+    sx = x_prev - xl
+    coeff = layer["att.x_rwkvag"].reshape(6, *([1] * len(lead)), c)
+    xxx = xl[None] + sx[None] * coeff  # [6, ..., C]
+    xr, xw, xk, xv, xa, xg = (xxx[i] for i in range(6))
+
+    wd = layer["att.rkv.weight"]  # [3, C, C]
+    rkv_in = jnp.stack([xr, xk, xv]).reshape(3, -1, c)
+    rkv = jnp.einsum(
+        "pmc,pdc->pmd", rkv_in.astype(wd.dtype), wd,
+        preferred_element_type=jnp.float32,
+    )
+    r = rkv[0].reshape(*lead, c)
+    k = rkv[1].reshape(*lead, c)
+    v = rkv[2].reshape(*lead, c)
+
+    l1 = layer["att.lora1"]  # [4, d, C] (w1, a1, g1, v1)
+    lora_in = jnp.stack([xw, xa, xg, xv]).reshape(4, -1, c)
+    down = jnp.einsum(
+        "pmc,pdc->pmd", lora_in.astype(l1.dtype), l1,
+        preferred_element_type=jnp.float32,
+    )
+    act = jnp.stack(
+        [jnp.tanh(down[0]), down[1], jax.nn.sigmoid(down[2]), down[3]]
+    )
+    l2 = layer["att.lora2"]  # [4, C, d] (w2, a2, g2, v2)
+    up = jnp.einsum(
+        "pmd,pcd->pmc", act.astype(l2.dtype), l2,
+        preferred_element_type=jnp.float32,
+    )
+    w_l = up[0].reshape(*lead, c)
+    a_l = up[1].reshape(*lead, c)
+    g = up[2].reshape(*lead, c)
+    vmix_l = up[3].reshape(*lead, c)
+
+    w = jnp.exp(jax.nn.sigmoid(w_l + layer["att.w0"]) * jnp.float32(-0.606531))
+    a = jax.nn.sigmoid(a_l + layer["att.a0"])
+
+    kk = l2_normalize((k * layer["att.k_k"]).reshape(*lead, h, hs))
+    ka = k * layer["att.k_a"]
+    k = k + (a * ka - ka)
+
+    v_mixed = v + (v_first - v) * jax.nn.sigmoid(vmix_l + layer["att.v0"])
+    v_first = jnp.where(is_first, v, v_first)
+    v = jnp.where(is_first, v, v_mixed)
+
+    rh = r.reshape(*lead, h, hs)
+    wh = w.reshape(*lead, h, hs)
+    kh = k.reshape(*lead, h, hs)
+    vh = v.reshape(*lead, h, hs)
+    ah = a.reshape(*lead, h, hs)
+
+    y, heads = (wkv_fn or G.wkv7_scan)(heads, rh, wh, kh, vh, -kk, kk * ah)
+    xo = group_norm(
+        y.reshape(*lead, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"],
+        h, eps=64e-5,
+    )
+    bonus = (vh * jnp.sum(kh * rh * layer["att.r_k"], axis=-1, keepdims=True)).reshape(*lead, c)
+    xo = (xo + bonus) * g
+    return G.mm(xo, layer["att.output.weight"]), new_xx, heads, v_first
 
 
 def forward_stacked(
@@ -141,10 +237,15 @@ def forward_stacked(
             x, v_first = carry
             layer, att_xx, ffn_xx, heads, idx = inp
             if major == 7:
-                dx, att_xx, heads, v_first = G.att_v7(
-                    layer, x, att_xx, heads, v_first, cfg, is_first=(idx == 0),
-                    wkv_fn=wkv_fn,
-                )
+                if "att.rkv.weight" in layer:
+                    dx, att_xx, heads, v_first = _att_v7_fused(
+                        layer, x, att_xx, heads, v_first, cfg, (idx == 0), wkv_fn
+                    )
+                else:
+                    dx, att_xx, heads, v_first = G.att_v7(
+                        layer, x, att_xx, heads, v_first, cfg, is_first=(idx == 0),
+                        wkv_fn=wkv_fn,
+                    )
                 x = x + dx
                 dx, ffn_xx = G.ffn_v7(layer, x, ffn_xx)
             elif major == 6:

@@ -157,7 +157,7 @@ def main():
         ov = min(ov, time.perf_counter() - t0)
     print(f"sync overhead: {ov * 1e3:.1f} ms", flush=True)
 
-    for precision in ("w8a8",):
+    for precision in ("bf16", "w8a8"):
         t0 = time.perf_counter()
         params = synth_device(cfg, precision)
         jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])

@@ -197,3 +197,21 @@ def test_w8a8_interpret_matches_xla():
         jnp.asarray(x), w, interpret=True, int8_act=True))
     # int8 activations add ~1/127 relative error per element
     np.testing.assert_allclose(y, ref, rtol=0.1, atol=0.3)
+
+
+def test_serving_w8a8_quality_vs_f32():
+    """w8a8 (rowwise int8 weights + int8 activations) on a real tiny model:
+    logits must stay close to the f32 reference (XLA fallback path on CPU)."""
+    from rwkv_tpu.models.model import RWKVModel
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture("tiny-rwkv-5v2-730K-FP32.bin"))
+    ref = RWKVModel(path)
+    srv = ServingModel(path, precision="w8a8")
+    prompt = list(b"The quick brown fox")
+    rl, _ = ref.eval_sequence(prompt)
+    sl, _ = srv.prefill(prompt)
+    rl, sl = np.asarray(rl), np.asarray(sl)
+    # int8 weights + activations: small logit shifts, same top prediction
+    assert np.abs(sl - rl).max() < 1.0
+    assert np.argmax(sl) == np.argmax(rl)
