@@ -17,9 +17,13 @@ LANE-dim split, which Mosaic cannot relayout (same constraint hit by the
 quant kernels, solved there with transposed storage). The fix is to carry
 the attention operands TRANSPOSED through the kernel — produce r/k/v as
 [C, B] (sublane-major) from `W @ x^T`, split sublanes (C -> H, S), and run
-the wkv update in [H, S, ...] sublane layout. That redesign is the next
-step; until then serving keeps the per-op XLA path (which is within ~2x of
-the weight-bandwidth bound at 1.5B).
+the wkv update in [H, S, ...] sublane layout. Probes show that sequence
+COMPILES natively but SILENTLY MISCOMPUTES (transpose+sublane-split of a
+[1, C] vector returns wrong element order on hardware while interpret mode
+is correct) — so any Mosaic layout trick here must be numerics-verified on
+the chip, never assumed from a clean compile. Until the layout redesign
+lands, serving keeps the per-op XLA path (within ~2x of the
+weight-bandwidth bound at 1.5B).
 """
 
 from __future__ import annotations
