@@ -60,24 +60,33 @@ class PackedQuantWeight:
     # int8_act: quantize activations per row to int8 and run the matmul as
     # s8 x s8 -> s32 on the MXU (w8a8). Requires rowwise.
     int8_act: bool = False
+    # n: logical output dim. The stored out dim may be zero-padded up to a
+    # _TILE_N multiple at construction so ANY real vocab (e.g. Pile's 50277,
+    # reference tokenizer_util.py:20-26) stays on the Pallas kernel path;
+    # quant_matmul slices the output back to n. 0 means "not padded".
+    n: int = 0
 
     def tree_flatten(self):
         return (self.q, self.d, self.m), (
-            self.pack4, self.signed4, self.rowwise, self.int8_act,
+            self.pack4, self.signed4, self.rowwise, self.int8_act, self.n,
         )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         q, d, m = children
-        pack4, signed4, rowwise, int8_act = aux
+        pack4, signed4, rowwise, int8_act, n = aux
         return cls(q=q, d=d, m=m, pack4=pack4, signed4=signed4,
-                   rowwise=rowwise, int8_act=int8_act)
+                   rowwise=rowwise, int8_act=int8_act, n=n)
+
+    @property
+    def n_logical(self) -> int:
+        return self.n or self.q.shape[-1]
 
     @property
     def shape(self):
         """Logical (out, in) shape, matching Weight.shape convention."""
         k = self.q.shape[-2] * (2 if self.pack4 else 1)
-        return (self.q.shape[-1], k)
+        return (self.n_logical, k)
 
     @classmethod
     def from_weight(cls, w: Weight) -> "PackedQuantWeight":
@@ -86,14 +95,20 @@ class PackedQuantWeight:
         q_t = jnp.swapaxes(w.q.reshape(out, nb * QK), -1, -2)  # [in, out]
         d_t = jnp.swapaxes(w.d, -1, -2)  # [nb, out]
         m_t = None if w.m is None else jnp.swapaxes(w.m, -1, -2)
+        n_pad = _pad_n(out)
+        if n_pad:
+            q_t = jnp.pad(q_t, ((0, 0), (0, n_pad)))
+            d_t = jnp.pad(d_t, ((0, 0), (0, n_pad)))
+            m_t = None if m_t is None else jnp.pad(m_t, ((0, 0), (0, n_pad)))
         if w.fmt in ("Q4_0", "Q4_1"):
             signed = w.fmt == "Q4_0"
             q_np = np.asarray(q_t)
             lo = q_np[0::2].astype(np.uint8) & 0xF
             hi = (q_np[1::2].astype(np.uint8) & 0xF) << 4
             packed = (lo | hi).astype(np.int8)
-            return cls(q=jnp.asarray(packed), d=d_t, m=m_t, pack4=True, signed4=signed)
-        return cls(q=q_t, d=d_t, m=m_t)
+            return cls(q=jnp.asarray(packed), d=d_t, m=m_t, pack4=True,
+                       signed4=signed, n=out)
+        return cls(q=q_t, d=d_t, m=m_t, n=out)
 
 
 def _unpack4(q: jnp.ndarray, signed: bool) -> jnp.ndarray:
@@ -116,17 +131,26 @@ def _codes(w: PackedQuantWeight) -> jnp.ndarray:
 
 
 def dequant_weight(w: PackedQuantWeight, dtype=jnp.float32) -> jnp.ndarray:
-    """[in, out] dense dequantization (transposed orientation)."""
+    """[in, out] dense dequantization (transposed orientation; padding
+    columns sliced away)."""
     q = _codes(w)
     k, out = q.shape[-2:]
     lead = q.shape[:-2]
     if w.rowwise:
-        return (q.astype(jnp.float32) * w.d).astype(dtype)
-    nb = k // QK
-    arr = q.astype(jnp.float32).reshape(*lead, nb, QK, out) * w.d[..., :, None, :]
-    if w.m is not None:
-        arr = arr + w.m[..., :, None, :]
-    return arr.reshape(*lead, k, out).astype(dtype)
+        arr = q.astype(jnp.float32) * w.d
+    else:
+        nb = k // QK
+        arr = q.astype(jnp.float32).reshape(*lead, nb, QK, out) * w.d[..., :, None, :]
+        if w.m is not None:
+            arr = arr + w.m[..., :, None, :]
+        arr = arr.reshape(*lead, k, out)
+    return arr[..., : w.n_logical].astype(dtype)
+
+
+def _pad_n(out: int) -> int:
+    """Zero-columns to append so the stored out dim is a _TILE_N multiple
+    (keeps e.g. a 50277-vocab head on the Pallas kernel path)."""
+    return (-out) % _TILE_N
 
 
 def quantize_q8_serving(
@@ -138,25 +162,36 @@ def quantize_q8_serving(
     arr = np.asarray(arr, dtype=np.float32)
     out, k = arr.shape
     assert k % QK == 0
+    n_pad = _pad_n(out)
     if rowwise:
         amax = np.abs(arr).max(axis=-1)                     # [out]
         d = amax / 127.0
         inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
         q = np.clip(np.rint(arr * inv[:, None]), -127, 127).astype(np.int8)
+        if n_pad:
+            q = np.pad(q, ((0, n_pad), (0, 0)))
+            d = np.pad(d, (0, n_pad))
         return PackedQuantWeight(
             q=jnp.asarray(np.ascontiguousarray(q.T)),
-            d=jnp.asarray(d.astype(np.float32).reshape(1, out)),
+            d=jnp.asarray(d.astype(np.float32).reshape(1, out + n_pad)),
             rowwise=True,
             int8_act=int8_act,
+            n=out,
         )
     blocks = arr.reshape(out, k // QK, QK)
     amax = np.abs(blocks).max(axis=-1)
     d = amax / 127.0
     inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
     q = np.clip(np.rint(blocks * inv[..., None]), -127, 127).astype(np.int8)
+    q = q.reshape(out, k)
+    d = d.astype(np.float32)
+    if n_pad:
+        q = np.pad(q, ((0, n_pad), (0, 0)))
+        d = np.pad(d, ((0, n_pad), (0, 0)))
     return PackedQuantWeight(
-        q=jnp.asarray(np.ascontiguousarray(q.reshape(out, k).T)),
-        d=jnp.asarray(np.ascontiguousarray(d.astype(np.float32).T)),
+        q=jnp.asarray(np.ascontiguousarray(q.T)),
+        d=jnp.asarray(np.ascontiguousarray(d.T)),
+        n=out,
     )
 
 
@@ -358,7 +393,8 @@ def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = No
     """
     lead = x.shape[:-1]
     k = x.shape[-1]
-    n = w.q.shape[-1]
+    n = w.q.shape[-1]          # stored (possibly padded) out dim
+    n_out = w.n_logical
     x2 = x.reshape(-1, k).astype(jnp.float32)
 
     mode = force
@@ -377,4 +413,6 @@ def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = No
             x2, w, interpret=(mode == "interpret"),
             int8_act=(mode == "w8a8" or (w.int8_act and mode == "pallas")),
         )
-    return out.reshape(*lead, n)
+        if n_out != n:
+            out = out[:, :n_out]
+    return out.reshape(*lead, n_out)
