@@ -296,6 +296,7 @@ class ServingModel:
         source,
         precision: str = "bf16",
         params_cfg: Optional[tuple] = None,
+        mesh=None,
     ):
         if isinstance(source, str):
             cfg, params = load_params(source)
@@ -309,14 +310,32 @@ class ServingModel:
                 "q8": "q8", "q8r": "q8r", "w8a8": "w8a8"}[precision]
         self.precision = precision
         self.params = stack_layer_params(params, cfg, dtype, mode)
+        # mesh: a jax.sharding.Mesh with ("data", "model") axes. Weights are
+        # TP-sharded over `model` (Megatron col/row pairing one level into
+        # the stacked [L, ...] pytree), state over `data` x `model`(heads).
+        # Quantized matmuls trace in XLA mode under a mesh — GSPMD cannot
+        # partition a pallas_call, but it shards the int8 dequant+dot fine.
+        self.mesh = mesh
+        self._mm_force = None
+        if mesh is not None:
+            from rwkv_tpu.parallel.sharding import shard_serving_params
+
+            self.params = shard_serving_params(self.params, cfg, mesh)
+            if precision in ("quant", "q8", "q8r", "w8a8"):
+                self._mm_force = "xla"
         self._jit_cache: dict[Any, Any] = {}
 
     # -- state -------------------------------------------------------------
     def init_state(self, batch_size: int = 1) -> dict:
         one = init_state(self.config)
-        return jax.tree.map(
+        state = jax.tree.map(
             lambda a: jnp.broadcast_to(a[None], (batch_size,) + a.shape), one
         )
+        if self.mesh is not None:
+            from rwkv_tpu.parallel.sharding import shard_serving_state
+
+            state = shard_serving_state(state, self.mesh)
+        return state
 
     # -- compiled steps ----------------------------------------------------
     def _batched_fn(self, t: int, compute_logits: bool):
@@ -324,13 +343,20 @@ class ServingModel:
         if key not in self._jit_cache:
             cfg = self.config
 
+            mm_force = self._mm_force
+
             @jax.jit
             def run(params, state, tokens):  # tokens [B, t]; state [B, L, ...]
-                state_lb = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
-                logits, new_lb = forward_stacked(
-                    params, state_lb, tokens.T, cfg, compute_logits
-                )
-                new_state = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), new_lb)
+                from rwkv_tpu.ops.kernels import force_mode
+
+                with force_mode(mm_force):  # applies at trace time
+                    state_lb = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+                    logits, new_lb = forward_stacked(
+                        params, state_lb, tokens.T, cfg, compute_logits
+                    )
+                    new_state = jax.tree.map(
+                        lambda a: jnp.swapaxes(a, 0, 1), new_lb
+                    )
                 return logits, new_state
 
             self._jit_cache[key] = run
@@ -366,8 +392,14 @@ class ServingModel:
         if key not in self._jit_cache:
             cfg = self.config
 
+            mm_force = self._mm_force
+
             @partial(jax.jit, static_argnames=())
             def run(params, state, logits, rng, temperature):
+                from rwkv_tpu.ops.kernels import force_mode
+
+                force_ctx = force_mode(mm_force)
+                force_ctx.__enter__()  # trace-time; spans the scan trace below
                 state = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
 
                 def step(carry, _):
@@ -387,6 +419,7 @@ class ServingModel:
                     step, (state, logits, rng), None, length=n_tokens
                 )
                 state = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+                force_ctx.__exit__(None, None, None)
                 return toks.T, logits, state  # [B, n_tokens]
 
             self._jit_cache[key] = run

@@ -376,12 +376,52 @@ def _pallas_quant_matmul(
 
 
 def _xla_quant_matmul(x: jnp.ndarray, w: PackedQuantWeight) -> jnp.ndarray:
+    if w.int8_act and w.rowwise:
+        return _xla_w8a8_matmul(x, w)
     return jnp.matmul(x, dequant_weight(w))
+
+
+def _xla_w8a8_matmul(x: jnp.ndarray, w: PackedQuantWeight) -> jnp.ndarray:
+    """w8a8 semantics in plain XLA ops (same math as _kernel_w8a8, so the
+    two paths agree bit-for-bit). Integer accumulation is associative, so a
+    GSPMD K-sharded execution psums exact int32 partials — this is the
+    serving precision whose TP logits are bit-identical to 1-chip."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    dx = amax / 127.0
+    inv = jnp.where(dx > 0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+    x8 = jnp.clip(jnp.rint(x * inv), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        x8, w.q,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = acc.astype(jnp.float32) * dx.astype(jnp.float32) * w.d
+    return y[:, : w.n_logical]
 
 
 def _kernel_ok(k: int, n: int, pack4: bool = False) -> bool:
     k_eff = k // 2 if pack4 else k
     return k_eff % 128 == 0 and n % _TILE_N == 0 and k <= _MAX_K
+
+
+# Trace-time mode override for quant_matmul (read during jit tracing).
+# GSPMD cannot partition a pallas_call, so TP-sharded serving traces under
+# force_mode("xla"): weights stay int8 in HBM, the dequant+dot is plain XLA
+# ops that the partitioner shards like any matmul.
+_FORCED_MODE: list = [None]
+
+
+class force_mode:
+    """Context manager: quant_matmul calls traced inside use this mode."""
+
+    def __init__(self, mode: Optional[str]):
+        self.mode = mode
+
+    def __enter__(self):
+        _FORCED_MODE.append(self.mode)
+
+    def __exit__(self, *exc):
+        _FORCED_MODE.pop()
 
 
 def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = None):
@@ -397,7 +437,7 @@ def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = No
     n_out = w.n_logical
     x2 = x.reshape(-1, k).astype(jnp.float32)
 
-    mode = force
+    mode = force if force is not None else _FORCED_MODE[-1]
     if mode is None:
         on_tpu = jax.default_backend() == "tpu"
         mode = "pallas" if (on_tpu and _kernel_ok(k, n, w.pack4)) else "xla"

@@ -471,6 +471,196 @@ def probe_dma():
         report("dma", False, f"{type(e).__name__}: {str(e)[:200]}")
 
 
+# ------------------------------------------------------------ 9. dmaonly
+def probe_dmaonly():
+    """Pure HBM->VMEM DMA bandwidth ceiling: stream int8 tiles, touch
+    nothing but a tiny reduction per tile so nothing is elided."""
+    OUT, K, TO = F, C, 1024
+    NT = OUT // TO
+    rs = np.random.RandomState(11)
+
+    def kern(q_hbm, o_ref, buf, sem):
+        def get(slot, t):
+            return pltpu.make_async_copy(
+                q_hbm.at[pl.ds(t * TO, TO), :], buf.at[slot], sem.at[slot]
+            )
+
+        get(0, 0).start()
+
+        def body(t, acc):
+            slot = jax.lax.rem(t, 2)
+            nxt = jax.lax.rem(t + 1, 2)
+
+            @pl.when(t + 1 < NT)
+            def _():
+                get(nxt, t + 1).start()
+
+            get(slot, t).wait()
+            # touch 8 sublanes only: negligible compute
+            return acc + jnp.sum(buf[slot][0:8, 0:128].astype(jnp.float32))
+
+        acc = jax.lax.fori_loop(0, NT, body, jnp.float32(0.0))
+        o_ref[0, 0] = acc
+
+    fn = pl.pallas_call(
+        kern,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, TO, K), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    L = 24
+    wbig = jnp.asarray(rs.randint(-127, 128, (L, OUT, K), dtype=np.int8))
+    reps = 50
+
+    @jax.jit
+    def chain(wbig):
+        def rep(i, acc):
+            def layer(a, q):
+                return a + fn(q)[0, 0], 0
+            a, _ = jax.lax.scan(layer, acc, wbig)
+            return a
+        return jax.lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+
+    sync(chain(wbig))
+    null = _null_overhead()
+    t0 = time.perf_counter()
+    sync(chain(wbig))
+    dt = (time.perf_counter() - t0 - null) / reps
+    gb = L * OUT * K / 1e9
+    report("dmaonly", True, f"bw={gb/dt:.0f}GB/s t={dt*1e3:.2f}ms")
+
+
+# ------------------------------------------------------------ 10. matvec8
+def probe_matvec8():
+    """w8a8 streamed matvec: s8 weights x s8 activations -> s32 on MXU,
+    no int->float convert of the weight stream; scale applied per row."""
+    OUT, K, TO = F, C, 1024
+    rs = np.random.RandomState(12)
+    wq = rs.randint(-127, 128, (OUT, K), dtype=np.int8)
+    d = (rs.rand(OUT, 1).astype(np.float32) + 0.5) / 127.0
+    xq = rs.randint(-127, 128, (K, 1), dtype=np.int8)
+    xs = np.float32(0.013)
+
+    def kern(x_ref, q_ref, d_ref, o_ref):
+        acc = jax.lax.dot_general(
+            q_ref[:], x_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        o_ref[:] = acc.astype(jnp.float32) * d_ref[:]
+
+    fn = pl.pallas_call(
+        kern,
+        grid=(OUT // TO,),
+        in_specs=[
+            pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TO, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((OUT, 1), jnp.float32),
+    )
+    try:
+        out = jax.jit(fn)(jnp.asarray(xq), jnp.asarray(wq), jnp.asarray(d))
+        want = (wq.astype(np.float32) @ xq.astype(np.float32)) * d
+        err = float(np.abs(np.asarray(out) - want).max() / (np.abs(want).max() + 1e-9))
+        ok = err < 1e-6
+
+        L = 24
+        wbig = jnp.asarray(rs.randint(-127, 128, (L, OUT, K), dtype=np.int8))
+        dbig = jnp.asarray((rs.rand(L, OUT, 1).astype(np.float32) + 0.5) / 127.0)
+        reps = 50
+
+        @jax.jit
+        def chain(x, wbig, dbig):
+            def layer(x, inp):
+                q, dd = inp
+                y = fn(x, q, dd)
+                xn = jnp.clip(y[:K] * 1e-2, -127, 127).astype(jnp.int8)
+                return xn, jnp.sum(y)
+
+            def rep(i, carry):
+                x, acc = carry
+                x2, ys = jax.lax.scan(layer, x, (wbig, dbig))
+                return x2, acc + jnp.sum(ys)
+
+            _, acc = jax.lax.fori_loop(0, reps, rep, (jnp.asarray(x), jnp.float32(0.0)))
+            return acc
+
+        sync(chain(xq, wbig, dbig))
+        null = _null_overhead()
+        t0 = time.perf_counter()
+        sync(chain(xq, wbig, dbig))
+        dt = (time.perf_counter() - t0 - null) / reps
+        gb = L * OUT * K / 1e9
+        report("matvec8", ok, f"relerr={err:.2e} bw={gb/dt:.0f}GB/s t={dt*1e3:.2f}ms")
+    except Exception as e:
+        report("matvec8", False, f"{type(e).__name__}: {str(e)[:200]}")
+
+
+# ----------------------------------------------------------- 11. matvecbf
+def probe_matvecbf():
+    """bf16 streamed matvec bandwidth (2 bytes/weight, no convert)."""
+    OUT, K, TO = F, C, 1024
+    rs = np.random.RandomState(13)
+    w = (rs.randn(OUT, K) * 0.05).astype(np.float32)
+    x = rs.randn(K, 1).astype(np.float32) * 0.1
+
+    def kern(x_ref, w_ref, o_ref):
+        o_ref[:] = jax.lax.dot_general(
+            w_ref[:], x_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    fn = pl.pallas_call(
+        kern,
+        grid=(OUT // TO,),
+        in_specs=[
+            pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TO, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TO, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((OUT, 1), jnp.float32),
+    )
+    wb = jnp.asarray(w, jnp.bfloat16)
+    xb = jnp.asarray(x, jnp.bfloat16)
+    out = jax.jit(fn)(xb, wb)
+    want = w @ x
+    err = float(np.abs(np.asarray(out) - want).max() / (np.abs(want).max() + 1e-9))
+    ok = err < 2e-2
+
+    L = 24
+    wbig = jnp.asarray(rs.randn(L, OUT, K).astype(np.float32) * 0.05, jnp.bfloat16)
+    reps = 50
+
+    @jax.jit
+    def chain(x, wbig):
+        def layer(x, q):
+            y = fn(x, q)
+            return y[:K].astype(jnp.bfloat16) * jnp.bfloat16(1e-3), jnp.sum(y)
+
+        def rep(i, carry):
+            x, acc = carry
+            x2, ys = jax.lax.scan(layer, x, wbig)
+            return x2, acc + jnp.sum(ys)
+
+        _, acc = jax.lax.fori_loop(0, reps, rep, (x, jnp.float32(0.0)))
+        return acc
+
+    sync(chain(xb, wbig))
+    null = _null_overhead()
+    t0 = time.perf_counter()
+    sync(chain(xb, wbig))
+    dt = (time.perf_counter() - t0 - null) / reps
+    gb = L * OUT * K * 2 / 1e9
+    report("matvecbf", ok, f"relerr={err:.2e} bw={gb/dt:.0f}GB/s t={dt*1e3:.2f}ms")
+
+
 PROBES = {
     "vmem": probe_vmem,
     "merge": probe_merge,
@@ -482,6 +672,9 @@ PROBES = {
     "wkv7": probe_wkv7,
     "matvec": probe_matvec,
     "dma": probe_dma,
+    "dmaonly": probe_dmaonly,
+    "matvec8": probe_matvec8,
+    "matvecbf": probe_matvecbf,
 }
 
 

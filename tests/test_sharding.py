@@ -79,6 +79,89 @@ def test_dp_batched_decode_sharded(eight_devices):
     )
 
 
+def _synth_serving(precision, mesh=None):
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=256, n_vocab=512, head_size=32)
+    params = synth_params(cfg, seed=0, lora_dim=32)
+    return ServingModel((cfg, params), precision=precision, mesh=mesh)
+
+
+@pytest.mark.parametrize("precision,tol", [("f32", 1e-5), ("q8", 1e-5)])
+def test_tp_serving_matches_unsharded(eight_devices, precision, tol):
+    """The THROUGHPUT engine (stacked [L, ...] params, incl. quantized
+    PackedQuantWeight leaves) under a (data=2, model=4) mesh must match
+    1-device execution — round-1 VERDICT missing #2."""
+    from rwkv_tpu.parallel.sharding import make_mesh
+
+    ref = _synth_serving(precision)
+    tp = _synth_serving(precision, mesh=make_mesh(2, 4, devices=eight_devices))
+
+    batch = 4
+    tokens = np.arange(batch, dtype=np.int32) + 3
+    logits_ref, st_ref = ref.decode(tokens, ref.init_state(batch))
+    logits_tp, st_tp = tp.decode(tokens, tp.init_state(batch))
+    scale = np.abs(np.asarray(logits_ref)).max()
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_ref),
+        rtol=tol, atol=tol * max(scale, 1.0),
+    )
+    np.testing.assert_allclose(
+        np.asarray(st_tp["heads"]), np.asarray(st_ref["heads"]),
+        rtol=1e-4, atol=1e-4,
+    )
+
+
+def test_tp_serving_w8a8_bitexact(eight_devices):
+    """w8a8 accumulates in int32 — associative — so TP logits must be
+    BIT-IDENTICAL to 1-device (SURVEY §4's cross-topology equality bar)."""
+    from rwkv_tpu.parallel.sharding import make_mesh
+
+    ref = _synth_serving("w8a8")
+    tp = _synth_serving("w8a8", mesh=make_mesh(2, 4, devices=eight_devices))
+
+    batch = 4
+    tokens = np.arange(batch, dtype=np.int32) + 3
+    logits_ref, _ = ref.decode(tokens, ref.init_state(batch))
+    logits_tp, _ = tp.decode(tokens, tp.init_state(batch))
+    assert np.array_equal(np.asarray(logits_tp), np.asarray(logits_ref))
+
+
+def test_tp_serving_prefill_fixture(eight_devices):
+    """TP serving prefill on a real tiny fixture (single head — exercises
+    the degenerate-but-legal head sharding config tp | H via replication
+    fallback is NOT used; instead use model axis 1)."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.parallel.sharding import make_mesh
+
+    path = str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin"))
+    ref = ServingModel(path, precision="f32")
+    # tiny model: C=64; use model=2 (divides head dims of every projection).
+    tp = ServingModel(path, precision="f32",
+                      mesh=make_mesh(4, 2, devices=eight_devices))
+    toks = [34, 105, 110]
+    logits_ref, _ = ref.prefill(toks)
+    logits_tp, _ = tp.prefill(toks)
+    np.testing.assert_allclose(
+        np.asarray(logits_tp), np.asarray(logits_ref), rtol=1e-5, atol=1e-4
+    )
+
+
+def test_tp_serving_batcher(eight_devices):
+    """ContinuousBatcher drives a TP-sharded ServingModel end to end."""
+    from rwkv_tpu.parallel.batching import ContinuousBatcher
+    from rwkv_tpu.parallel.sharding import make_mesh
+
+    model = _synth_serving("f32", mesh=make_mesh(2, 4, devices=eight_devices))
+    batcher = ContinuousBatcher(model, max_batch=4)
+    rids = [batcher.submit([1, 2, 3], max_new_tokens=4, temperature=0.0)
+            for _ in range(3)]
+    done = batcher.run()
+    assert set(rids) <= set(done)
+    assert all(len(done[r].generated) == 4 for r in rids)
+
+
 def test_dryrun_multichip_entrypoint(eight_devices):
     import __graft_entry__
 
