@@ -2,8 +2,15 @@
 presence & frequency penalties (capability surface of the reference's
 python/sampling.py and chat front-end penalties, chat_with_bot.py).
 
-Accepts numpy or JAX arrays; all math in numpy f32 on host (sampling is a
-per-token host-side decision; the TPU produces the logits)."""
+Two implementations of the same semantics:
+- numpy host-side (`sample_logits`/`sample_probs`) for per-token decisions;
+- jittable batched device-side (`device_sample`, `device_penalized_logits`)
+  for the continuous batcher's on-device decode loop, where a host
+  round-trip per token would cost more than the decode step itself.
+
+The reference applies temperature to PROBABILITIES after the nucleus filter
+(probs ** (1/T), sampling.py:42-50) — both paths reproduce that, not the
+more common logits/T."""
 
 from __future__ import annotations
 
@@ -82,6 +89,57 @@ def sample_probs(
     probs /= probs.sum()
     rng = rng if rng is not None else np.random.default_rng()
     return int(rng.choice(probs.size, p=probs))
+
+
+def device_penalized_logits(logits, counts, presence, frequency):
+    """Batched jittable presence/frequency penalties.
+
+    logits [B, V] f32; counts [B, V] (per-sequence emitted-token counts);
+    presence/frequency [B]. Same math as apply_penalties."""
+    import jax.numpy as jnp
+
+    return (
+        logits
+        - (counts > 0).astype(jnp.float32) * presence[:, None]
+        - counts.astype(jnp.float32) * frequency[:, None]
+    )
+
+
+def device_sample(logits, temperature, top_p, key, top_k: int = 0):
+    """Batched jittable sampler matching sample_probs' semantics.
+
+    logits [B, V]; temperature/top_p [B] (top_p 0 disables nucleus
+    filtering, temperature 0 = argmax, both per row); key a PRNG key.
+    top_k is STATIC: 0 = exact full-vocab nucleus sort; k > 0 restricts the
+    nucleus to the k most probable tokens first (exact whenever the nucleus
+    fits in k; bounds the per-step sort cost to k on large vocabs).
+    Returns int32 tokens [B].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    v = logits.shape[-1]
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    if top_k and top_k < v:
+        kth = jax.lax.top_k(probs, top_k)[0][:, -1:]
+        probs = jnp.where(probs < kth, 0.0, probs)
+
+    top_p_eff = jnp.where(top_p == 0.0, 1.0, top_p)[:, None]
+    sorted_desc = jnp.flip(jnp.sort(probs, axis=-1), axis=-1)
+    exceeded = jnp.cumsum(sorted_desc, axis=-1) > top_p_eff
+    cut_idx = jnp.argmax(exceeded, axis=-1)  # first True (0 if none)
+    cutoff = jnp.take_along_axis(sorted_desc, cut_idx[:, None], axis=-1)
+    cutoff = jnp.where(top_p_eff >= 1.0, -1.0, cutoff)
+    probs = jnp.where(probs < cutoff, 0.0, probs)
+
+    # temperature on probabilities (reference semantics), in log space for
+    # categorical(): log(p^(1/T)) = log(p)/T; zeroed entries -> -inf.
+    safe_t = jnp.maximum(temperature, 1e-6)[:, None]
+    logp = jnp.where(probs > 0.0, jnp.log(jnp.maximum(probs, 1e-38)), -jnp.inf)
+    sampled = jax.random.categorical(key, logp / safe_t, axis=-1).astype(jnp.int32)
+    return jnp.where(temperature <= 0.0, greedy, sampled)
 
 
 def apply_penalties(

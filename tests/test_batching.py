@@ -61,6 +61,60 @@ def srv_state_expand(srv, state):
     return state
 
 
+def test_device_loop_matches_host_loop(srv):
+    """The on-device multi-step loop (sampling + penalties + stop logic in
+    one jitted scan) must produce exactly the host per-token path's tokens
+    under greedy decoding with penalties active."""
+    from rwkv_tpu.parallel.batching import ContinuousBatcher
+
+    prompts = [list(b"Once upon"), list(b"The quick"), list(b"xy")]
+    kwargs = dict(
+        max_new_tokens=7, temperature=0.0,
+        presence_penalty=0.4, frequency_penalty=0.25,
+    )
+
+    host = ContinuousBatcher(srv, max_batch=2, sync_every=3)
+    rids_h = [host.submit(p, **kwargs) for p in prompts]
+    res_h = host.run(on_device=False)
+
+    dev = ContinuousBatcher(srv, max_batch=2, sync_every=3)
+    rids_d = [dev.submit(p, **kwargs) for p in prompts]
+    res_d = dev.run(on_device=True)
+
+    for rh, rd in zip(rids_h, rids_d):
+        assert res_d[rd].generated == res_h[rh].generated
+
+
+def test_device_sampler_matches_host_sampler():
+    """device_sample must agree with sample_probs' filtering: with top_p
+    masking most of the vocab, both must only ever emit nucleus tokens."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkv_tpu.utils.sampling import device_sample, softmax
+
+    rng = np.random.default_rng(3)
+    logits = rng.standard_normal((4, 64)).astype(np.float32) * 3
+    probs = softmax(logits)
+    top_p = 0.6
+    # host nucleus per row
+    nuclei = []
+    for r in range(4):
+        sp = np.sort(probs[r])[::-1]
+        cut = sp[int(np.argmax(np.cumsum(sp) > top_p))]
+        nuclei.append(set(np.nonzero(probs[r] >= cut)[0].tolist()))
+
+    toks = device_sample(
+        jnp.asarray(logits),
+        jnp.full((4,), 0.9, jnp.float32),
+        jnp.full((4,), top_p, jnp.float32),
+        jax.random.PRNGKey(0),
+        top_k=0,
+    )
+    for r, t in enumerate(np.asarray(toks)):
+        assert int(t) in nuclei[r]
+
+
 def test_stop_tokens_and_slot_reuse(srv):
     from rwkv_tpu.parallel.batching import ContinuousBatcher
 
