@@ -297,6 +297,7 @@ class ServingModel:
         precision: str = "bf16",
         params_cfg: Optional[tuple] = None,
         mesh=None,
+        megakernel: bool = False,
     ):
         if isinstance(source, str):
             cfg, params = load_params(source)
@@ -323,6 +324,20 @@ class ServingModel:
             self.params = shard_serving_params(self.params, cfg, mesh)
             if precision in ("quant", "q8", "q8r", "w8a8"):
                 self._mm_force = "xla"
+        # Whole-model Pallas decode kernel (B=1, v7, single chip): one
+        # pallas_call for all layers, weights double-buffered per layer.
+        self._mega = None
+        if megakernel:
+            if cfg.version_major != 7 or mesh is not None:
+                raise ValueError(
+                    "megakernel supports single-chip RWKV v7 decode only"
+                )
+            from rwkv_tpu.ops.megakernel import build_mega_pack
+
+            self._mega = build_mega_pack(
+                params, cfg,
+                quant=precision in ("quant", "q8", "q8r", "w8a8"),
+            )
         self._jit_cache: dict[Any, Any] = {}
 
     # -- state -------------------------------------------------------------
@@ -362,9 +377,56 @@ class ServingModel:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _mega_fn(self):
+        key = ("mega",)
+        if key not in self._jit_cache:
+            cfg = self.config
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel import v7_decode_megakernel
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            # static kernel config vs traced arrays: jit must not trace the
+            # pack's python scalars (they select slices/kernels)
+            meta = {
+                k: self._mega[k] for k in ("quant", "d_lora", "f_dim")
+            }
+
+            @jax.jit
+            def run(params, pack_arrs, state, token):  # state [1, L, ...]
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][token[0]].astype(jnp.float32), *params["ln0"]
+                )
+                state_t = {
+                    "att_xx": state["att_xx"][0][..., None],
+                    "ffn_xx": state["ffn_xx"][0][..., None],
+                    "heads": jnp.swapaxes(state["heads"][0], -1, -2),
+                }
+                y, new_t = v7_decode_megakernel(
+                    pack, state_t, x0[:, None], cfg, interpret=interpret
+                )
+                xo = p_ln(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])
+                new_state = {
+                    "att_xx": new_t["att_xx"][None, ..., 0],
+                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
+                    "heads": jnp.swapaxes(new_t["heads"], -1, -2)[None],
+                }
+                return logits, new_state
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
     def decode(self, tokens, state):
-        """One decode step for a batch: tokens [B] -> (logits [B, V], state)."""
+        """One decode step for a batch: tokens [B] -> (logits [B, V], state).
+        With megakernel=True and B=1, runs the whole-model Pallas kernel."""
         tokens = jnp.asarray(tokens, jnp.int32).reshape(-1, 1)
+        if self._mega is not None and tokens.shape[0] == 1:
+            arrs = {
+                k: v for k, v in self._mega.items()
+                if k not in ("quant", "d_lora", "f_dim")
+            }
+            return self._mega_fn()(self.params, arrs, state, tokens[:, 0])
         return self._batched_fn(1, True)(self.params, state, tokens)
 
     def prefill(self, tokens: Sequence[int], state: Optional[dict] = None,

@@ -1,246 +1,380 @@
-"""Experimental: whole-layer Pallas decode kernel for RWKV v7 (T=1).
+"""Whole-model Pallas decode kernel for RWKV v7 (T=1, B=1).
 
-Motivation (measured, see docs/STATUS.md): the 1.5B decode step spends
-~1.7 ms on per-op overhead — each of the ~10 ops per layer is its own XLA
-kernel launch with its own HBM round trips for activations. This kernel
-executes an ENTIRE v7 layer (ln1, token shift, six-way mix, fused r/k/v,
-LoRA gates, wkv7 state update, group norm, bonus, gate, output projection,
-ln2 + relu^2 FFN) in ONE pallas_call: weights stream HBM->VMEM once,
-activations never leave VMEM.
+Replaces the ~10 XLA kernels per layer of the decode step (reference hot
+loop: rwkv_eval.inc:198-202 — per layer: norms, token-shift mixes, r/k/v +
+LoRA mul_mats, wkv7 recurrence, group norm, gate, output mul_mat, FFN) with
+ONE pallas_call for all L layers:
 
-Decode-only (T=1), dense bf16 weights, batch padded to 8 rows.
+- the grid is over LAYERS; each grid step's weight blocks are auto
+  double-buffered by the Pallas pipeline, so layer i+1's weights stream
+  HBM->VMEM while layer i computes — the step runs at the weight-stream
+  rate instead of sum(per-op launch + activation round trips);
+- activations live in VMEM scratch for the entire depth; per-layer
+  recurrent state (token-shift vectors, wkv S x S heads) is blocked I/O.
 
-STATUS: EXPERIMENTAL. Validated against the reference layer math in
-interpreter mode (tests/test_megakernel.py). Native Mosaic compilation
-currently fails at the matmul->wkv boundary: `[B, C] -> [B*H, S]` is a
-LANE-dim split, which Mosaic cannot relayout (same constraint hit by the
-quant kernels, solved there with transposed storage). The fix is to carry
-the attention operands TRANSPOSED through the kernel — produce r/k/v as
-[C, B] (sublane-major) from `W @ x^T`, split sublanes (C -> H, S), and run
-the wkv update in [H, S, ...] sublane layout. Probes show that sequence
-COMPILES natively but SILENTLY MISCOMPUTES (transpose+sublane-split of a
-[1, C] vector returns wrong element order on hardware while interpret mode
-is correct) — so any Mosaic layout trick here must be numerics-verified on
-the chip, never assumed from a clean compile. Until the layout redesign
-lands, serving keeps the per-op XLA path (within ~2x of the
-weight-bandwidth bound at 1.5B).
+Layout (the round-1 lesson, docs/STATUS.md): Mosaic cannot split the LANE
+dim, and some relayouts compile but silently miscompute. Everything here is
+carried TRANSPOSED — activations are [C, 1] columns (C on sublanes), heads
+split C -> (H, S) on sublanes, and the wkv state is [H, S_j, S_i]
+(key-dim j on sublanes). Every primitive this kernel relies on was
+numerics-verified ON CHIP first (scripts/probe_megakernel2.py: split /
+eye / wkv7 / matvec8 probes).
+
+Weights are streamed in the probes' verified orientation W[N, K] (output
+rows on sublanes): 'mega8' packs int8 codes with per-row scales and runs
+s8 x s8 -> s32 on the MXU (the fastest measured matvec stream: ~405 GB/s
+vs ~318 GB/s for int8->bf16 convert and ~493 GB/s for 2-byte bf16);
+'megabf16' streams bf16.
+
+wkv7 recurrence per head (reference rwkv_operators_wkv_v7.inc:61-101), in
+the transposed state: S'[j,i] = S[j,i]*w[j] + k[j]*v[i] + (sum_j' a[j']
+S[j',i]) * b[j]; out[i] = sum_j S'[j,i]*r[j].
 """
 
 from __future__ import annotations
 
 from functools import partial
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def _layer_kernel(
-    # activations
-    x_ref,            # [B, C] f32
-    att_xx_ref,       # [B, C] f32 (previous token's ln1 output)
-    ffn_xx_ref,       # [B, C] f32
-    heads_ref,        # [B*H, S, S] f32 wkv state (flattened batch*heads)
-    v_first_ref,      # [B, C] f32
-    is_first_ref,     # [1, 1] int32 (1 for layer 0)
-    # weights (bf16 unless noted)
-    ln1_w_ref, ln1_b_ref, ln2_w_ref, ln2_b_ref,          # [1, C] f32
-    coeff_ref,                                            # [6, C] f32
-    rkv_w_ref,                                            # [3*C, C]
-    lora1_ref,                                            # [4*D, C]
-    lora2_ref,                                            # [4*C, D]
-    w0_ref, a0_ref, v0_ref, kk_ref, ka_ref,               # [1, C] f32
-    rk_ref,                                               # [H, S] f32
-    lnx_w_ref, lnx_b_ref,                                 # [1, C] f32
-    out_w_ref,                                            # [C, C]
-    xk_ref,                                               # [1, C] f32 (ffn.x_k)
-    fk_w_ref,                                             # [F, C]
-    fv_w_ref,                                             # [C, F]
-    # outputs
-    y_ref,            # [B, C] f32 (new x)
-    new_att_xx_ref,   # [B, C]
-    new_ffn_xx_ref,   # [B, C]
-    new_heads_ref,    # [B*H, S, S]
-    new_v_first_ref,  # [B, C]
-    *, n_heads: int, head_size: int, lora_dim: int,
-):
-    b, c = x_ref.shape
-    h, s, d = n_heads, head_size, lora_dim
+# ---------------------------------------------------------------------------
+# Parameter pack
+# ---------------------------------------------------------------------------
 
-    def ln(v, w, bias, eps):
-        mu = jnp.mean(v, axis=-1, keepdims=True)
-        vc = v - mu
-        var = jnp.mean(vc * vc, axis=-1, keepdims=True)
-        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + bias
+_VEC_KEYS = (
+    "ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+    "att.w0", "att.a0", "att.v0", "att.k_k", "att.k_a",
+    "att.ln_x.weight", "att.ln_x.bias", "ffn.x_k",
+)
+_MAT_KEYS = ("rkv", "lora1", "lora2", "out", "fk", "fv")
 
-    def mmat(act, w_t):  # act [B, K] f32, w_t [N, K] -> [B, N] f32
+
+def _np_dense(w) -> np.ndarray:
+    """Weight leaf -> dense [out, in] numpy f32 (host-side, no device ops —
+    a 1.5B f32 densification must not transit HBM)."""
+    from rwkv_tpu.ops.parity import Weight
+
+    if isinstance(w, Weight):
+        if w.kind == "dense":
+            return np.asarray(w.w, np.float32)
+        arr = np.asarray(w.q, np.float32) * np.asarray(w.d, np.float32)[..., None]
+        if w.m is not None:
+            arr = arr + np.asarray(w.m, np.float32)[..., None]
+        return arr.reshape(arr.shape[0], -1)
+    return np.asarray(w, np.float32)
+
+
+_V7_RKV = ("att.receptance.weight", "att.key.weight", "att.value.weight")
+_V7_L1 = ("att.w1", "att.a1", "att.g1", "att.v1")
+_V7_L2 = ("att.w2", "att.a2", "att.g2", "att.v2")
+
+
+def build_mega_pack(params: dict, cfg, quant: bool = True) -> dict:
+    """Build the megakernel's parameter pack from a LOADED parameter pytree
+    (loader.load_params output: per-layer list of dicts with Weight leaves).
+
+    Matrices are stored [L, N, K] (int8 with [L, N, 1] row scales if quant,
+    else bf16); vectors as [L, C, 1] f32 columns. Stacking and quantization
+    happen on host in numpy — the pack is the only thing that lands on
+    device."""
+    c = cfg.n_embed
+    h, s = cfg.head_count, cfg.head_size
+    blocks = [dict(b) for b in params["blocks"]]
+    n_layer = len(blocks)
+    # layer 0 has no v0/v1/v2 (selected away by the i==0 branch)
+    if n_layer > 1:
+        for key in ("att.v0", "att.v1", "att.v2"):
+            if key not in blocks[0]:
+                blocks[0][key] = np.zeros_like(_np_dense(blocks[1][key]))
+
+    def stack(keys_or_key):
+        if isinstance(keys_or_key, tuple):
+            return np.stack([
+                np.concatenate([_np_dense(b[k]) for k in keys_or_key])
+                for b in blocks
+            ])
+        return np.stack([_np_dense(b[keys_or_key]) for b in blocks])
+
+    d_lora = _np_dense(blocks[-1]["att.w1"]).shape[0]
+    f_dim = _np_dense(blocks[0]["ffn.key.weight"]).shape[0]
+
+    mats = {
+        "rkv": stack(_V7_RKV),
+        "lora1": stack(_V7_L1),
+        "lora2": stack(_V7_L2),
+        "out": stack("att.output.weight"),
+        "fk": stack("ffn.key.weight"),
+        "fv": stack("ffn.value.weight"),
+    }
+    pack = {"quant": quant, "d_lora": d_lora, "f_dim": f_dim}
+    for name, w in mats.items():
+        if quant:
+            amax = np.abs(w).max(axis=-1, keepdims=True)  # [L, N, 1]
+            d = amax / 127.0
+            inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
+            q = np.clip(np.rint(w * inv), -127, 127).astype(np.int8)
+            pack[name] = jnp.asarray(q)
+            pack[name + "_d"] = jnp.asarray(d.astype(np.float32))
+        else:
+            pack[name] = jnp.asarray(w, jnp.bfloat16)
+
+    for key in _VEC_KEYS:
+        pack[key] = jnp.asarray(stack(key).reshape(n_layer, c, 1))
+    # six token-shift coefficients, stacked on sublanes: [L, 6C, 1]
+    pack["coeff"] = jnp.asarray(stack("att.x_rwkvag").reshape(n_layer, 6 * c, 1))
+    pack["r_k"] = jnp.asarray(stack("att.r_k").reshape(n_layer, h, s, 1))
+    return pack
+
+
+# ---------------------------------------------------------------------------
+# Kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant):
+    def mm(w, x):
+        """W [N, K] @ x [K, 1] -> [N, 1] f32. quant: W int8 with row scales
+        folded by the caller; else bf16 weights."""
         return jax.lax.dot_general(
-            act.astype(jnp.bfloat16), w_t.astype(jnp.bfloat16),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
         )
 
-    x = x_ref[:]
-    xl = ln(x, ln1_w_ref[0], ln1_b_ref[0], 1e-5)
-    sx = att_xx_ref[:] - xl
-    new_att_xx_ref[:] = xl
+    def qx(x):
+        """Per-matvec activation quantization (w8a8 semantics)."""
+        amax = jnp.max(jnp.abs(x))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
 
-    # six-way shifted inputs; coeff rows: r, w, k, v, a, g
-    def mix(i):
-        return xl + sx * coeff_ref[i]
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
-    xr, xw, xk_a, xv, xa, xg = (mix(i) for i in range(6))
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkv, rkv_d, lora1, lora1_d, lora2, lora2_d,
+             out_w, out_d, fk_w, fk_d, fv_w, fv_d,
+             ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
+             coeff, rk,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, vf_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkv, lora1, lora2, out_w, fk_w, fv_w,
+             ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
+             coeff, rk,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, vf_s) = refs
 
-    rkv_w = rkv_w_ref[:]
-    r = mmat(xr, rkv_w[0:c])
-    k = mmat(xk_a, rkv_w[c:2 * c])
-    v = mmat(xv, rkv_w[2 * c:3 * c])
+        i = pl.program_id(0)
 
-    l1 = lora1_ref[:]
-    l2 = lora2_ref[:]
-    w_dn = jnp.tanh(mmat(xw, l1[0:d]))
-    a_dn = mmat(xa, l1[d:2 * d])
-    g_dn = jax.nn.sigmoid(mmat(xg, l1[2 * d:3 * d]))
-    v_dn = mmat(xv, l1[3 * d:4 * d])
-    w_l = mmat(w_dn, l2[0:c])
-    a_l = mmat(a_dn, l2[c:2 * c])
-    g = mmat(g_dn, l2[2 * c:3 * c])
-    vmix_l = mmat(v_dn, l2[3 * c:4 * c])
+        @pl.when(i == 0)
+        def _():
+            x_s[:] = x0_ref[:]
 
-    w = jnp.exp(jax.nn.sigmoid(w_l + w0_ref[0]) * jnp.float32(-0.606531))
-    a = jax.nn.sigmoid(a_l + a0_ref[0])
+        x = x_s[:]
 
-    kk = (k * kk_ref[0]).reshape(b * h, s)
-    norm = jnp.sqrt(jnp.sum(kk * kk, axis=-1, keepdims=True))
-    kk = kk / jnp.maximum(norm, jnp.float32(1e-12))
+        def matv(w_ref, d_ref, row_lo, row_hi, xcol):
+            w = w_ref[0][row_lo:row_hi]
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * d_ref[0][row_lo:row_hi]
+            return mm(w, xcol.astype(jnp.bfloat16))
 
-    ka = k * ka_ref[0]
-    k = k + (a * ka - ka)
+        # ---- attention ------------------------------------------------
+        xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+        sx = att_in[0] - xl
+        att_out[0] = xl
 
-    is_first = is_first_ref[0, 0] == 1
-    v_mixed = v + (v_first_ref[:] - v) * jax.nn.sigmoid(vmix_l + v0_ref[0])
-    v_first = jnp.where(is_first, v, v_first_ref[:])
-    v = jnp.where(is_first, v, v_mixed)
-    new_v_first_ref[:] = v_first
+        cf = coeff[0].reshape(6, c, 1)
+        # order in att.x_rwkvag: r, w, k, v, a, g (converter concat order)
+        xr = xl + sx * cf[0]
+        xw = xl + sx * cf[1]
+        xk = xl + sx * cf[2]
+        xv = xl + sx * cf[3]
+        xa = xl + sx * cf[4]
+        xg = xl + sx * cf[5]
 
-    # wkv7 single step on [B*H, S] operands, state [B*H, S, S]
-    rh = r.reshape(b * h, s)
-    wh = w.reshape(b * h, s)
-    kh = k.reshape(b * h, s)
-    vh = v.reshape(b * h, s)
-    ah = -kk
-    bh = kk * a.reshape(b * h, s)
+        r = matv(rkv, rkv_d if quant else None, 0 * c, 1 * c, xr)
+        k = matv(rkv, rkv_d if quant else None, 1 * c, 2 * c, xk)
+        v = matv(rkv, rkv_d if quant else None, 2 * c, 3 * c, xv)
 
-    st = heads_ref[:]
-    sa = jnp.einsum("nij,nj->ni", st, ah)
-    st = st * wh[:, None, :] + vh[:, :, None] * kh[:, None, :] + sa[:, :, None] * bh[:, None, :]
-    y = jnp.einsum("nij,nj->ni", st, rh)
-    new_heads_ref[:] = st
+        d = d_lora
+        w_dn = jnp.tanh(matv(lora1, lora1_d if quant else None, 0 * d, 1 * d, xw))
+        a_dn = matv(lora1, lora1_d if quant else None, 1 * d, 2 * d, xa)
+        g_dn = jax.nn.sigmoid(matv(lora1, lora1_d if quant else None, 2 * d, 3 * d, xg))
+        v_dn = matv(lora1, lora1_d if quant else None, 3 * d, 4 * d, xv)
 
-    # group norm over head dim + bonus + gate + output projection
-    yb = y  # [B*H, S]
-    mu = jnp.mean(yb, axis=-1, keepdims=True)
-    yc = yb - mu
-    var = jnp.mean(yc * yc, axis=-1, keepdims=True)
-    yb = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
-    xo = yb.reshape(b, c) * lnx_w_ref[0] + lnx_b_ref[0]
+        w_l = matv(lora2, lora2_d if quant else None, 0 * c, 1 * c, w_dn)
+        a_l = matv(lora2, lora2_d if quant else None, 1 * c, 2 * c, a_dn)
+        g = matv(lora2, lora2_d if quant else None, 2 * c, 3 * c, g_dn)
+        vmix_l = matv(lora2, lora2_d if quant else None, 3 * c, 4 * c, v_dn)
 
-    # r_k bonus term: per-head coefficients
-    rk = rk_ref[:].reshape(1, h, s)
-    dots = jnp.sum(
-        (kh.reshape(b, h, s) * rh.reshape(b, h, s)) * rk, axis=-1, keepdims=True
-    )
-    bonus = (vh.reshape(b, h, s) * dots).reshape(b, c)
+        w_dec = jnp.exp(
+            jax.nn.sigmoid(w_l + w0[0]) * jnp.float32(-0.606531)
+        )
+        a_gate = jax.nn.sigmoid(a_l + a0[0])
 
-    xo = (xo + bonus) * g
-    att_out = mmat(xo, out_w_ref[:])
-    x = x + att_out
+        kk = (k * kkw[0]).reshape(h, s, 1)
+        nrm = jnp.sqrt(jnp.sum(kk * kk, axis=1, keepdims=True))
+        kk = kk / jnp.maximum(nrm, jnp.float32(1e-12))
 
-    # FFN
-    xl2 = ln(x, ln2_w_ref[0], ln2_b_ref[0], 1e-5)
-    sx2 = ffn_xx_ref[:] - xl2
-    new_ffn_xx_ref[:] = xl2
-    xk2 = xl2 + sx2 * xk_ref[0]
-    fk = mmat(xk2, fk_w_ref[:])
-    fk = jnp.square(jnp.maximum(fk, 0.0))
-    ffn_out = mmat(fk, fv_w_ref[:])
-    y_ref[:] = x + ffn_out
+        ka = k * kaw[0]
+        k = k + (a_gate * ka - ka)
+
+        # value residual (v_first mixing across layers)
+        @pl.when(i == 0)
+        def _():
+            vf_s[:] = v
+
+        vf = vf_s[:]
+        v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + v0[0])
+        v = jnp.where(i == 0, v, v_mixed)
+
+        # ---- wkv7 step (transposed state [H, S_j, S_i]) ---------------
+        def col3(vec):
+            return vec.reshape(h, s, 1)
+
+        i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        eye = (i_ == j_).astype(jnp.float32)[None]
+
+        r3, w3, k3, v3 = col3(r), col3(w_dec), col3(k), col3(v)
+        a3 = -kk
+        b3 = kk * col3(a_gate.reshape(c, 1))
+
+        st = heads_in[0]
+        sa_row = jnp.sum(st * a3, axis=1, keepdims=True)       # [H, 1, S_i]
+        v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)       # col -> row
+        st = st * w3 + k3 * v_row + b3 * sa_row
+        out_row = jnp.sum(st * r3, axis=1, keepdims=True)      # [H, 1, S_i]
+        heads_out[0] = st
+
+        # group norm per head over S (lanes of out_row), eps 64e-5
+        mu = jnp.mean(out_row, axis=2, keepdims=True)
+        yc = out_row - mu
+        var = jnp.mean(yc * yc, axis=2, keepdims=True)
+        y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+        y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)    # row -> col
+        xo = y_col.reshape(c, 1) * lnxw[0] + lnxb[0]
+
+        dots = jnp.sum(k3 * r3 * rk[0], axis=1, keepdims=True)  # [H, 1, 1]
+        bonus = (v3 * dots).reshape(c, 1)
+        xo = (xo + bonus) * g
+
+        att_proj = matv(out_w, out_d if quant else None, 0, c, xo)
+        x = x + att_proj
+
+        # ---- FFN ------------------------------------------------------
+        xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+        sx2 = ffn_in[0] - xl2
+        ffn_out[0] = xl2
+        xk2 = xl2 + sx2 * xkw[0]
+        fk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+        fk = jnp.square(jnp.maximum(fk, 0.0))
+        ffn_proj = matv(fv_w, fv_d if quant else None, 0, c, fk)
+        x = x + ffn_proj
+
+        x_s[:] = x
+        y_out[:] = x
+
+    return kernel
 
 
-def v7_layer_decode(
-    x, att_xx, ffn_xx, heads, v_first, is_first,
-    layer, cfg, interpret: bool = False,
+# pl/pltpu imported lazily so CPU-only environments importing the module
+# don't pay for them until a kernel is built.
+from jax.experimental import pallas as pl            # noqa: E402
+from jax.experimental.pallas import tpu as pltpu     # noqa: E402
+
+
+def v7_decode_megakernel(
+    pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
 ):
-    """One v7 layer decode step as a single pallas_call.
+    """Run all layers of one v7 decode step (B=1).
 
-    x/att_xx/ffn_xx/v_first: [B, C] f32; heads: [B, H, S, S] f32;
-    is_first: python bool or int. `layer` is a stacked-serving layer dict
-    slice with fused keys (att.rkv.weight [3, C, C], att.lora1 [4, D, C],
-    att.lora2 [4, C, D]).
+    pack: build_mega_pack output. state_t: transposed per-layer state —
+    att_xx [L, C, 1], ffn_xx [L, C, 1], heads [L, H, S_j, S_i]. x0: [C, 1]
+    f32 (embedding + ln0 already applied). Returns (x [C, 1], new state_t).
     """
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
+    c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
+    n_layer = cfg.n_layer
+    d_lora, f_dim = pack["d_lora"], pack["f_dim"]
+    quant = pack["quant"]
 
-    b, c = x.shape
-    h, s = cfg.head_count, cfg.head_size
-    d = layer["att.lora1"].shape[-2]
-    f = layer["ffn.key.weight"].shape[-2]
+    kernel = _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant)
 
-    b_pad = max(8, ((b + 7) // 8) * 8)
+    def blocked(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
 
-    def pad(arr):
-        if arr.shape[0] == b_pad:
-            return arr
-        return jnp.pad(arr, ((0, b_pad - arr.shape[0]),) + ((0, 0),) * (arr.ndim - 1))
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
 
-    args = [
-        pad(x.astype(jnp.float32)),
-        pad(att_xx.astype(jnp.float32)),
-        pad(ffn_xx.astype(jnp.float32)),
-        pad(heads.reshape(b, h, s, s)).reshape(b_pad * h, s, s).astype(jnp.float32),
-        pad(v_first.astype(jnp.float32)),
-        jnp.full((1, 1), 1 if is_first else 0, jnp.int32),
-        layer["ln1.weight"].reshape(1, c), layer["ln1.bias"].reshape(1, c),
-        layer["ln2.weight"].reshape(1, c), layer["ln2.bias"].reshape(1, c),
-        layer["att.x_rwkvag"].reshape(6, c),
-        layer["att.rkv.weight"].reshape(3 * c, c),
-        layer["att.lora1"].reshape(4 * d, c),
-        layer["att.lora2"].reshape(4 * c, d),
-        layer["att.w0"].reshape(1, c), layer["att.a0"].reshape(1, c),
-        layer["att.v0"].reshape(1, c), layer["att.k_k"].reshape(1, c),
-        layer["att.k_a"].reshape(1, c),
-        layer["att.r_k"].reshape(h, s),
-        layer["att.ln_x.weight"].reshape(1, c), layer["att.ln_x.bias"].reshape(1, c),
-        layer["att.output.weight"],
-        layer["ffn.x_k"].reshape(1, c),
-        layer["ffn.key.weight"],
-        layer["ffn.value.weight"],
-    ]
+    mat_args, mat_specs = [], []
+    for name in _MAT_KEYS:
+        w = pack[name]
+        mat_args.append(w)
+        mat_specs.append(blocked(w.shape[1:]))
+        if quant:
+            d = pack[name + "_d"]
+            mat_args.append(d)
+            mat_specs.append(blocked(d.shape[1:]))
+
+    vec_args = [pack[k] for k in _VEC_KEYS]
+    vec_specs = [blocked((c, 1)) for _ in _VEC_KEYS]
+
+    args = (
+        [x0.astype(jnp.float32),
+         state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
+        + mat_args + vec_args
+        + [pack["coeff"], pack["r_k"]]
+    )
+    in_specs = (
+        [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
+        + mat_specs + vec_specs
+        + [blocked((6 * c, 1)), blocked((h, s, 1))]
+    )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((b_pad, c), jnp.float32),
-        jax.ShapeDtypeStruct((b_pad, c), jnp.float32),
-        jax.ShapeDtypeStruct((b_pad, c), jnp.float32),
-        jax.ShapeDtypeStruct((b_pad * h, s, s), jnp.float32),
-        jax.ShapeDtypeStruct((b_pad, c), jnp.float32),
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, h, s, s), jnp.float32),
+    )
+    out_specs = (
+        whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s)),
     )
 
-    vm = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
-    kernel = partial(
-        _layer_kernel, n_heads=h, head_size=s, lora_dim=d
-    )
-    y, new_xx, new_fxx, new_heads, new_vf = pl.pallas_call(
+    y, att_xx, ffn_xx, heads = pl.pallas_call(
         kernel,
-        in_specs=[vm() for _ in args],
-        out_specs=tuple(vm() for _ in out_shapes),
+        grid=(n_layer,),
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, 1), jnp.float32),
+            pltpu.VMEM((c, 1), jnp.float32),
+        ],
+        # Per-layer weights + double buffering exceed the 16MB default
+        # scoped-VMEM budget; the chip has 128MB (probe_megakernel2 vmem).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(*args)
-
-    return (
-        y[:b],
-        new_xx[:b],
-        new_fxx[:b],
-        new_heads.reshape(b_pad, h, s, s)[:b],
-        new_vf[:b],
-    )
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}

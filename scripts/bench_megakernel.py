@@ -1,10 +1,16 @@
-"""Native-TPU trial of the whole-layer v7 decode mega-kernel at 1.5B dims:
-correctness vs the standard serving path + chained decode timing."""
+"""Native-TPU verification + timing of the whole-MODEL v7 decode megakernel.
+
+Per the silent-miscompute hazard (ops/megakernel.py header): numerics are
+checked ON CHIP against the per-op serving path before timing. Timing uses
+the round-1 methodology: long on-device chains, 4-byte sync probes, null
+round-trip subtraction (the tunnel adds ~25 ms to any host sync).
+
+Usage:  python scripts/bench_megakernel.py [--small] [--bf16]
+"""
 
 import os
 import sys
 import time
-from functools import partial
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
 sys.path.insert(0, "/root/repo")
@@ -16,126 +22,138 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-from rwkv_tpu.models.serve import forward_stacked
-from rwkv_tpu.models.state import init_state
+from rwkv_tpu.models.serve import ServingModel
 from rwkv_tpu.models.synth import synth_config, synth_params
-from rwkv_tpu.ops.megakernel import v7_layer_decode
-from rwkv_tpu.ops.parity import layer_norm, mm
+from rwkv_tpu.ops.megakernel import v7_decode_megakernel
+from rwkv_tpu.ops.parity import layer_norm
+from rwkv_tpu.models import graph as G
 
 SMALL = "--small" in sys.argv
+QUANT = "--bf16" not in sys.argv
 if SMALL:
     L, C, VOCAB, HEAD, LORA = 4, 512, 4096, 64, 64
 else:
-    L, C, VOCAB, HEAD, LORA = 24, 2048, 65536, 64, 96
+    L, C, VOCAB, HEAD, LORA = 12, 768, 65536, 64, 64  # 169M-class
 
 
-def main():
-    cfg = synth_config("7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD)
-    if SMALL:
-        from rwkv_tpu.models.serve import ServingModel
-
-        srv = ServingModel((cfg, synth_params(cfg, seed=0, lora_dim=LORA)),
-                           precision="bf16")
-        stacked = srv.params
-    else:
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from bench_15b import synth_device
-
-        # device-side synth (3 GB transfer would take minutes via tunnel)
-        import bench_15b as B15
-        B15.L, B15.C, B15.VOCAB, B15.HEAD, B15.LORA = L, C, VOCAB, HEAD, LORA
-        params = synth_device(cfg, "bf16")
-        # fuse the stacked weights like stack_layer_params does
-        blocks = params["blocks"]
-        blocks["att.rkv.weight"] = jnp.stack(
-            [blocks.pop(k) for k in
-             ("att.receptance.weight", "att.key.weight", "att.value.weight")],
-            axis=1,
-        )
-        blocks["att.lora1"] = jnp.stack(
-            [blocks.pop(k) for k in ("att.w1", "att.a1", "att.g1", "att.v1")], axis=1
-        )
-        blocks["att.lora2"] = jnp.stack(
-            [blocks.pop(k) for k in ("att.w2", "att.a2", "att.g2", "att.v2")], axis=1
-        )
-        stacked = params
-
-    h, s = cfg.head_count, cfg.head_size
-    B = 1
-
-    # ---- correctness: one decode step, mega vs standard ----
-    tok = jnp.zeros((1,), jnp.int32)
-    state = init_state(cfg)
-
-    @jax.jit
-    def std_step(params, state, tok):
-        return forward_stacked(params, state, tok, cfg, True)
-
-    logits_std, st_std = std_step(stacked, state, tok)
-
-    def mega_forward(params, state, tok):
-        emb = params["emb"][tok]
-        x = layer_norm(emb.astype(jnp.float32), *params["ln0"])  # [1, C]
-        v_first = jnp.zeros_like(x)
-        att_xx, ffn_xx, heads_all = state["att_xx"], state["ffn_xx"], state["heads"]
-        new_xx, new_fxx, new_heads = [], [], []
-        for i in range(cfg.n_layer):
-            layer = {k: v[i] for k, v in params["blocks"].items()}
-            x, xx_i, fxx_i, heads_i, v_first = v7_layer_decode(
-                x, att_xx[i][None], ffn_xx[i][None], heads_all[i][None],
-                v_first, i == 0, layer, cfg,
-            )
-            new_xx.append(xx_i[0]); new_fxx.append(fxx_i[0]); new_heads.append(heads_i[0])
-        xo = layer_norm(x[0], *params["ln_out"])
-        logits = mm(xo[None, :], params["head"])[0]
-        return logits, {
-            "att_xx": jnp.stack(new_xx), "ffn_xx": jnp.stack(new_fxx),
-            "heads": jnp.stack(new_heads),
-        }
-
-    mega_jit = jax.jit(mega_forward)
-    t0 = time.perf_counter()
-    logits_mega, st_mega = mega_jit(stacked, state, tok)
-    d = np.abs(np.asarray(logits_mega) - np.asarray(logits_std)).max()
-    print(f"mega vs std logits max|d|: {d} (compile {time.perf_counter()-t0:.0f}s)", flush=True)
-    dh = np.abs(np.asarray(st_mega["heads"]) - np.asarray(st_std["heads"])).max()
-    print(f"mega vs std heads  max|d|: {dh}", flush=True)
-
-    # ---- chained decode timing ----
+def null_overhead():
     @jax.jit
     def probe(x):
         return x * 1.000001
 
     xp = jnp.ones((8,), jnp.float32)
-    _ = np.asarray(probe(xp))
+    np.asarray(probe(xp))
     ov = 1e9
-    for _i in range(5):
-        t0 = time.perf_counter(); _ = np.asarray(probe(xp))
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(probe(xp))
         ov = min(ov, time.perf_counter() - t0)
+    return ov
 
+
+def main():
+    cfg = synth_config("7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD)
+    print(f"model L={L} C={C} V={VOCAB} quant={QUANT}", flush=True)
+    params = synth_params(cfg, seed=0, lora_dim=LORA)
+    precision = "w8a8" if QUANT else "bf16"
+
+    t0 = time.perf_counter()
+    mega = ServingModel((cfg, params), precision=precision, megakernel=True)
+    print(f"build+upload {time.perf_counter()-t0:.0f}s", flush=True)
+    ref = ServingModel((cfg, params), precision=precision)
+
+    # ---- on-chip numerics: several chained steps vs the per-op path ----
+    state_m = mega.init_state(1)
+    state_r = ref.init_state(1)
+    worst = 0.0
+    for tok in (3, 77, 200, 5):
+        lm, state_m = mega.decode(np.array([tok], np.int32), state_m)
+        lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+        lm, lr = np.asarray(lm), np.asarray(lr)
+        scale = max(np.abs(lr).max(), 1e-6)
+        worst = max(worst, float(np.abs(lm - lr).max() / scale))
+    dh = float(
+        np.abs(np.asarray(state_m["heads"]) - np.asarray(state_r["heads"])).max()
+    )
+    print(f"on-chip numerics: rel logit err {worst:.2e}, heads err {dh:.2e}",
+          flush=True)
+    ok = worst < 5e-2 and dh < 5e-2
+    print("NUMERICS", "PASS" if ok else "FAIL", flush=True)
+    if not ok:
+        return 1
+
+    # ---- chained decode timing (device-resident loop) ----
+    meta = {k: mega._mega[k] for k in ("quant", "d_lora", "f_dim")}
+    arrs = {k: v for k, v in mega._mega.items() if k not in meta}
     n_gen = 64
 
     @jax.jit
-    def chain(params, state, logits):
+    def chain(params, pack_arrs, state, logits):
+        pack = {**pack_arrs, **meta}
+
+        def body(carry, _):
+            state_t, logits = carry
+            tok = jnp.argmax(logits).astype(jnp.int32)
+            x0 = layer_norm(params["emb"][tok].astype(jnp.float32), *params["ln0"])
+            y, state_t = v7_decode_megakernel(pack, state_t, x0[:, None], cfg)
+            xo = layer_norm(y[:, 0], *params["ln_out"])
+            logits = G.mm(xo[None, :], params["head"])[0]
+            return (state_t, logits), None
+
+        state_t = {
+            "att_xx": state["att_xx"][0][..., None],
+            "ffn_xx": state["ffn_xx"][0][..., None],
+            "heads": jnp.swapaxes(state["heads"][0], -1, -2),
+        }
+        (state_t, logits), _ = jax.lax.scan(
+            body, (state_t, logits), None, length=n_gen
+        )
+        return jnp.sum(logits)
+
+    logits0 = jnp.zeros((cfg.n_vocab,), jnp.float32)
+    state0 = mega.init_state(1)
+    t0 = time.perf_counter()
+    np.asarray(chain(mega.params, arrs, state0, logits0))
+    print(f"chain compile {time.perf_counter()-t0:.0f}s", flush=True)
+    ov = null_overhead()
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(mega.params, arrs, state0, logits0))
+        best = min(best, time.perf_counter() - t0)
+    per_tok = max(best - ov, 1e-9) / n_gen
+    print(f"megakernel decode: {per_tok*1e3:7.3f} ms/tok  "
+          f"{1/per_tok:7.1f} tok/s", flush=True)
+
+    # ---- reference per-op path timing (same chain shape) ----
+    from rwkv_tpu.models.serve import forward_stacked
+
+    @jax.jit
+    def chain_std(params, state, logits):
         def body(carry, _):
             state, logits = carry
             tok = jnp.argmax(logits)[None].astype(jnp.int32)
-            logits, state = mega_forward(params, state, tok)
-            return (state, logits), None
+            state_lb = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+            logits2, new_lb = forward_stacked(params, state_lb, tok[None], cfg, True)
+            state = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), new_lb)
+            return (state, logits2[0]), None
 
         (state, logits), _ = jax.lax.scan(body, (state, logits), None, length=n_gen)
         return jnp.sum(logits)
 
-    logits0 = jnp.zeros((cfg.n_vocab,), jnp.float32)
-    _ = np.asarray(chain(stacked, state, logits0))
+    t0 = time.perf_counter()
+    np.asarray(chain_std(ref.params, state0, logits0))
+    print(f"std chain compile {time.perf_counter()-t0:.0f}s", flush=True)
     best = 1e9
-    for _i in range(3):
+    for _ in range(3):
         t0 = time.perf_counter()
-        _ = np.asarray(chain(stacked, state, logits0))
+        np.asarray(chain_std(ref.params, state0, logits0))
         best = min(best, time.perf_counter() - t0)
-    per_tok = max(best - ov, 1e-9) / n_gen
-    print(f"megakernel decode: {per_tok*1e3:7.3f} ms/tok  {1/per_tok:7.1f} tok/s", flush=True)
+    per_tok_std = max(best - ov, 1e-9) / n_gen
+    print(f"per-op {precision} decode: {per_tok_std*1e3:7.3f} ms/tok  "
+          f"{1/per_tok_std:7.1f} tok/s", flush=True)
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -479,59 +479,73 @@ def probe_dmaonly():
     NT = OUT // TO
     rs = np.random.RandomState(11)
 
-    def kern(q_hbm, o_ref, buf, sem):
-        def get(slot, t):
-            return pltpu.make_async_copy(
-                q_hbm.at[pl.ds(t * TO, TO), :], buf.at[slot], sem.at[slot]
-            )
+    def make(TO_, nbuf):
+        NT_ = OUT // TO_
 
-        get(0, 0).start()
+        def kern(q_hbm, o_ref, buf, sem):
+            def get(slot, t):
+                return pltpu.make_async_copy(
+                    q_hbm.at[pl.ds(t * TO_, TO_), :], buf.at[slot], sem.at[slot]
+                )
 
-        def body(t, acc):
-            slot = jax.lax.rem(t, 2)
-            nxt = jax.lax.rem(t + 1, 2)
+            for s in range(nbuf - 1):
+                get(s, s).start()
 
-            @pl.when(t + 1 < NT)
-            def _():
-                get(nxt, t + 1).start()
+            def body(t, acc):
+                slot = jax.lax.rem(t, nbuf)
+                nxt = jax.lax.rem(t + nbuf - 1, nbuf)
 
-            get(slot, t).wait()
-            # touch 8 sublanes only: negligible compute
-            return acc + jnp.sum(buf[slot][0:8, 0:128].astype(jnp.float32))
+                @pl.when(t + nbuf - 1 < NT_)
+                def _():
+                    get(nxt, t + nbuf - 1).start()
 
-        acc = jax.lax.fori_loop(0, NT, body, jnp.float32(0.0))
-        o_ref[0, 0] = acc
+                get(slot, t).wait()
+                # touch 8 sublanes only: negligible compute
+                return acc + jnp.sum(buf[slot][0:8, 0:128].astype(jnp.float32))
 
-    fn = pl.pallas_call(
-        kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, 1), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((2, TO, K), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+            acc = jax.lax.fori_loop(0, NT_, body, jnp.float32(0.0))
+            o_ref[:] = jnp.full((8, 128), acc, jnp.float32)
+
+        return pl.pallas_call(
+            kern,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, TO_, K), jnp.int8),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ],
+        ), NT_
+
     L = 24
     wbig = jnp.asarray(rs.randint(-127, 128, (L, OUT, K), dtype=np.int8))
     reps = 50
 
-    @jax.jit
-    def chain(wbig):
-        def rep(i, acc):
-            def layer(a, q):
-                return a + fn(q)[0, 0], 0
-            a, _ = jax.lax.scan(layer, acc, wbig)
-            return a
-        return jax.lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+    for TO_, nbuf in ((512, 2), (1024, 2), (2048, 2), (2048, 4), (4096, 2)):
+        fn, _ = make(TO_, nbuf)
 
-    sync(chain(wbig))
-    null = _null_overhead()
-    t0 = time.perf_counter()
-    sync(chain(wbig))
-    dt = (time.perf_counter() - t0 - null) / reps
-    gb = L * OUT * K / 1e9
-    report("dmaonly", True, f"bw={gb/dt:.0f}GB/s t={dt*1e3:.2f}ms")
+        @jax.jit
+        def chain(wbig):
+            def rep(i, acc):
+                def layer(a, q):
+                    return a + fn(q)[0, 0], 0
+                a, _ = jax.lax.scan(layer, acc, wbig)
+                return a
+            return jax.lax.fori_loop(0, reps, rep, jnp.float32(0.0))
+
+        try:
+            sync(chain(wbig))
+            null = _null_overhead()
+            t0 = time.perf_counter()
+            sync(chain(wbig))
+            dt = (time.perf_counter() - t0 - null) / reps
+            gb = L * OUT * K / 1e9
+            print(f"  dmaonly TO={TO_} nbuf={nbuf}: bw={gb/dt:.0f}GB/s "
+                  f"t={dt*1e3:.2f}ms", flush=True)
+        except Exception as e:
+            print(f"  dmaonly TO={TO_} nbuf={nbuf}: {type(e).__name__}: "
+                  f"{str(e)[:120]}", flush=True)
+    report("dmaonly", True, "see variants above")
 
 
 # ------------------------------------------------------------ 10. matvec8
@@ -600,6 +614,135 @@ def probe_matvec8():
         report("matvec8", ok, f"relerr={err:.2e} bw={gb/dt:.0f}GB/s t={dt*1e3:.2f}ms")
     except Exception as e:
         report("matvec8", False, f"{type(e).__name__}: {str(e)[:200]}")
+
+
+# ---------------------------------------------------------- 10b. matvec8v
+def probe_matvec8v():
+    """w8a8 matvec variants: chase the gap to the ~616GB/s DMA ceiling.
+    Variants: (a) x widened to 8 lanes, (b) x widened to 128 lanes,
+    (c) hand-DMA double buffer + s8 dot, (d) K split into two half dots."""
+    OUT, K = F, C
+    rs = np.random.RandomState(14)
+    L, reps = 24, 50
+    wbig_np = rs.randint(-127, 128, (L, OUT, K), dtype=np.int8)
+    wbig = jnp.asarray(wbig_np)
+    dbig = jnp.asarray((rs.rand(L, OUT, 1).astype(np.float32) + 0.5) / 127.0)
+    xq = rs.randint(-127, 128, (K, 1), dtype=np.int8)
+
+    def bench(name, fn, xmake, TO):
+        @jax.jit
+        def chain(x, wbig, dbig):
+            def layer(x, inp):
+                q, dd = inp
+                y = fn(x, q, dd)
+                xn = jnp.clip(y[:K] * 1e-2, -127, 127).astype(jnp.int8)
+                return xmake(xn), jnp.sum(y)
+
+            def rep(i, carry):
+                x, acc = carry
+                x2, ys = jax.lax.scan(layer, x, (wbig, dbig))
+                return x2, acc + jnp.sum(ys)
+
+            x0 = xmake(jnp.asarray(xq))
+            _, acc = jax.lax.fori_loop(0, reps, rep, (x0, jnp.float32(0.0)))
+            return acc
+
+        try:
+            sync(chain(jnp.asarray(xq), wbig, dbig))
+            null = _null_overhead()
+            t0 = time.perf_counter()
+            sync(chain(jnp.asarray(xq), wbig, dbig))
+            dt = (time.perf_counter() - t0 - null) / reps
+            gb = L * OUT * K / 1e9
+            print(f"  matvec8v {name}: bw={gb/dt:.0f}GB/s t={dt*1e3:.2f}ms",
+                  flush=True)
+        except Exception as e:
+            print(f"  matvec8v {name}: {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+
+    def grid_fn(TO, n_lanes):
+        def kern(x_ref, q_ref, d_ref, o_ref):
+            acc = jax.lax.dot_general(
+                q_ref[:], x_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            o_ref[:] = acc[:, 0:1].astype(jnp.float32) * d_ref[:]
+
+        return pl.pallas_call(
+            kern,
+            grid=(OUT // TO,),
+            in_specs=[
+                pl.BlockSpec((K, n_lanes), lambda i: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TO, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TO, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((TO, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((OUT, 1), jnp.float32),
+        )
+
+    def widen(n_lanes):
+        def xmake(x):  # [K, 1] int8 -> [K, n_lanes] with col 0 = x
+            return jnp.pad(x.reshape(K, 1), ((0, 0), (0, n_lanes - 1)))
+        return xmake
+
+    bench("lanes8-TO1024", grid_fn(1024, 8), widen(8), 1024)
+    bench("lanes128-TO1024", grid_fn(1024, 128), widen(128), 1024)
+    bench("lanes1-TO2048", grid_fn(2048, 1), widen(1), 2048)
+
+    # hand-DMA double buffer + s8 dot
+    def dma_fn(TO, nbuf):
+        NT = OUT // TO
+
+        def kern(x_ref, q_hbm, d_ref, o_ref, buf, sem):
+            def get(slot, t):
+                return pltpu.make_async_copy(
+                    q_hbm.at[pl.ds(t * TO, TO), :], buf.at[slot], sem.at[slot]
+                )
+
+            for s in range(nbuf - 1):
+                get(s, s).start()
+
+            def body(t, _):
+                slot = jax.lax.rem(t, nbuf)
+                nxt = jax.lax.rem(t + nbuf - 1, nbuf)
+
+                @pl.when(t + nbuf - 1 < NT)
+                def _():
+                    get(nxt, t + nbuf - 1).start()
+
+                get(slot, t).wait()
+                acc = jax.lax.dot_general(
+                    buf[slot], x_ref[:],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                o_ref[pl.ds(t * TO, TO), :] = (
+                    acc.astype(jnp.float32) * d_ref[pl.ds(t * TO, TO), :]
+                )
+                return 0
+
+            jax.lax.fori_loop(0, NT, body, 0)
+
+        return pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((OUT, 1), jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((nbuf, TO, K), jnp.int8),
+                pltpu.SemaphoreType.DMA((nbuf,)),
+            ],
+        )
+
+    bench("dma-TO1024-nb2", dma_fn(1024, 2), widen(1), 1024)
+    bench("dma-TO1024-nb3", dma_fn(1024, 3), widen(1), 1024)
+    bench("dma-TO512-nb4", dma_fn(512, 4), widen(1), 512)
+    report("matvec8v", True, "see variants above")
 
 
 # ----------------------------------------------------------- 11. matvecbf
@@ -674,6 +817,7 @@ PROBES = {
     "dma": probe_dma,
     "dmaonly": probe_dmaonly,
     "matvec8": probe_matvec8,
+    "matvec8v": probe_matvec8v,
     "matvecbf": probe_matvecbf,
 }
 
