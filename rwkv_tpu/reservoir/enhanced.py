@@ -34,6 +34,88 @@ PERSONA_PRESETS: Dict[str, Dict[str, float]] = {
 }
 
 
+class ESNParameterMapping:
+    """How classic ESN/ReservoirPy parameters map onto the RWKV engine —
+    the documentation object the advanced example walks through (parity
+    surface of enhanced_reservoir.py:51-160)."""
+
+    @staticmethod
+    def get_parameter_mappings() -> Dict[str, Dict[str, Any]]:
+        return {
+            "spectral_radius": {
+                "reservoirpy_description":
+                    "largest eigenvalue of the reservoir weight matrix",
+                "rwkv_equivalent":
+                    "post-forward scaling of the hidden-state activations",
+                "chatbot_persona_effect":
+                    "stability vs creativity of responses",
+                "implementation":
+                    "_apply_esn_transformations scales activations",
+                "value_range": (0.1, 1.5),
+                "default_value": 0.9,
+                "personality_mapping":
+                    {"conservative": 0.7, "balanced": 0.9, "creative": 1.2},
+            },
+            "leaking_rate": {
+                "reservoirpy_description":
+                    "state decay rate (1 = none, 0 = instant)",
+                "rwkv_equivalent":
+                    "leaky integration against the previous activation "
+                    "(analogous to RWKV's time-mixing EMA)",
+                "chatbot_persona_effect":
+                    "memory persistence / context retention",
+                "implementation":
+                    "a*x_t + (1-a)*x_{t-1} over reservoir activations",
+                "value_range": (0.1, 1.0),
+                "default_value": 1.0,
+                "personality_mapping":
+                    {"forgetful": 0.3, "balanced": 0.7, "long_memory": 0.95},
+            },
+            "input_scaling": {
+                "reservoirpy_description": "input signal scaling factor",
+                "rwkv_equivalent": "activation scaling before the readout",
+                "chatbot_persona_effect": "sensitivity to user inputs",
+                "implementation": "multiply activations by input_scaling",
+                "value_range": (0.1, 2.0),
+                "default_value": 1.0,
+                "personality_mapping":
+                    {"subtle": 0.5, "balanced": 1.0, "sensitive": 1.5},
+            },
+            "density": {
+                "reservoirpy_description":
+                    "connectivity density of the reservoir matrix",
+                "rwkv_equivalent":
+                    "random activation masking (feature sparsity)",
+                "chatbot_persona_effect": "feature-interaction complexity",
+                "implementation": "bernoulli mask over activation dims",
+                "value_range": (0.1, 1.0),
+                "default_value": 0.1,
+                "personality_mapping":
+                    {"focused": 0.05, "balanced": 0.1, "complex": 0.3},
+            },
+            "bias_scaling": {
+                "reservoirpy_description": "reservoir bias magnitude",
+                "rwkv_equivalent": "constant offset on activations",
+                "chatbot_persona_effect": "baseline activation level",
+                "implementation": "add bias_scaling to activations",
+                "value_range": (0.0, 1.0),
+                "default_value": 0.0,
+                "personality_mapping":
+                    {"neutral": 0.0, "positive": 0.3, "dynamic": 0.1},
+            },
+            "noise_scaling": {
+                "reservoirpy_description": "gaussian state noise",
+                "rwkv_equivalent": "noise injection on activations",
+                "chatbot_persona_effect": "response variability",
+                "implementation": "add N(0, noise_scaling) to activations",
+                "value_range": (0.0, 0.1),
+                "default_value": 0.0,
+                "personality_mapping":
+                    {"deterministic": 0.0, "varied": 0.01, "creative": 0.05},
+            },
+        }
+
+
 class MultiLayerReadout:
     """MLP readout trained with adam (JAX/optax)."""
 
@@ -359,7 +441,17 @@ class EnhancedReservoirRWKV(ReservoirRWKV):
     def fit(self, x, y, warmup: int = 0, hierarchical_targets=None):
         if self.readout_type == "ridge":
             return super().fit(x, y, warmup)
-        acts, targets = self._collect(x, np.asarray(y), warmup)
+        if y is None and hierarchical_targets is not None:
+            # hierarchical-only training: targets come per readout; collect
+            # activations alone (reference enhanced_reservoir.py:776-807)
+            self.reset_state()
+            acts = np.concatenate([
+                np.atleast_2d(self._get_reservoir_activations(list(seq)))
+                for seq in x
+            ])
+            targets = None
+        else:
+            acts, targets = self._collect(x, np.asarray(y), warmup)
         if self.readout_type == "mlp":
             self.custom_readout.fit(acts, targets)
         elif self.readout_type == "online":
@@ -391,9 +483,13 @@ class EnhancedReservoirRWKV(ReservoirRWKV):
         return self.hierarchical_output.predict(acts)
 
     def update_online(self, x: np.ndarray, y: np.ndarray):
+        """Online weight update from a TOKEN sequence: drive the reservoir
+        and adapt on the last time step's activation (reference
+        enhanced_reservoir.py:824-845)."""
         if self.online_learner is None:
             raise RuntimeError("Online learning is not enabled")
-        self.online_learner.update(x, y)
+        acts = np.atleast_2d(self._get_reservoir_activations(list(np.ravel(x))))
+        self.online_learner.update(acts[-1:, :], np.atleast_2d(y))
 
     def batch_predict(self, sequences: List, reset_state: bool = True) -> List:
         return [self.predict(seq, reset_state=reset_state) for seq in sequences]
