@@ -2,8 +2,10 @@
 
 Headline: single-stream greedy decode throughput (tokens/sec) of a
 169M-parameter-class RWKV v7 model (L=12, C=768, head 64, vocab 65536) on
-one chip: serving engine, bf16 weights, scan-over-layers, the whole
-256-token decode loop in one on-device lax.scan.
+one chip. Primary path: the whole-model Pallas megakernel (one pallas_call
+for all layers, int8 weights + s8 MXU dots, ops/megakernel.py) + int8 head,
+whole 256-token decode loop in one on-device lax.scan. Falls back to the
+bf16 per-op serving engine if the megakernel path fails.
 
 Timing methodology (the axon tunnel adds ~30 ms fixed round-trip latency to
 ANY host synchronization and block_until_ready is asynchronous): each
@@ -61,33 +63,90 @@ def main():
     from rwkv_tpu.models.synth import synth_config, synth_params
 
     cfg = synth_config("7.0", n_layer=12, n_embed=768, n_vocab=65536, head_size=64)
-    srv = ServingModel((cfg, synth_params(cfg, seed=0)), precision="bf16")
-    stacked = srv.params
+    params_raw = synth_params(cfg, seed=0)
     n_gen = 256
-
-    @jax.jit
-    def gen_scan(params, state, logits):
-        def body(carry, _):
-            state, logits = carry
-            tok = jnp.argmax(logits)[None].astype(jnp.int32)
-            logits, state = forward_stacked(params, state, tok, cfg, True)
-            return (state, logits), None
-
-        (state, logits), _ = jax.lax.scan(body, (state, logits), None, length=n_gen)
-        return jnp.sum(logits)  # 4-byte probe
-
     overhead = _null_overhead(jax, jnp)
-    state = init_state(cfg)
-    logits = jnp.zeros((cfg.n_vocab,), jnp.float32)
-    _ = np.asarray(gen_scan(stacked, state, logits))  # compile + settle
 
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _ = np.asarray(gen_scan(stacked, state, logits))
-        best = min(best, time.perf_counter() - t0)
-    per_tok = max(best - overhead, 1e-9) / n_gen
-    tps_single = 1.0 / per_tok
+    def time_chain(chain_fn, *args):
+        _ = np.asarray(chain_fn(*args))  # compile + settle
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _ = np.asarray(chain_fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return max(best - overhead, 1e-9) / n_gen
+
+    # -- primary: whole-model megakernel, int8 weights (ops/megakernel.py) --
+    tps_single = None
+    srv = None
+    try:
+        from rwkv_tpu.ops.megakernel import v7_decode_megakernel
+        from rwkv_tpu.ops.parity import layer_norm
+        from rwkv_tpu.models import graph as G
+
+        mega = ServingModel((cfg, params_raw), precision="w8a8",
+                            megakernel=True)
+        meta = {k: mega._mega[k] for k in ("quant", "d_lora", "f_dim")}
+        arrs = {k: v for k, v in mega._mega.items() if k not in meta}
+
+        @jax.jit
+        def mega_chain(params, pack_arrs, state, logits):
+            pack = {**pack_arrs, **meta}
+
+            def body(carry, _):
+                state_t, logits = carry
+                tok = jnp.argmax(logits).astype(jnp.int32)
+                x0 = layer_norm(
+                    params["emb"][tok].astype(jnp.float32), *params["ln0"]
+                )
+                y, state_t = v7_decode_megakernel(pack, state_t, x0[:, None], cfg)
+                xo = layer_norm(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])[0]
+                return (state_t, logits), None
+
+            state_t = {
+                "att_xx": state["att_xx"][0][..., None],
+                "ffn_xx": state["ffn_xx"][0][..., None],
+                "heads": jnp.swapaxes(state["heads"][0], -1, -2),
+            }
+            (state_t, logits), _ = jax.lax.scan(
+                body, (state_t, logits), None, length=n_gen
+            )
+            return jnp.sum(logits)  # 4-byte probe
+
+        per_tok = time_chain(
+            mega_chain, mega.params, arrs, mega.init_state(1),
+            jnp.zeros((cfg.n_vocab,), jnp.float32),
+        )
+        tps_single = 1.0 / per_tok
+        srv = mega  # context metrics reuse the (w8a8) engine
+    except Exception as e:
+        print(f"megakernel path failed ({e}); falling back to bf16",
+              file=sys.stderr)
+
+    if tps_single is None:
+        srv = ServingModel((cfg, params_raw), precision="bf16")
+
+        @jax.jit
+        def gen_scan(params, state, logits):
+            def body(carry, _):
+                state, logits = carry
+                tok = jnp.argmax(logits)[None].astype(jnp.int32)
+                logits, state = forward_stacked(params, state, tok, cfg, True)
+                return (state, logits), None
+
+            (state, logits), _ = jax.lax.scan(
+                body, (state, logits), None, length=n_gen
+            )
+            return jnp.sum(logits)  # 4-byte probe
+
+        per_tok = time_chain(
+            gen_scan, srv.params, init_state(cfg),
+            jnp.zeros((cfg.n_vocab,), jnp.float32),
+        )
+        tps_single = 1.0 / per_tok
+
+    stacked = srv.params
 
     # Context metrics are best-effort: they add two more large graph
     # compiles, which through a congested tunnel can be slow. The headline

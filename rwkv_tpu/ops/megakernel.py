@@ -29,6 +29,18 @@ vs ~318 GB/s for int8->bf16 convert and ~493 GB/s for 2-byte bf16);
 wkv7 recurrence per head (reference rwkv_operators_wkv_v7.inc:61-101), in
 the transposed state: S'[j,i] = S[j,i]*w[j] + k[j]*v[i] + (sum_j' a[j']
 S[j',i]) * b[j]; out[i] = sum_j S'[j,i]*r[j].
+
+Verification note (debugged on chip, scripts/probe_mega_bisect.py +
+probe_slice_dot.py): native-vs-interpret runs agree EXACTLY (int8 dots are
+integer-exact) except when an ulp-level reduction-order difference in a
+layer norm (Mosaic vs XLA reduce order, ~1e-7) lands an activation exactly
+on an int8/bf16 rounding boundary — then one quantization code flips and
+the outputs step by ~1e-3, compounding through layers. This is inherent
+w8a8/bf16 activation-quantization noise (the XLA w8a8 path has the same
+sensitivity), not a layout miscompute: per-layer debugging showed every
+operand (coeffs, mixed inputs, scratch carries) bit-matching, with the
+discrete step appearing at the activation-quantized matvec, and the
+isolated sliced-dot repro is exact for every (G, C) tried.
 """
 
 from __future__ import annotations
@@ -135,7 +147,7 @@ def build_mega_pack(params: dict, cfg, quant: bool = True) -> dict:
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant):
+def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False):
     def mm(w, x):
         """W [N, K] @ x [K, 1] -> [N, 1] f32. quant: W int8 with row scales
         folded by the caller; else bf16 weights."""
@@ -160,6 +172,11 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant):
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
     def kernel(*refs):
+        dbg_out = None
+        if debug:
+            # outputs precede scratch: (..., heads_out, dbg_out, x_s, vf_s)
+            *rest, dbg_out, x_s_, vf_s_ = refs
+            refs = tuple(rest) + (x_s_, vf_s_)
         if quant:
             (x0_ref, att_in, ffn_in, heads_in,
              rkv, rkv_d, lora1, lora1_d, lora2, lora2_d,
@@ -240,6 +257,7 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant):
 
         vf = vf_s[:]
         v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + v0[0])
+        v_pre = v
         v = jnp.where(i == 0, v, v_mixed)
 
         # ---- wkv7 step (transposed state [H, S_j, S_i]) ---------------
@@ -274,6 +292,10 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant):
         xo = (xo + bonus) * g
 
         att_proj = matv(out_w, out_d if quant else None, 0, c, xo)
+        if debug:
+            dbg_out[0] = jnp.concatenate([
+                cf[0], cf[1], cf[2], cf[3], cf[4], cf[5], xk, xa,
+            ], axis=0)
         x = x + att_proj
 
         # ---- FFN ------------------------------------------------------
@@ -300,6 +322,7 @@ from jax.experimental.pallas import tpu as pltpu     # noqa: E402
 
 def v7_decode_megakernel(
     pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+    debug: bool = False,
 ):
     """Run all layers of one v7 decode step (B=1).
 
@@ -312,7 +335,7 @@ def v7_decode_megakernel(
     d_lora, f_dim = pack["d_lora"], pack["f_dim"]
     quant = pack["quant"]
 
-    kernel = _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant)
+    kernel = _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=debug)
 
     def blocked(shape):
         return pl.BlockSpec(
@@ -359,8 +382,13 @@ def v7_decode_megakernel(
     out_specs = (
         whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s)),
     )
+    if debug:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((n_layer, 8 * c, 1), jnp.float32),
+        )
+        out_specs = out_specs + (blocked((8 * c, 1)),)
 
-    y, att_xx, ffn_xx, heads = pl.pallas_call(
+    *outs, = pl.pallas_call(
         kernel,
         grid=(n_layer,),
         in_specs=in_specs,
@@ -370,11 +398,20 @@ def v7_decode_megakernel(
             pltpu.VMEM((c, 1), jnp.float32),
             pltpu.VMEM((c, 1), jnp.float32),
         ],
-        # Per-layer weights + double buffering exceed the 16MB default
-        # scoped-VMEM budget; the chip has 128MB (probe_megakernel2 vmem).
+        # dimension_semantics: the layer grid has CARRIES (x/v_first scratch,
+        # sequential state) — it must be declared "arbitrary", not parallel,
+        # or the pipeline may reorder/overlap iterations and silently corrupt
+        # the carried activations (observed natively at some (L, C) combos).
+        # vmem_limit: per-layer weights + double buffering exceed the 16MB
+        # default scoped budget; the chip has 128MB (probe_megakernel2 vmem).
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
-    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+    y, att_xx, ffn_xx, heads = outs[:4]
+    state = {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+    if debug:
+        state["dbg"] = outs[4]
+    return y, state

@@ -1,0 +1,119 @@
+"""Prefill chunk-size sweep: T=256 prefill at 169M-class dims for wkv7
+chunk sizes {16, 32, 64} and both serving precisions, plus an MFU /
+roofline readout. wkv7's decay is bounded (w >= e^-0.6065), so 1/W ratio
+factors stay finite in f32 up to P=64 (ops/chunked.py header math).
+"""
+
+import os
+import sys
+import time
+from functools import partial
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from rwkv_tpu.models.serve import ServingModel, forward_stacked
+from rwkv_tpu.models.synth import synth_config, synth_params
+from rwkv_tpu.ops.chunked import wkv7_auto
+
+T = 256
+L, C, VOCAB, HEAD = 12, 768, 65536, 64
+
+
+def null_overhead():
+    @jax.jit
+    def probe(x):
+        return x * 1.000001
+
+    x = jnp.ones((8,), jnp.float32)
+    np.asarray(probe(x))
+    best = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        np.asarray(probe(x))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main():
+    cfg = synth_config("7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD)
+    params = synth_params(cfg, seed=0)
+    toks = jnp.asarray(np.arange(T, dtype=np.int32) % VOCAB).reshape(T, 1)
+    ov = null_overhead()
+
+    for precision in ("bf16", "w8a8"):
+        srv = ServingModel((cfg, params), precision=precision)
+        state = jax.tree.map(
+            lambda a: jnp.swapaxes(a, 0, 1), srv.init_state(1)
+        )
+        for chunk in (16, 32, 64):
+            @partial(jax.jit, static_argnums=(3,))
+            def run(p, s, t, ck):
+                logits, _ = _forward_with_chunk(p, s, t, cfg, ck)
+                return jnp.sum(logits)
+
+            run = partial(run, ck=chunk)
+
+            try:
+                np.asarray(run(srv.params, state, toks))
+                best = 1e9
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    np.asarray(run(srv.params, state, toks))
+                    best = min(best, time.perf_counter() - t0)
+                dt = best - ov
+                flops = 2 * 165e6 * T  # ~2*params*T MACs -> FLOPs
+                mfu = flops / dt / 394e12 if precision == "w8a8" else (
+                    flops / dt / 197e12
+                )
+                print(f"{precision} chunk={chunk:3d}: {dt*1e3:7.2f} ms "
+                      f"({T/dt:8.0f} tok/s)  MFU~{mfu*100:4.1f}%", flush=True)
+            except Exception as e:
+                print(f"{precision} chunk={chunk}: {type(e).__name__}: "
+                      f"{str(e)[:120]}", flush=True)
+
+
+def _forward_with_chunk(params, state, tokens, cfg, chunk):
+    """forward_stacked but with an explicit wkv7 chunk size."""
+    from rwkv_tpu.models import graph as G
+    from rwkv_tpu.models.serve import _att_v7_fused
+    from rwkv_tpu.ops.parity import layer_norm
+
+    emb = params["emb"][tokens]
+    x = layer_norm(emb.astype(jnp.float32), *params["ln0"])
+    wkv_fn = partial(wkv7_auto, chunk_size=chunk)
+    xs = (params["blocks"], state["att_xx"], state["ffn_xx"], state["heads"],
+          jnp.arange(cfg.n_layer))
+
+    def body(carry, inp):
+        x, v_first = carry
+        layer, att_xx, ffn_xx, heads, idx = inp
+        if "att.rkv.weight" in layer:
+            dx, att_xx, heads, v_first = _att_v7_fused(
+                layer, x, att_xx, heads, v_first, cfg, (idx == 0), wkv_fn
+            )
+        else:
+            dx, att_xx, heads, v_first = G.att_v7(
+                layer, x, att_xx, heads, v_first, cfg, is_first=(idx == 0),
+                wkv_fn=wkv_fn,
+            )
+        x = x + dx
+        dx, ffn_xx = G.ffn_v7(layer, x, ffn_xx)
+        x = x + dx
+        return (x, v_first), (att_xx, ffn_xx, heads)
+
+    v0 = jnp.zeros_like(x)
+    (x, _), (att_xx, ffn_xx, heads) = jax.lax.scan(body, (x, v0), xs)
+    logits = G.mm(layer_norm(x[-1], *params["ln_out"]), params["head"])
+    return logits, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+
+
+if __name__ == "__main__":
+    main()

@@ -128,6 +128,24 @@ def test_tp_serving_w8a8_bitexact(eight_devices):
     assert np.array_equal(np.asarray(logits_tp), np.asarray(logits_ref))
 
 
+def test_tp_serving_w8a8_bitexact_fixture(eight_devices):
+    """SURVEY §4 bar on a REAL committed fixture: w8a8 decode logits on a
+    (data=4, model=2) mesh are bit-identical to 1-device (int32
+    accumulation is associative; scale application is element-local)."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.parallel.sharding import make_mesh
+
+    path = str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin"))
+    ref = ServingModel(path, precision="w8a8")
+    tp = ServingModel(path, precision="w8a8",
+                      mesh=make_mesh(4, 2, devices=eight_devices))
+    st_r, st_t = ref.init_state(1), tp.init_state(1)
+    for tok in b'"in':
+        logits_r, st_r = ref.decode(np.array([tok], np.int32), st_r)
+        logits_t, st_t = tp.decode(np.array([tok], np.int32), st_t)
+        assert np.array_equal(np.asarray(logits_t), np.asarray(logits_r))
+
+
 def test_tp_serving_prefill_fixture(eight_devices):
     """TP serving prefill on a real tiny fixture (single head — exercises
     the degenerate-but-legal head sharding config tp | H via replication
