@@ -203,6 +203,59 @@ def _att_v7_fused(layer, x, att_xx, heads, v_first, cfg, is_first, wkv_fn):
     return G.mm(xo, layer["att.output.weight"]), new_xx, heads, v_first
 
 
+def run_blocks(
+    blocks: dict,
+    state: dict,
+    x: jnp.ndarray,
+    cfg: ModelConfig,
+    v_first=None,
+    layer_offset=0,
+    wkv_fn=None,
+):
+    """Scan a stacked [Lb, ...] blocks dict over `x` (post-ln0 activations,
+    [T, ...C]). `layer_offset` is the global index of the first layer (the
+    v7 value-residual selects v at GLOBAL layer 0) — pipeline stages run
+    this on their local layer slice. Returns (x, v_first, new_state).
+    v5+ only (v4's scalar-state att lives in forward_stacked directly)."""
+    major = cfg.version_major
+    n_local = state["att_xx"].shape[0]
+    xs = (blocks, state["att_xx"], state["ffn_xx"], state["heads"],
+          layer_offset + jnp.arange(n_local))
+
+    def body(carry, inp):
+        x, v_first = carry
+        layer, att_xx, ffn_xx, heads, idx = inp
+        if major == 7:
+            if "att.rkv.weight" in layer:
+                dx, att_xx, heads, v_first = _att_v7_fused(
+                    layer, x, att_xx, heads, v_first, cfg, (idx == 0), wkv_fn
+                )
+            else:
+                dx, att_xx, heads, v_first = G.att_v7(
+                    layer, x, att_xx, heads, v_first, cfg, is_first=(idx == 0),
+                    wkv_fn=wkv_fn,
+                )
+            x = x + dx
+            dx, ffn_xx = G.ffn_v7(layer, x, ffn_xx)
+        elif major == 6:
+            dx, att_xx, heads = G.att_v6(layer, x, att_xx, heads, cfg, wkv_fn=wkv_fn)
+            x = x + dx
+            dx, ffn_xx = G.ffn_v6(layer, x, ffn_xx)
+        else:
+            dx, att_xx, heads = G.att_v5(layer, x, att_xx, heads, cfg, wkv_fn=wkv_fn)
+            x = x + dx
+            dx, ffn_xx = G.ffn_v4_v5(layer, x, ffn_xx)
+        x = x + dx
+        return (x, v_first), (att_xx, ffn_xx, heads)
+
+    if v_first is None:
+        v_first = jnp.zeros_like(x)
+    (x, v_first), (att_xx, ffn_xx, heads) = jax.lax.scan(
+        body, (x, v_first), xs
+    )
+    return x, v_first, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+
+
 def forward_stacked(
     params: dict,
     state: dict,
@@ -219,7 +272,6 @@ def forward_stacked(
     major = cfg.version_major
     emb = params["emb"][tokens]
     x = layer_norm(emb.astype(jnp.float32), *params["ln0"])
-    n_layer = cfg.n_layer
 
     # Prefill (T > 1) uses the chunked matmul wkv — same math, MXU-resident
     # (rwkv_tpu/ops/chunked.py); decode (T=1) uses the sequential scan.
@@ -230,38 +282,9 @@ def forward_stacked(
         wkv_fn = wkv7_auto if major == 7 else wkv6_auto
 
     if major >= 5:
-        xs = (params["blocks"], state["att_xx"], state["ffn_xx"], state["heads"],
-              jnp.arange(n_layer))
-
-        def body(carry, inp):
-            x, v_first = carry
-            layer, att_xx, ffn_xx, heads, idx = inp
-            if major == 7:
-                if "att.rkv.weight" in layer:
-                    dx, att_xx, heads, v_first = _att_v7_fused(
-                        layer, x, att_xx, heads, v_first, cfg, (idx == 0), wkv_fn
-                    )
-                else:
-                    dx, att_xx, heads, v_first = G.att_v7(
-                        layer, x, att_xx, heads, v_first, cfg, is_first=(idx == 0),
-                        wkv_fn=wkv_fn,
-                    )
-                x = x + dx
-                dx, ffn_xx = G.ffn_v7(layer, x, ffn_xx)
-            elif major == 6:
-                dx, att_xx, heads = G.att_v6(layer, x, att_xx, heads, cfg, wkv_fn=wkv_fn)
-                x = x + dx
-                dx, ffn_xx = G.ffn_v6(layer, x, ffn_xx)
-            else:
-                dx, att_xx, heads = G.att_v5(layer, x, att_xx, heads, cfg, wkv_fn=wkv_fn)
-                x = x + dx
-                dx, ffn_xx = G.ffn_v4_v5(layer, x, ffn_xx)
-            x = x + dx
-            return (x, v_first), (att_xx, ffn_xx, heads)
-
-        v_first0 = jnp.zeros_like(x)
-        (x, _), (att_xx, ffn_xx, heads) = jax.lax.scan(body, (x, v_first0), xs)
-        new_state = {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+        x, _, new_state = run_blocks(
+            params["blocks"], state, x, cfg, wkv_fn=wkv_fn
+        )
     else:
         xs = (params["blocks"], state["att_xx"], state["ffn_xx"],
               state["aa"], state["bb"], state["pp"])

@@ -118,3 +118,44 @@ def test_serving_precision_golden_band(precision, max_abs_diff_sum):
         logits, state = srv.decode(np.array([tok], np.int32), state)
     diff = float(np.sum(np.asarray(logits[0]) - expected))
     assert abs(diff) < max_abs_diff_sum, diff
+
+
+@pytest.mark.parametrize("version", ["4v0-660K", "5v2-730K", "7v0-834K"])
+def test_serving_prefill_golden(version):
+    """GOLDEN check through the serving engine's prefill path (bucketed
+    chunks; chunked matmul wkv where T permits) — the reference's
+    sequence-mode half of logit_difference_validator.inc:60-83, previously
+    only covered via the parity engine."""
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture(f"tiny-rwkv-{version}-FP32.bin"))
+    expected = np.fromfile(
+        str(require_fixture(f"expected-logits-{version}.bin")), dtype=np.float32
+    )
+    srv = ServingModel(path, precision="f32")
+    logits, _ = srv.prefill(list(b'"in'))
+    diff = float(np.sum(np.asarray(logits) - expected))
+    assert abs(diff) < 0.01, diff
+
+
+def test_serving_chunked_wkv_long_prefill_golden_state():
+    """A 48-token prefill (hits the 16-bucket => chunked wkv path) must
+    yield the same final state as token-by-token serial decode."""
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin"))
+    srv = ServingModel(path, precision="f32")
+    toks = [int(b) for b in (b'"in the beginning the machine read books."' + b"abcdef")][:48]
+
+    logits_p, state_p = srv.prefill(toks)
+    state_s = srv.init_state(1)
+    logits_s = None
+    for t in toks:
+        logits_s, state_s = srv.decode(np.array([t], np.int32), state_s)
+    np.testing.assert_allclose(
+        np.asarray(logits_p), np.asarray(logits_s[0]), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_p["heads"]), np.asarray(state_s["heads"]),
+        rtol=2e-4, atol=2e-4,
+    )
