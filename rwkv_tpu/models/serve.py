@@ -302,7 +302,12 @@ def forward_stacked(
         new_state = {"att_xx": att_xx, "ffn_xx": ffn_xx, "aa": aa, "bb": bb, "pp": pp}
 
     logits = None
-    if compute_logits:
+    if compute_logits == "all":
+        # Per-position logits (speculative verification / scoring):
+        # [T, ...C] -> [T, ..., V]
+        xo = layer_norm(x, *params["ln_out"])
+        logits = G.mm(xo, params["head"])
+    elif compute_logits:
         xo = layer_norm(x[-1], *params["ln_out"])  # [C] or [B, C]
         if xo.ndim == 1:
             logits = G.mm(xo[None, :], params["head"])[0]
@@ -439,6 +444,33 @@ class ServingModel:
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
+
+    def score(self, tokens, state):
+        """Sequence-score: per-position logits. tokens [B, t] ->
+        (logits [B, t, V], new_state). Position i's logits predict token
+        i+1 (the speculative-verification primitive)."""
+        tokens = jnp.asarray(tokens, jnp.int32)
+        key = ("score", tokens.shape[1])
+        if key not in self._jit_cache:
+            cfg = self.config
+            mm_force = self._mm_force
+
+            @jax.jit
+            def run(params, state, tokens):
+                from rwkv_tpu.ops.kernels import force_mode
+
+                with force_mode(mm_force):
+                    state_lb = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+                    logits, new_lb = forward_stacked(
+                        params, state_lb, tokens.T, cfg, "all"
+                    )  # [t, B, V]
+                    new_state = jax.tree.map(
+                        lambda a: jnp.swapaxes(a, 0, 1), new_lb
+                    )
+                return jnp.swapaxes(logits, 0, 1), new_state
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key](self.params, state, tokens)
 
     def decode(self, tokens, state):
         """One decode step for a batch: tokens [B] -> (logits [B, V], state).

@@ -1,0 +1,80 @@
+"""Speculative decoding: output must EXACTLY equal the target's greedy
+stream regardless of draft quality; perfect drafts accept everything."""
+
+import numpy as np
+import pytest
+
+from conftest import require_fixture
+
+
+def _target():
+    from rwkv_tpu.models.serve import ServingModel
+
+    return ServingModel(
+        str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin")), precision="f32"
+    )
+
+
+def _greedy_reference(model, prompt, n):
+    logits, state = model.prefill(list(prompt))
+    toks = []
+    for _ in range(n):
+        t = int(np.argmax(np.asarray(logits)))
+        toks.append(t)
+        out, state = model.decode(np.array([t], np.int32), state)
+        logits = out[0]
+    return toks
+
+
+PROMPT = list(b'"in the town')
+
+
+def test_speculative_exactness_weak_draft():
+    """A draft that disagrees often must still yield the target's exact
+    greedy tokens (mismatches replaced by the target's choice)."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.speculative import speculative_generate
+
+    target = _target()
+    # weak draft: a different tiny fixture arch entirely
+    draft = ServingModel(
+        str(require_fixture("tiny-rwkv-5v2-730K-FP32.bin")), precision="f32"
+    )
+    n = 12
+    want = _greedy_reference(target, PROMPT, n)
+    got, stats = speculative_generate(target, draft, PROMPT, n, k=3)
+    assert got.tolist() == want, (got.tolist(), want, stats)
+    assert stats["rounds"] > 0
+
+
+def test_speculative_perfect_draft_accepts_all():
+    from rwkv_tpu.models.speculative import speculative_generate
+
+    target = _target()
+    n = 10
+    want = _greedy_reference(target, PROMPT, n)
+    got, stats = speculative_generate(target, target, PROMPT, n, k=4)
+    assert got.tolist() == want
+    assert stats["acceptance_rate"] == 1.0
+
+
+def test_score_matches_serial_logits():
+    """score()'s per-position logits equal serial decode logits."""
+    target = _target()
+    toks = PROMPT[:6]
+    state = target.init_state(1)
+    serial = []
+    for t in toks:
+        out, state = target.decode(np.array([t], np.int32), state)
+        serial.append(np.asarray(out[0]))
+
+    logits_seq, state_seq = target.score(
+        np.asarray([toks], np.int32), target.init_state(1)
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_seq[0]), np.stack(serial), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_seq["heads"]), np.asarray(state["heads"]),
+        rtol=2e-4, atol=2e-4,
+    )
