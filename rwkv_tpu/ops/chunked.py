@@ -208,7 +208,12 @@ def wkv7_chunked(s0, r, w, k, v, a, b, chunk_size: int = 16):
 
 def wkv7_auto(s, r, w, k, v, a, b, chunk_size: int = 16):
     """Dispatch: chunked form when T is a chunk multiple and > 1, scan
-    otherwise. Accepts rank-3 ([T, H, S]) or rank-4 ([T, B, H, S])."""
+    otherwise. Accepts rank-3 ([T, H, S]) or rank-4 ([T, B, H, S]).
+    On TPU with B=1 the chunk machinery runs as ONE Pallas kernel per call
+    (a T=256 prefill otherwise spends most of its time on ~10 tiny XLA ops
+    per chunk per layer)."""
+    import jax as _jax
+
     from rwkv_tpu.models.graph import wkv7_scan
 
     t = r.shape[0]
@@ -219,7 +224,187 @@ def wkv7_auto(s, r, w, k, v, a, b, chunk_size: int = 16):
     if squeeze:
         r, w, k, v, a, b = (x[:, None] for x in (r, w, k, v, a, b))
         s = s[None]
-    y, s2 = wkv7_chunked(s, r, w, k, v, a, b, chunk_size)
+    if (
+        r.shape[1] == 1
+        and _jax.default_backend() == "tpu"
+        and r.shape[-1] % 8 == 0
+    ):
+        y, s2 = wkv7_chunked_pallas(
+            s[0], r[:, 0], w[:, 0], k[:, 0], v[:, 0], a[:, 0], b[:, 0],
+            chunk_size,
+        )
+        y, s2 = y[:, None], s2[None]
+    else:
+        y, s2 = wkv7_chunked(s, r, w, k, v, a, b, chunk_size)
     if squeeze:
         return y[:, 0], s2[0]
     return y, s2
+
+
+# ---------------------------------------------------------------------------
+# Pallas wkv7 chunk kernel (B=1): all chunks of a layer in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _wkv7_chunk_kernel(p, s_dim, h, n_chunks):
+    """Kernel body factory. Grid (n_chunks,), sequential: ONE grid step per
+    chunk processes ALL heads with batched dot_generals (batch dim H); the
+    chunk carry lives in a per-head VMEM scratch. One-grid-step-per-(head,
+    chunk) was measurably SLOWER than XLA — the TPU has one core, so a
+    "parallel" head grid dim just serializes tiny ops.
+
+    Per chunk, with the de-decayed factors precomputed outside
+    (atil/btil/ktil/rhat [H, P, S]) and state Tmat [H, S_i, S_j]:
+      bmat = strict(atil btil^T); kmat = strict(atil ktil^T)
+      rhs  = atil . Tmat(j) + kmat v
+      (I - bmat) sa = rhs        (unit lower triangular, forward subst.)
+      out  = rhat . Tmat(j) + incl(rhat btil^T) sa + incl(rhat ktil^T) v
+      Tmat += sa^T btil + v^T ktil;   state_out = Tmat o exp_last (over j)
+    """
+    import jax as _jax
+    import jax.numpy as _jnp
+    from jax.experimental import pallas as pl
+
+    def bdot(x, y, cx, cy):
+        # batched over H (dim 0 of both): contract x dim cx with y dim cy
+        return _jax.lax.dot_general(
+            x, y, (((cx,), (cy,)), ((0,), (0,))),
+            preferred_element_type=_jnp.float32,
+        )
+
+    def kernel(atil_ref, btil_ref, ktil_ref, rhat_ref, v_ref, elast_ref,
+               s0_ref, out_ref, snext_ref, t_s, sa_s, bmat_s, rhs_s):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            t_s[:] = s0_ref[:]
+
+        atil = atil_ref[0]   # block (1, H, P, S) -> [H, P, S]
+        btil = btil_ref[0]
+        ktil = ktil_ref[0]
+        rhat = rhat_ref[0]
+        v = v_ref[0]
+
+        ti = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 0)
+        ui = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 1)
+        strict = (ui < ti).astype(_jnp.float32)[None]
+        incl = (ui <= ti).astype(_jnp.float32)[None]
+
+        tmat = t_s[:]                                  # [H, S_i, S_j]
+        bmat = bdot(atil, btil, 2, 2) * strict         # [H, P, P]
+        kmat = bdot(atil, ktil, 2, 2) * strict
+        rhs = bdot(atil, tmat, 2, 2) + bdot(kmat, v, 2, 1)  # [H, P, S_i]
+
+        # forward substitution over chunk positions: sa[:, t] = rhs[:, t] +
+        # bmat[:, t, :] @ sa (rows >= t of sa are zero; bmat strictly
+        # lower). Dynamic row indexing goes through refs.
+        sa_s[:] = _jnp.zeros((h, p, s_dim), _jnp.float32)
+        bmat_s[:] = bmat
+        rhs_s[:] = rhs
+
+        def subst(t, _):
+            row = bmat_s[:, pl.ds(t, 1), :]            # [H, 1, P]
+            sa_s[:, pl.ds(t, 1), :] = (
+                rhs_s[:, pl.ds(t, 1), :] + bdot(row, sa_s[:], 2, 1)
+            )
+            return 0
+
+        _jax.lax.fori_loop(0, p, subst, 0)
+        sa = sa_s[:]
+
+        br = bdot(rhat, btil, 2, 2) * incl
+        kr = bdot(rhat, ktil, 2, 2) * incl
+        out = bdot(rhat, tmat, 2, 2) + bdot(br, sa, 2, 1) + bdot(kr, v, 2, 1)
+        out_ref[0] = out
+
+        tmat = tmat + bdot(sa, btil, 1, 1) + bdot(v, ktil, 1, 1)
+        t_s[:] = tmat * elast_ref[0]                   # [H, 1, S_j] bcast
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            snext_ref[:] = t_s[:]
+
+    return kernel
+
+
+def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
+                        interpret: bool = False):
+    """Single-sequence chunked wkv7 as ONE pallas_call. Shapes: r/w/k/v/a/b
+    [T, H, S]; s0 [H, S, S] (i=value, j=key). Same math as wkv7_chunked —
+    the de-decay factors are precomputed in XLA (cheap, vectorized over T),
+    and the per-chunk matmul/solve pipeline runs on-chip with the chunk
+    state resident in VMEM (no [P, P, ...] HBM intermediates)."""
+    import jax as _jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, h, s_dim = r.shape
+    p = chunk_size
+    nc = t // p
+
+    lw = jnp.log(jnp.maximum(w, jnp.float32(1e-30)))
+    lw_c = lw.reshape(nc, p, h, s_dim)
+    lcum = jnp.cumsum(lw_c, axis=1)
+    lcum_ex = lcum - lw_c
+
+    def chunked(x):
+        return x.reshape(nc, p, h, s_dim)
+
+    # operand layout [NC, H, P, S]: block (1, 1, P, S) — last two block
+    # dims (P, S) satisfy Mosaic's (8, 128)-divisible-or-full rule.
+    def to_nhps(x):
+        return jnp.swapaxes(x, 1, 2)
+
+    atil = to_nhps(chunked(a) * jnp.exp(lcum_ex))
+    btil = to_nhps(chunked(b) * jnp.exp(-lcum))
+    ktil = to_nhps(chunked(k) * jnp.exp(-lcum))
+    rhat = to_nhps(chunked(r) * jnp.exp(lcum))
+    v_op = to_nhps(chunked(v))
+    elast = jnp.exp(lcum[:, -1])[:, :, None, :]     # [NC, H, 1, S]
+
+    def opspec():
+        return pl.BlockSpec(
+            (1, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = _wkv7_chunk_kernel(p, s_dim, h, nc)
+    out, s_next = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[opspec() for _ in range(5)]
+        + [pl.BlockSpec((1, h, 1, s_dim), lambda cc: (cc, 0, 0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((h, s_dim, s_dim), lambda cc: (0, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, s_dim, s_dim), lambda cc: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nc, h, p, s_dim), jnp.float32),
+            jax.ShapeDtypeStruct((h, s_dim, s_dim), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, s_dim, s_dim), jnp.float32),
+            pltpu.VMEM((h, p, s_dim), jnp.float32),
+            pltpu.VMEM((h, p, p), jnp.float32),
+            pltpu.VMEM((h, p, s_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(
+        atil.astype(jnp.float32), btil.astype(jnp.float32),
+        ktil.astype(jnp.float32), rhat.astype(jnp.float32),
+        v_op.astype(jnp.float32),
+        elast.astype(jnp.float32),
+        s0.astype(jnp.float32),
+    )
+    # [NC, H, P, S] -> [T, H, S]
+    out = jnp.swapaxes(out, 1, 2).reshape(t, h, s_dim)
+    return out, s_next

@@ -43,6 +43,9 @@ def null_overhead():
 
 
 def main():
+    if "--validate" in sys.argv:
+        return 0 if validate_native() else 1
+
     cfg = synth_config("7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD)
     params = synth_params(cfg, seed=0)
     toks = jnp.asarray(np.arange(T, dtype=np.int32) % VOCAB).reshape(T, 1)
@@ -120,6 +123,53 @@ def _forward_with_chunk(params, state, tokens, cfg, chunk):
     (x, _), (att_xx, ffn_xx, heads) = jax.lax.scan(body, (x, v0), xs)
     logits = G.mm(layer_norm(x[-1], *params["ln_out"]), params["head"])
     return logits, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+
+
+
+
+def validate_native():
+    """Native-vs-interpret check of the Pallas chunk kernel at 169M dims."""
+    from rwkv_tpu.ops.chunked import wkv7_chunked_pallas
+
+    rs = np.random.RandomState(0)
+    t, h, s_dim, p = 256, 12, 64, 16
+    r, k, v = (rs.randn(t, h, s_dim).astype(np.float32) * 0.3 for _ in range(3))
+    w = np.exp(-0.6065 / (1 + np.exp(-rs.randn(t, h, s_dim).astype(np.float32))))
+    kk = rs.randn(t, h, s_dim).astype(np.float32)
+    kk /= np.linalg.norm(kk, axis=-1, keepdims=True)
+    ag = 1 / (1 + np.exp(-rs.randn(t, h, s_dim).astype(np.float32)))
+    a, b = -kk, kk * ag
+    s0 = rs.randn(h, s_dim, s_dim).astype(np.float32) * 0.3
+    args = [jnp.asarray(x) for x in (s0, r, w, k, v, a, b)]
+
+    y_n, s_n = jax.jit(
+        lambda *xs: wkv7_chunked_pallas(*xs, chunk_size=p)
+    )(*args)
+    y_i, s_i = wkv7_chunked_pallas(*args, chunk_size=p, interpret=True)
+
+    # float64 ground truth via the sequential recurrence (both the native
+    # Mosaic and the XLA-interpret f32 matmuls decompose differently on
+    # TPU, so compare each against f64 instead of against each other).
+    s64 = s0.astype(np.float64)
+    y64 = np.zeros((t, h, s_dim))
+    for ti in range(t):
+        sa = np.einsum("hij,hj->hi", s64, a[ti].astype(np.float64))
+        s64 = (
+            s64 * w[ti].astype(np.float64)[:, None, :]
+            + v[ti].astype(np.float64)[:, :, None] * k[ti].astype(np.float64)[:, None, :]
+            + sa[:, :, None] * b[ti].astype(np.float64)[:, None, :]
+        )
+        y64[ti] = np.einsum("hij,hj->hi", s64, r[ti].astype(np.float64))
+
+    scale = np.abs(y64).max()
+    en = float(np.abs(np.asarray(y_n) - y64).max() / scale)
+    ei = float(np.abs(np.asarray(y_i) - y64).max() / scale)
+    esn = float(np.abs(np.asarray(s_n) - s64).max())
+    print(f"rel err vs f64: native={en:.2e} interpret={ei:.2e} "
+          f"state(native)={esn:.2e}", flush=True)
+    ok = en < max(5e-4, 4 * ei)
+    print("PASS" if ok else "FAIL", flush=True)
+    return ok
 
 
 if __name__ == "__main__":

@@ -118,3 +118,37 @@ def test_wkv7_auto_rank3_and_fallback():
     y2, _ = wkv7_auto(s0, r[:30], w[:30], k[:30], v[:30], a[:30], b[:30])
     y2_ref, _ = wkv7_scan(s0, r[:30], w[:30], k[:30], v[:30], a[:30], b[:30])
     np.testing.assert_array_equal(np.asarray(y2), np.asarray(y2_ref))
+
+
+def test_wkv7_pallas_chunk_kernel_matches_chunked():
+    """The single-pallas_call chunk pipeline (state resident in VMEM,
+    interpret mode here; natively validated by scripts/bench_prefill_chunks
+    --validate) equals the XLA chunked form."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.ops.chunked import wkv7_chunked, wkv7_chunked_pallas
+
+    rs = np.random.RandomState(0)
+    t, h, s_dim, p = 64, 4, 64, 16
+    r, k, v = (rs.randn(t, h, s_dim).astype(np.float32) * 0.3 for _ in range(3))
+    w = np.exp(-0.6065 / (1 + np.exp(-rs.randn(t, h, s_dim).astype(np.float32))))
+    kk = rs.randn(t, h, s_dim).astype(np.float32)
+    kk /= np.linalg.norm(kk, axis=-1, keepdims=True)
+    ag = 1 / (1 + np.exp(-rs.randn(t, h, s_dim).astype(np.float32)))
+    a, b = -kk, kk * ag
+    s0 = rs.randn(h, s_dim, s_dim).astype(np.float32) * 0.3
+
+    y_ref, s_ref = wkv7_chunked(
+        jnp.asarray(s0)[None],
+        *(jnp.asarray(x)[:, None] for x in (r, w, k, v, a, b)), chunk_size=p,
+    )
+    y_pl, s_pl = wkv7_chunked_pallas(
+        jnp.asarray(s0), *(jnp.asarray(x) for x in (r, w, k, v, a, b)),
+        chunk_size=p, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pl), np.asarray(y_ref)[:, 0], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pl), np.asarray(s_ref)[0], rtol=1e-5, atol=1e-5
+    )
