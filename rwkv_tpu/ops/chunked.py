@@ -224,16 +224,30 @@ def wkv7_auto(s, r, w, k, v, a, b, chunk_size: int = 16):
     if squeeze:
         r, w, k, v, a, b = (x[:, None] for x in (r, w, k, v, a, b))
         s = s[None]
+    t_len, bsz, h, s_dim = r.shape
+    # VMEM footprint of the kernel: carry state + 4 scratches + ~2x-buffered
+    # chunk operands, all with the (B*H) fold as the batch dim.
+    bh = bsz * h
+    vmem_est = 4 * (
+        bh * s_dim * s_dim * 2          # state scratch + state in/out block
+        + bh * chunk_size * s_dim * 13  # 5 operands x2 (dbl buf) + sa/rhs/out
+        + bh * chunk_size * chunk_size
+    )
     if (
-        r.shape[1] == 1
-        and _jax.default_backend() == "tpu"
-        and r.shape[-1] % 8 == 0
+        _jax.default_backend() == "tpu"
+        and s_dim % 8 == 0
+        and vmem_est < 60 * 2**20
     ):
+        def fold(x):
+            return x.reshape(t_len, bh, s_dim)
+
         y, s2 = wkv7_chunked_pallas(
-            s[0], r[:, 0], w[:, 0], k[:, 0], v[:, 0], a[:, 0], b[:, 0],
+            s.reshape(bh, s_dim, s_dim),
+            fold(r), fold(w), fold(k), fold(v), fold(a), fold(b),
             chunk_size,
         )
-        y, s2 = y[:, None], s2[None]
+        y = y.reshape(t_len, bsz, h, s_dim)
+        s2 = s2.reshape(bsz, h, s_dim, s_dim)
     else:
         y, s2 = wkv7_chunked(s, r, w, k, v, a, b, chunk_size)
     if squeeze:
@@ -396,6 +410,7 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
         ),
         interpret=interpret,
     )(

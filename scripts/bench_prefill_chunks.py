@@ -46,15 +46,21 @@ def main():
     if "--validate" in sys.argv:
         return 0 if validate_native() else 1
 
+    bsz = 1
+    if "--batch" in sys.argv:
+        bsz = int(sys.argv[sys.argv.index("--batch") + 1])
+
     cfg = synth_config("7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD)
     params = synth_params(cfg, seed=0)
-    toks = jnp.asarray(np.arange(T, dtype=np.int32) % VOCAB).reshape(T, 1)
+    toks = jnp.asarray(
+        np.arange(T * bsz, dtype=np.int32).reshape(T, bsz) % VOCAB
+    )
     ov = null_overhead()
 
     for precision in ("bf16", "w8a8"):
         srv = ServingModel((cfg, params), precision=precision)
         state = jax.tree.map(
-            lambda a: jnp.swapaxes(a, 0, 1), srv.init_state(1)
+            lambda a: jnp.swapaxes(a, 0, 1), srv.init_state(bsz)
         )
         for chunk in (16, 32, 64):
             reps = 32  # prefill ~1-4 ms; amortize the ~25 ms tunnel sync
@@ -79,12 +85,13 @@ def main():
                     np.asarray(run(srv.params, state, toks))
                     best = min(best, time.perf_counter() - t0)
                 dt = (best - ov) / reps
-                flops = 2 * 165e6 * T  # ~2*params*T MACs -> FLOPs
+                flops = 2 * 165e6 * T * bsz  # ~2*params*tokens MACs -> FLOPs
                 mfu = flops / dt / 394e12 if precision == "w8a8" else (
                     flops / dt / 197e12
                 )
-                print(f"{precision} chunk={chunk:3d}: {dt*1e3:7.2f} ms "
-                      f"({T/dt:8.0f} tok/s)  MFU~{mfu*100:4.1f}%", flush=True)
+                print(f"{precision} B={bsz} chunk={chunk:3d}: {dt*1e3:7.2f} ms "
+                      f"({T*bsz/dt:8.0f} tok/s)  MFU~{mfu*100:4.1f}%",
+                      flush=True)
             except Exception as e:
                 print(f"{precision} chunk={chunk}: {type(e).__name__}: "
                       f"{str(e)[:120]}", flush=True)

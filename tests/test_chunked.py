@@ -152,3 +152,43 @@ def test_wkv7_pallas_chunk_kernel_matches_chunked():
     np.testing.assert_allclose(
         np.asarray(s_pl), np.asarray(s_ref)[0], rtol=1e-5, atol=1e-5
     )
+
+
+def test_wkv7_auto_batched_pallas_fold_matches_scan():
+    """wkv7_auto with B>1 folds (B, H) into the kernel's head-batch dim;
+    on CPU this exercises the fold/reshape plumbing via the XLA fallback,
+    and the fold itself is checked against the kernel in interpret mode."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.ops.chunked import wkv7_chunked, wkv7_chunked_pallas
+
+    rs = np.random.RandomState(1)
+    t, bsz, h, s_dim, p = 32, 3, 2, 64, 16
+    r, k, v = (
+        rs.randn(t, bsz, h, s_dim).astype(np.float32) * 0.3 for _ in range(3)
+    )
+    w = np.exp(-0.6065 / (1 + np.exp(-rs.randn(t, bsz, h, s_dim).astype(np.float32))))
+    kk = rs.randn(t, bsz, h, s_dim).astype(np.float32)
+    kk /= np.linalg.norm(kk, axis=-1, keepdims=True)
+    ag = 1 / (1 + np.exp(-rs.randn(t, bsz, h, s_dim).astype(np.float32)))
+    a, b = -kk, kk * ag
+    s0 = rs.randn(bsz, h, s_dim, s_dim).astype(np.float32) * 0.3
+
+    y_ref, s_ref = wkv7_chunked(
+        jnp.asarray(s0), *(jnp.asarray(x) for x in (r, w, k, v, a, b)),
+        chunk_size=p,
+    )
+    bh = bsz * h
+    y_pl, s_pl = wkv7_chunked_pallas(
+        jnp.asarray(s0).reshape(bh, s_dim, s_dim),
+        *(jnp.asarray(x).reshape(t, bh, s_dim) for x in (r, w, k, v, a, b)),
+        chunk_size=p, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pl).reshape(t, bsz, h, s_dim), np.asarray(y_ref),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pl).reshape(bsz, h, s_dim, s_dim), np.asarray(s_ref),
+        rtol=1e-5, atol=1e-5,
+    )
