@@ -39,6 +39,12 @@ from rwkv_tpu.ops.parity import Weight, group_norm, l2_normalize, layer_norm
 # decomposed, so at most len(BUCKETS) distinct graphs are ever compiled.
 PREFILL_BUCKETS = (256, 64, 16, 4, 1)
 
+# Largest batch routed through the batched megakernel: the four
+# double-buffered [h, s, s, B] state blocks plus per-layer weights must fit
+# the 100MB VMEM budget (ops/megakernel.py). Beyond this, decode falls back
+# to the per-op path.
+MEGA_MAX_BATCH = 64
+
 
 def _densify(w, dtype):
     """Weight leaf -> dense array in serving dtype."""
@@ -366,6 +372,15 @@ class ServingModel:
                 params, cfg,
                 quant=precision in ("quant", "q8", "q8r", "w8a8"),
             )
+            # Whole-layer weight blocks must double-buffer in VMEM; past
+            # ~20MB/layer (e.g. 1.5B C=2048) decode uses the phase-tiled
+            # kernel instead (ops/megakernel.py tiled section).
+            per_layer = sum(
+                int(np.prod(self._mega[k].shape[1:]))
+                * self._mega[k].dtype.itemsize
+                for k in ("rkv", "lora1", "lora2", "out", "fk", "fv")
+            )
+            self._mega_big = per_layer > 20 * 1024 * 1024
         self._jit_cache: dict[Any, Any] = {}
 
     # -- state -------------------------------------------------------------
@@ -445,6 +460,112 @@ class ServingModel:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _mega_tiled_pack(self, b: int):
+        """Retiled pack + (nh, nf) for the phase-tiled kernel, cached by
+        the nf it implies (nh has no effect on the pack)."""
+        from rwkv_tpu.ops.megakernel import choose_tiling, retile_mega_pack
+
+        cfg = self.config
+        nh, nf = choose_tiling(cfg, self._mega["quant"], b)
+        key = ("megapack", nf)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = retile_mega_pack(self._mega, cfg, nh, nf)
+        pack = dict(self._jit_cache[key])
+        pack["nh"] = nh
+        return pack, nh, nf
+
+    def _mega_tiled1_fn(self):
+        """Single-stream decode through the phase-tiled kernel (models
+        whose per-layer weights exceed the whole-layer VMEM budget)."""
+        key = ("megat1",)
+        if key not in self._jit_cache:
+            cfg = self.config
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel import v7_decode_megakernel_tiled
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            pack_full, nh, nf = self._mega_tiled_pack(1)
+            meta = {k: pack_full[k]
+                    for k in ("quant", "d_lora", "f_dim", "nh", "nf")}
+            arrs = {k: v for k, v in pack_full.items() if k not in meta}
+            L, H, S = cfg.n_layer, cfg.head_count, cfg.head_size
+
+            @jax.jit
+            def run(params, pack_arrs, state, token):   # state [1, L, ...]
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][token[0]].astype(jnp.float32),
+                    *params["ln0"],
+                )
+                heads = jnp.swapaxes(state["heads"][0], -1, -2)  # -> (j, i)
+                state_t = {
+                    "att_xx": state["att_xx"][0][..., None],
+                    "ffn_xx": state["ffn_xx"][0][..., None],
+                    "heads": heads.reshape(L, nh, H // nh, S, S),
+                }
+                y, new_t = v7_decode_megakernel_tiled(
+                    pack, state_t, x0[:, None], cfg, interpret=interpret
+                )
+                xo = p_ln(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])
+                new_heads = jnp.swapaxes(
+                    new_t["heads"].reshape(L, H, S, S), -1, -2
+                )
+                new_state = {
+                    "att_xx": new_t["att_xx"][None, ..., 0],
+                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
+                    "heads": new_heads[None],
+                }
+                return logits, new_state
+
+            self._jit_cache[key] = (run, arrs)
+        return self._jit_cache[key]
+
+    def _mega_batched_fn(self, b: int):
+        """Batched whole-model kernel step (batch on lanes, phase-tiled
+        state streaming — see ops/megakernel.py). One jit per batch."""
+        key = ("megab", b)
+        if key not in self._jit_cache:
+            cfg = self.config
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel import v7_decode_megakernel_tiled
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            pack_full, nh, nf = self._mega_tiled_pack(b)
+            meta = {k: pack_full[k]
+                    for k in ("quant", "d_lora", "f_dim", "nh", "nf")}
+            arrs = {k: v for k, v in pack_full.items() if k not in meta}
+            L, H = cfg.n_layer, cfg.head_count
+            S = cfg.head_size
+
+            @jax.jit
+            def run(params, pack_arrs, state, tokens):  # state [B, L, ...]
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][tokens].astype(jnp.float32), *params["ln0"]
+                )                                               # [B, C]
+                heads = jnp.transpose(state["heads"], (1, 2, 3, 4, 0))
+                state_t = {
+                    "att_xx": jnp.transpose(state["att_xx"], (1, 2, 0)),
+                    "ffn_xx": jnp.transpose(state["ffn_xx"], (1, 2, 0)),
+                    "heads": heads.reshape(L, nh, H // nh, S, S, b),
+                }
+                y, new_t = v7_decode_megakernel_tiled(
+                    pack, state_t, x0.T, cfg, interpret=interpret
+                )
+                xo = p_ln(y.T, *params["ln_out"])               # [B, C]
+                logits = G.mm(xo, params["head"])
+                new_heads = new_t["heads"].reshape(L, H, S, S, b)
+                new_state = {
+                    "att_xx": jnp.transpose(new_t["att_xx"], (2, 0, 1)),
+                    "ffn_xx": jnp.transpose(new_t["ffn_xx"], (2, 0, 1)),
+                    "heads": jnp.transpose(new_heads, (4, 0, 1, 2, 3)),
+                }
+                return logits, new_state
+
+            self._jit_cache[key] = (run, arrs)
+        return self._jit_cache[key]
+
     def score(self, tokens, state):
         """Sequence-score: per-position logits. tokens [B, t] ->
         (logits [B, t, V], new_state). Position i's logits predict token
@@ -476,12 +597,20 @@ class ServingModel:
         """One decode step for a batch: tokens [B] -> (logits [B, V], state).
         With megakernel=True and B=1, runs the whole-model Pallas kernel."""
         tokens = jnp.asarray(tokens, jnp.int32).reshape(-1, 1)
-        if self._mega is not None and tokens.shape[0] == 1:
-            arrs = {
-                k: v for k, v in self._mega.items()
-                if k not in ("quant", "d_lora", "f_dim")
-            }
-            return self._mega_fn()(self.params, arrs, state, tokens[:, 0])
+        if self._mega is not None:
+            b = tokens.shape[0]
+            if b == 1 and not self._mega_big:
+                arrs = {
+                    k: v for k, v in self._mega.items()
+                    if k not in ("quant", "d_lora", "f_dim")
+                }
+                return self._mega_fn()(self.params, arrs, state, tokens[:, 0])
+            if b == 1:
+                run, arrs_t = self._mega_tiled1_fn()
+                return run(self.params, arrs_t, state, tokens[:, 0])
+            if b <= MEGA_MAX_BATCH:
+                run, arrs_t = self._mega_batched_fn(b)
+                return run(self.params, arrs_t, state, tokens[:, 0])
         return self._batched_fn(1, True)(self.params, state, tokens)
 
     def prefill(self, tokens: Sequence[int], state: Optional[dict] = None,

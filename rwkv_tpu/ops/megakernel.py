@@ -415,3 +415,729 @@ def v7_decode_megakernel(
     if debug:
         state["dbg"] = outs[4]
     return y, state
+
+
+# ---------------------------------------------------------------------------
+# Batched kernel (B > 1): batch on LANES everywhere
+# ---------------------------------------------------------------------------
+#
+# Activations are [C, B] columns (C on sublanes, batch on lanes), so every
+# projection becomes W[N, K] @ X[K, B]: the weight stream — the measured
+# bottleneck, ~650 GB/s with whole-matrix blocks (scripts/
+# probe_mega_batched.py) — is paid ONCE per layer regardless of B, which
+# makes batching nearly free.
+#
+# The wkv state moves to [H, S_i, S_j, B] (slab=(h, s_i), sublane=s_j,
+# lane=b). In this orientation every j-indexed operand (r, w, k, a, b —
+# [h, s_j, B] from a plain sublane split of the [C, B] column) broadcasts
+# for FREE over the s_i slab dim via [:, None, :, :]; only v (i-indexed)
+# needs the [:, :, None, :] unpack. Both, plus the axis-2 reductions
+# (sa, out), were verified BIT-EXACT natively with integer data
+# (probe_mega_batched.py bwkv/bmm) — mandatory here, because bad Mosaic
+# relayouts compile and silently miscompute (see module header).
+
+
+def _make_kernel_batched(c, h, s, d_lora, f_dim, n_layer, quant, batch):
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        """Per-COLUMN activation quantization (w8a8 semantics, one scale
+        per batch lane)."""
+        amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)        # [1, B]
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkv, rkv_d, lora1, lora1_d, lora2, lora2_d,
+             out_w, out_d, fk_w, fk_d, fv_w, fv_d,
+             ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
+             coeff, rk,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, vf_s, y_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkv, lora1, lora2, out_w, fk_w, fv_w,
+             ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
+             coeff, rk,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, vf_s, y_s) = refs
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            x_s[:] = x0_ref[:]
+
+        x = x_s[:]                                              # [C, B]
+
+        def matv(w_ref, d_ref, row_lo, row_hi, xcols):
+            w = w_ref[0][row_lo:row_hi]
+            if quant:
+                x8, dx = qx(xcols)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * d_ref[0][row_lo:row_hi]
+            return mm(w, xcols.astype(jnp.bfloat16))
+
+        # ---- attention ------------------------------------------------
+        xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+        sx = att_in[0] - xl
+        att_out[0] = xl
+
+        cf = coeff[0].reshape(6, c, 1)
+        xr = xl + sx * cf[0]
+        xw = xl + sx * cf[1]
+        xk = xl + sx * cf[2]
+        xv = xl + sx * cf[3]
+        xa = xl + sx * cf[4]
+        xg = xl + sx * cf[5]
+
+        r = matv(rkv, rkv_d if quant else None, 0 * c, 1 * c, xr)
+        k = matv(rkv, rkv_d if quant else None, 1 * c, 2 * c, xk)
+        v = matv(rkv, rkv_d if quant else None, 2 * c, 3 * c, xv)
+
+        d = d_lora
+        w_dn = jnp.tanh(matv(lora1, lora1_d if quant else None, 0 * d, 1 * d, xw))
+        a_dn = matv(lora1, lora1_d if quant else None, 1 * d, 2 * d, xa)
+        g_dn = jax.nn.sigmoid(matv(lora1, lora1_d if quant else None, 2 * d, 3 * d, xg))
+        v_dn = matv(lora1, lora1_d if quant else None, 3 * d, 4 * d, xv)
+
+        w_l = matv(lora2, lora2_d if quant else None, 0 * c, 1 * c, w_dn)
+        a_l = matv(lora2, lora2_d if quant else None, 1 * c, 2 * c, a_dn)
+        g = matv(lora2, lora2_d if quant else None, 2 * c, 3 * c, g_dn)
+        vmix_l = matv(lora2, lora2_d if quant else None, 3 * c, 4 * c, v_dn)
+
+        w_dec = jnp.exp(
+            jax.nn.sigmoid(w_l + w0[0]) * jnp.float32(-0.606531)
+        )
+        a_gate = jax.nn.sigmoid(a_l + a0[0])
+
+        kk = (k * kkw[0]).reshape(h, s, batch)
+        nrm = jnp.sqrt(jnp.sum(kk * kk, axis=1, keepdims=True))
+        kk = kk / jnp.maximum(nrm, jnp.float32(1e-12))
+
+        ka = k * kaw[0]
+        k = k + (a_gate * ka - ka)
+
+        @pl.when(i == 0)
+        def _():
+            vf_s[:] = v
+
+        vf = vf_s[:]
+        v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + v0[0])
+        v = jnp.where(i == 0, v, v_mixed)
+
+        # ---- wkv7 step, state [H, S_i, S_j, B] ------------------------
+        def rows(vec):                                   # [C, B] -> [h, s, B]
+            return vec.reshape(h, s, batch)
+
+        r3, w3, k3, v3 = rows(r), rows(w_dec), rows(k), rows(v)
+        a3 = -kk
+        b3 = kk * rows(a_gate)
+
+        # j-indexed operands broadcast over the s_i slab dim for free;
+        # v (i-indexed) takes the verified unpack.
+        r4 = r3[:, None, :, :]
+        w4 = w3[:, None, :, :]
+        k4 = k3[:, None, :, :]
+        a4 = a3[:, None, :, :]
+        b4 = b3[:, None, :, :]
+        v4 = v3[:, :, None, :]
+
+        st = heads_in[0]                                 # [h, s_i, s_j, B]
+        sa = jnp.sum(st * a4, axis=2, keepdims=True)     # [h, s_i, 1, B]
+        st = st * w4 + k4 * v4 + b4 * sa
+        y3 = jnp.sum(st * r4, axis=2)                    # [h, s_i, B]
+        heads_out[0] = st
+
+        # The slab-dim reduce leaves y3 in a sublane-replicated layout
+        # that Mosaic cannot relayout into the packed form the group-norm
+        # stats need ("Invalid relayout: non-singleton dim replicated in
+        # destination") — but a ref STORE accepts it. Materialize through
+        # scratch to force the canonical packed layout.
+        y_s[:] = y3.reshape(c, batch)
+        y3 = y_s[:].reshape(h, s, batch)
+
+        # group norm per head over s_i (sublanes of y3), eps 64e-5
+        mu = jnp.mean(y3, axis=1, keepdims=True)
+        yc = y3 - mu
+        var = jnp.mean(yc * yc, axis=1, keepdims=True)
+        y3 = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+        xo = y3.reshape(c, batch) * lnxw[0] + lnxb[0]
+
+        dots = jnp.sum(k3 * r3 * rk[0], axis=1, keepdims=True)   # [h, 1, B]
+        bonus = (v3 * dots).reshape(c, batch)
+        xo = (xo + bonus) * g
+
+        att_proj = matv(out_w, out_d if quant else None, 0, c, xo)
+        x = x + att_proj
+
+        # ---- FFN ------------------------------------------------------
+        xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+        sx2 = ffn_in[0] - xl2
+        ffn_out[0] = xl2
+        xk2 = xl2 + sx2 * xkw[0]
+        fk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+        fk = jnp.square(jnp.maximum(fk, 0.0))
+        ffn_proj = matv(fv_w, fv_d if quant else None, 0, c, fk)
+        x = x + ffn_proj
+
+        x_s[:] = x
+        y_out[:] = x
+
+    return kernel
+
+
+def v7_decode_megakernel_batched(
+    pack: dict, state4: dict, x0, cfg, interpret: bool = False,
+):
+    """Run all layers of one v7 decode step for a BATCH (batch on lanes).
+
+    pack: build_mega_pack output (same pack as B=1 — weights are
+    batch-independent). state4: batched transposed state — att_xx
+    [L, C, B], ffn_xx [L, C, B], heads [L, H, S_i, S_j, B] (serving (i, j)
+    orientation, batch moved to lanes). x0: [C, B] f32 (embedding + ln0
+    applied). Returns (x [C, B], new state4)."""
+    c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
+    n_layer = cfg.n_layer
+    d_lora, f_dim = pack["d_lora"], pack["f_dim"]
+    quant = pack["quant"]
+    batch = x0.shape[1]
+
+    kernel = _make_kernel_batched(
+        c, h, s, d_lora, f_dim, n_layer, quant, batch
+    )
+
+    def blocked(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    mat_args, mat_specs = [], []
+    for name in _MAT_KEYS:
+        w = pack[name]
+        mat_args.append(w)
+        mat_specs.append(blocked(w.shape[1:]))
+        if quant:
+            d = pack[name + "_d"]
+            mat_args.append(d)
+            mat_specs.append(blocked(d.shape[1:]))
+
+    vec_args = [pack[k] for k in _VEC_KEYS]
+    vec_specs = [blocked((c, 1)) for _ in _VEC_KEYS]
+
+    args = (
+        [x0.astype(jnp.float32),
+         state4["att_xx"], state4["ffn_xx"], state4["heads"]]
+        + mat_args + vec_args
+        + [pack["coeff"], pack["r_k"]]
+    )
+    in_specs = (
+        [whole((c, batch)), blocked((c, batch)), blocked((c, batch)),
+         blocked((h, s, s, batch))]
+        + mat_specs + vec_specs
+        + [blocked((6 * c, 1)), blocked((h, s, 1))]
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, h, s, s, batch), jnp.float32),
+    )
+    out_specs = (
+        whole((c, batch)), blocked((c, batch)), blocked((c, batch)),
+        blocked((h, s, s, batch)),
+    )
+
+    y, att_xx, ffn_xx, heads = pl.pallas_call(
+        kernel,
+        grid=(n_layer,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, batch), jnp.float32),
+            pltpu.VMEM((c, batch), jnp.float32),
+            pltpu.VMEM((c, batch), jnp.float32),
+        ],
+        # layer grid has sequential carries — must stay "arbitrary" (see
+        # the B=1 kernel's note); VMEM budget raised for the state blocks
+        # (4 double-buffered [h, s, s, B] blocks) + per-layer weights.
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+
+
+
+# ---------------------------------------------------------------------------
+# Phase-tiled kernel: bounded-VMEM streaming for big layers / big batches
+# ---------------------------------------------------------------------------
+#
+# Two VMEM walls motivate this variant:
+#   1. At 1.5B (C=2048, F=8192) one layer's int8 weights are ~51MB — the
+#      whole-layer grid cannot double-buffer them.
+#   2. For B>1 the [H, S_i, S_j, B] state blocks pad the LANE dim B->128,
+#      so a whole-layer state block costs H*S*S*128*4 bytes REGARDLESS of
+#      B (~25MB at 169M x 4 buffers = OOM — observed natively).
+# The grid becomes (layer, phase); big matrices stream in phase-sized
+# blocks and the wkv state streams in HEAD-TILE blocks, so peak VMEM is
+# the largest phase, not the layer:
+#
+#   p0                matvecs: r/k/v (rkv resident) + loras + kk/k-update
+#                     + v_first mix -> scratch columns
+#   p1 .. p_nh        wkv + group-norm + bonus + gate for head tile t
+#                     (state block [h/nh, s, s(, B)])
+#   p_nh+1            att out-projection + ln2 + ffn token-shift
+#   p_nh+2 ..         fk tile -> relu^2 -> hidden slice   ([F/nf, C])
+#   p_nh+3 ..         acc += fv tile @ hidden slice       ([C, F/nf])
+#   last              finalize layer (x += ffn acc)
+#
+# The weight stream still runs at the whole-block rate (~650 GB/s measured
+# for 512-row..whole-matrix blocks, scripts/probe_mega_batched.py); only
+# grid bookkeeping changes. Head ops reuse the two verified layouts:
+# B=1 -> [H, S_j, S_i] (eye-trick, _make_kernel), B>1 -> [H, S_i, S_j, B]
+# (batched section above), incl. the scratch materialization after the
+# slab reduce.
+
+
+def choose_tiling(cfg, quant: bool, batch: int) -> tuple:
+    """(nh, nf) so that each phase's double-buffered blocks stay small:
+    head-tile state block <= ~8MB (lane dim pads to 128 for B>1), fk/fv
+    tile <= ~9MB."""
+    h, s, c = cfg.head_count, cfg.head_size, cfg.n_embed
+    f = 4 * c  # v7 FFN dim
+    lane = 128
+    if batch == 1:
+        per_head = s * lane * 4              # [s_j, s_i->128] f32
+    else:
+        per_head = s * s * lane * 4          # [s_i, s_j, B->128] f32
+    budget = 8 * 1024 * 1024
+    nh = 1
+    while (h // nh) * per_head > budget or h % nh:
+        nh += 1
+        if nh > h:
+            nh = h
+            break
+    wbytes = 1 if quant else 2
+    nf = 1
+    while (f * c * wbytes) // nf > 9 * 1024 * 1024 or f % nf:
+        nf += 1
+    return nh, nf
+
+
+def retile_mega_pack(pack: dict, cfg, nh: int = 1, nf: int = 1) -> dict:
+    """Re-tile a build_mega_pack output for the phase-tiled kernel:
+    fk [L, F, C] -> [L, nf, F/nf, C], fv [L, C, F] -> [L, nf, C, F/nf]
+    (device-side; fv needs one transpose). Adds 'nh'/'nf' meta."""
+    f_dim = pack["f_dim"]
+    assert f_dim % nf == 0, (f_dim, nf)
+    f4 = f_dim // nf
+    out = dict(pack)
+    out["nh"], out["nf"] = nh, nf
+    L = pack["fk"].shape[0]
+    out["fk"] = pack["fk"].reshape(L, nf, f4, -1)
+    out["fv"] = jnp.swapaxes(pack["fv"].reshape(L, -1, nf, f4), 1, 2)
+    if pack["quant"]:
+        out["fk_d"] = pack["fk_d"].reshape(L, nf, f4, 1)
+        # fv_d scales rows of the OUTPUT (C) — identical for every tile.
+    return out
+
+
+def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
+                       nh, nf):
+    h4 = h // nh
+    f4 = f_dim // nf
+    n_phase = nh + nf + 3
+
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def matv(w, d, xcol):
+        """w [N, K] (already sliced), d [N, 1] row scales or None."""
+        if quant:
+            x8, dx = qx(xcol)
+            acc = mm(w, x8)
+            return acc.astype(jnp.float32) * dx * d
+        return mm(w, xcol.astype(jnp.bfloat16))
+
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkv, rkv_d, lora1, lora1_d, lora2, lora2_d,
+             out_w, out_d, fk_w, fk_d, fv_w, fv_d,
+             ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
+             coeff, rk,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, vf_s, y_s, xo_s, xk2_s, acc_s, h_s,
+             r_s, k_s, v_s, wd_s, ag_s, kk_s, g_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkv, lora1, lora2, out_w, fk_w, fv_w,
+             ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
+             coeff, rk,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, vf_s, y_s, xo_s, xk2_s, acc_s, h_s,
+             r_s, k_s, v_s, wd_s, ag_s, kk_s, g_s) = refs
+
+        i = pl.program_id(0)
+        p = pl.program_id(1)
+
+        def slc(w_ref, d_ref, lo, hi):
+            w = w_ref[0][lo:hi]
+            d = d_ref[0][lo:hi] if quant else None
+            return w, d
+
+        # ---- phase 0: every projection except att-out and FFN ---------
+        @pl.when(p == 0)
+        def _matvecs():
+            @pl.when(i == 0)
+            def _():
+                x_s[:] = x0_ref[:]
+
+            x = x_s[:]
+            xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+            sx = att_in[0] - xl
+            att_out[0] = xl
+
+            cf = coeff[0].reshape(6, c, 1)
+            xr = xl + sx * cf[0]
+            xw = xl + sx * cf[1]
+            xk = xl + sx * cf[2]
+            xv = xl + sx * cf[3]
+            xa = xl + sx * cf[4]
+            xg = xl + sx * cf[5]
+
+            rd = rkv_d if quant else None
+            r = matv(*slc(rkv, rd, 0 * c, 1 * c), xr)
+            k = matv(*slc(rkv, rd, 1 * c, 2 * c), xk)
+            v = matv(*slc(rkv, rd, 2 * c, 3 * c), xv)
+
+            d = d_lora
+            l1 = lora1_d if quant else None
+            l2 = lora2_d if quant else None
+            w_dn = jnp.tanh(matv(*slc(lora1, l1, 0 * d, 1 * d), xw))
+            a_dn = matv(*slc(lora1, l1, 1 * d, 2 * d), xa)
+            g_dn = jax.nn.sigmoid(matv(*slc(lora1, l1, 2 * d, 3 * d), xg))
+            v_dn = matv(*slc(lora1, l1, 3 * d, 4 * d), xv)
+
+            w_l = matv(*slc(lora2, l2, 0 * c, 1 * c), w_dn)
+            a_l = matv(*slc(lora2, l2, 1 * c, 2 * c), a_dn)
+            g = matv(*slc(lora2, l2, 2 * c, 3 * c), g_dn)
+            vmix_l = matv(*slc(lora2, l2, 3 * c, 4 * c), v_dn)
+
+            w_dec = jnp.exp(
+                jax.nn.sigmoid(w_l + w0[0]) * jnp.float32(-0.606531)
+            )
+            a_gate = jax.nn.sigmoid(a_l + a0[0])
+
+            kkv = (k * kkw[0]).reshape(h, s, batch)
+            nrm = jnp.sqrt(jnp.sum(kkv * kkv, axis=1, keepdims=True))
+            kkv = kkv / jnp.maximum(nrm, jnp.float32(1e-12))
+
+            ka = k * kaw[0]
+            k = k + (a_gate * ka - ka)
+
+            @pl.when(i == 0)
+            def _():
+                vf_s[:] = v
+
+            vf = vf_s[:]
+            v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + v0[0])
+            v = jnp.where(i == 0, v, v_mixed)
+
+            r_s[:] = r
+            k_s[:] = k
+            v_s[:] = v
+            wd_s[:] = w_dec
+            ag_s[:] = a_gate
+            kk_s[:] = kkv.reshape(c, batch)
+            g_s[:] = g
+
+        # ---- phases 1..nh: wkv + group norm + bonus + gate per tile ---
+        @pl.when((p >= 1) & (p < 1 + nh))
+        def _wkv_tile():
+            t = p - 1
+            rows_lo = t * h4 * s
+
+            def tile(ref):
+                return ref[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, batch)
+
+            r3 = tile(r_s)
+            k3 = tile(k_s)
+            v3 = tile(v_s)
+            w3 = tile(wd_s)
+            a3 = -tile(kk_s)
+            b3 = tile(kk_s) * tile(ag_s)
+
+            if batch == 1:
+                # verified B=1 layout: state [h4, S_j, S_i], eye trick
+                i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+                j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+                eye = (i_ == j_).astype(jnp.float32)[None]
+                st = heads_in[0, 0]
+                sa_row = jnp.sum(st * a3, axis=1, keepdims=True)
+                v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
+                st = st * w3 + k3 * v_row + b3 * sa_row
+                out_row = jnp.sum(st * r3, axis=1, keepdims=True)
+                heads_out[0, 0] = st
+                mu = jnp.mean(out_row, axis=2, keepdims=True)
+                yc = out_row - mu
+                var = jnp.mean(yc * yc, axis=2, keepdims=True)
+                y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+                y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
+                yn = y_col.reshape(h4 * s, 1)
+            else:
+                # verified batched layout: state [h4, S_i, S_j, B]
+                r4 = r3[:, None, :, :]
+                w4 = w3[:, None, :, :]
+                k4 = k3[:, None, :, :]
+                a4 = a3[:, None, :, :]
+                b4 = b3[:, None, :, :]
+                v4 = v3[:, :, None, :]
+                st = heads_in[0, 0]
+                sa = jnp.sum(st * a4, axis=2, keepdims=True)
+                st = st * w4 + k4 * v4 + b4 * sa
+                y3 = jnp.sum(st * r4, axis=2)
+                heads_out[0, 0] = st
+                # materialize through scratch (slab-reduce layout cannot
+                # feed the group-norm stats directly — see batched kernel)
+                y_s[pl.dslice(rows_lo, h4 * s)] = y3.reshape(h4 * s, batch)
+                y3 = y_s[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, batch)
+                mu = jnp.mean(y3, axis=1, keepdims=True)
+                yc = y3 - mu
+                var = jnp.mean(yc * yc, axis=1, keepdims=True)
+                y3 = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+                yn = y3.reshape(h4 * s, batch)
+
+            lw = lnxw[0, pl.dslice(rows_lo, h4 * s)]
+            lb = lnxb[0, pl.dslice(rows_lo, h4 * s)]
+            xo = yn * lw + lb
+
+            rkt = rk[0, pl.dslice(t * h4, h4)]
+            dots = jnp.sum(k3 * r3 * rkt, axis=1, keepdims=True)
+            bonus = (v3 * dots).reshape(h4 * s, batch)
+            gt = g_s[pl.dslice(rows_lo, h4 * s)]
+            xo_s[pl.dslice(rows_lo, h4 * s)] = (xo + bonus) * gt
+
+        # ---- phase nh+1: att out-projection + FFN token shift ---------
+        @pl.when(p == nh + 1)
+        def _out_proj():
+            att_proj = matv(
+                out_w[0], out_d[0] if quant else None, xo_s[:]
+            )
+            x = x_s[:] + att_proj
+            xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+            sx2 = ffn_in[0] - xl2
+            ffn_out[0] = xl2
+            xk2_s[:] = xl2 + sx2 * xkw[0]
+            x_s[:] = x
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        # ---- phases nh+2..nh+1+nf: fk tiles -> hidden slices ----------
+        @pl.when((p >= nh + 2) & (p < nh + 2 + nf))
+        def _fk_tile():
+            t = p - (nh + 2)
+            hk = matv(
+                fk_w[0][0], fk_d[0][0] if quant else None, xk2_s[:]
+            )
+            hk = jnp.square(jnp.maximum(hk, 0.0))
+            h_s[pl.dslice(t * f4, f4)] = hk
+
+        # ---- phases nh+3..nh+2+nf: fv tiles consume hidden slices -----
+        @pl.when((p >= nh + 3) & (p < nh + 3 + nf))
+        def _fv_tile():
+            t = p - (nh + 3)
+            hk = h_s[pl.dslice(t * f4, f4)]
+            acc_s[:] += matv(
+                fv_w[0][0], fv_d[0] if quant else None, hk
+            )
+
+        # ---- finalize layer (same grid step as the last fv tile) ------
+        @pl.when(p == n_phase - 1)
+        def _finish():
+            x = x_s[:] + acc_s[:]
+            x_s[:] = x
+            y_out[:] = x
+
+    return kernel
+
+
+def v7_decode_megakernel_tiled(
+    pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+):
+    """Phase-tiled whole-model decode step (any batch; bounded VMEM).
+
+    pack: retile_mega_pack(build_mega_pack(...), nh=?, nf=?) output.
+    State layout matches the head-op variant, with an extra head-tile dim:
+      batch==1 -> heads [L, nh, H/nh, S_j, S_i];
+      batch>1  -> heads [L, nh, H/nh, S_i, S_j, B].
+    att_xx/ffn_xx: [L, C, B]. x0: [C, B] f32. Returns (x, new state)."""
+    c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
+    n_layer = cfg.n_layer
+    d_lora, f_dim = pack["d_lora"], pack["f_dim"]
+    quant = pack["quant"]
+    nh, nf = pack["nh"], pack["nf"]
+    h4 = h // nh
+    f4 = f_dim // nf
+    batch = x0.shape[1]
+    n_phase = nh + nf + 3
+
+    kernel = _make_kernel_tiled(
+        c, h, s, d_lora, f_dim, n_layer, quant, batch, nh, nf
+    )
+
+    def per_layer(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i, p: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i, p: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def head_spec(shape):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda i, p: (i, jnp.clip(p - 1, 0, nh - 1)) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def fk_spec(shape):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda i, p: (i, jnp.clip(p - (nh + 2), 0, nf - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def fv_spec(shape):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda i, p: (i, jnp.clip(p - (nh + 3), 0, nf - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    mat_args, mat_specs = [], []
+    for name in ("rkv", "lora1", "lora2", "out"):
+        w = pack[name]
+        mat_args.append(w)
+        mat_specs.append(per_layer(w.shape[1:]))
+        if quant:
+            d = pack[name + "_d"]
+            mat_args.append(d)
+            mat_specs.append(per_layer(d.shape[1:]))
+    mat_args.append(pack["fk"])
+    mat_specs.append(fk_spec(pack["fk"].shape[2:]))
+    if quant:
+        mat_args.append(pack["fk_d"])
+        mat_specs.append(fk_spec(pack["fk_d"].shape[2:]))
+    mat_args.append(pack["fv"])
+    mat_specs.append(fv_spec(pack["fv"].shape[2:]))
+    if quant:
+        mat_args.append(pack["fv_d"])
+        mat_specs.append(per_layer(pack["fv_d"].shape[1:]))
+
+    vec_args = [pack[k] for k in _VEC_KEYS]
+    vec_specs = [per_layer((c, 1)) for _ in _VEC_KEYS]
+
+    if batch == 1:
+        head_shape = (h4, s, s)
+    else:
+        head_shape = (h4, s, s, batch)
+
+    args = (
+        [x0.astype(jnp.float32),
+         state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
+        + mat_args + vec_args
+        + [pack["coeff"], pack["r_k"]]
+    )
+    in_specs = (
+        [whole((c, batch)), per_layer((c, batch)), per_layer((c, batch)),
+         head_spec(head_shape)]
+        + mat_specs + vec_specs
+        + [per_layer((6 * c, 1)), per_layer((h, s, 1))]
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, nh) + head_shape, jnp.float32),
+    )
+    out_specs = (
+        whole((c, batch)), per_layer((c, batch)), per_layer((c, batch)),
+        head_spec(head_shape),
+    )
+
+    y, att_xx, ffn_xx, heads = pl.pallas_call(
+        kernel,
+        grid=(n_layer, n_phase),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, batch), jnp.float32),      # x_s
+            pltpu.VMEM((c, batch), jnp.float32),      # vf_s
+            pltpu.VMEM((c, batch), jnp.float32),      # y_s
+            pltpu.VMEM((c, batch), jnp.float32),      # xo_s
+            pltpu.VMEM((c, batch), jnp.float32),      # xk2_s
+            pltpu.VMEM((c, batch), jnp.float32),      # acc_s
+            pltpu.VMEM((f_dim, batch), jnp.float32),  # h_s
+            pltpu.VMEM((c, batch), jnp.float32),      # r_s
+            pltpu.VMEM((c, batch), jnp.float32),      # k_s
+            pltpu.VMEM((c, batch), jnp.float32),      # v_s
+            pltpu.VMEM((c, batch), jnp.float32),      # wd_s
+            pltpu.VMEM((c, batch), jnp.float32),      # ag_s
+            pltpu.VMEM((c, batch), jnp.float32),      # kk_s
+            pltpu.VMEM((c, batch), jnp.float32),      # g_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}

@@ -69,6 +69,70 @@ def test_megamodel_synth_multilayer():
     )
 
 
+@pytest.mark.parametrize("quant", [False, True])
+def test_megamodel_batched_matches_serving_fixture(quant):
+    """Batched (B=3) whole-model kernel vs the per-op serving path, with a
+    DIFFERENT token stream per batch lane (catches lane mixups in the
+    [C, B] / [H, S_i, S_j, B] layouts)."""
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin"))
+    precision = "w8a8" if quant else "bf16"
+    ref = ServingModel(path, precision=precision)
+    mega = ServingModel(path, precision=precision, megakernel=True)
+
+    B = 3
+    state_r = ref.init_state(B)
+    state_m = mega.init_state(B)
+    streams = [b'"in:', b'abc,', b'\x00Zq.']
+    for step in range(4):
+        toks = np.array([s[step] for s in streams], np.int32)
+        logits_r, state_r = ref.decode(toks, state_r)
+        logits_m, state_m = mega.decode(toks, state_m)
+        np.testing.assert_allclose(
+            np.asarray(logits_m), np.asarray(logits_r), rtol=2e-2, atol=2e-2
+        )
+    np.testing.assert_allclose(
+        np.asarray(state_m["heads"]), np.asarray(state_r["heads"]),
+        rtol=2e-2, atol=2e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_m["att_xx"]), np.asarray(state_r["att_xx"]),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_megamodel_batched_lane_independence():
+    """Lanes of one batched call carrying IDENTICAL streams must produce
+    bit-identical logits and state (vs the B=1 kernel only ulp-level
+    reduction-order agreement is expected — different matmul shapes). Any
+    cross-lane leakage through the per-column activation scales or the
+    [H, S_i, S_j, B] state layout breaks exact equality here."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    cfg = synth_config("7.0", n_layer=3, n_embed=128, n_vocab=256, head_size=32)
+    params = synth_params(cfg, seed=3, lora_dim=32)
+    mega = ServingModel((cfg, params), precision="w8a8", megakernel=True)
+
+    # lanes (s1, s2, s1, s2): 0 must bit-match 2, and 1 must bit-match 3
+    rng = np.random.default_rng(0)
+    two = rng.integers(0, 256, size=(2, 5)).astype(np.int32)
+    streams = two[[0, 1, 0, 1]]
+
+    state_b = mega.init_state(4)
+    for step in range(streams.shape[1]):
+        logits_b, state_b = mega.decode(streams[:, step], state_b)
+
+    lb = np.asarray(logits_b)
+    np.testing.assert_array_equal(lb[0], lb[2])
+    np.testing.assert_array_equal(lb[1], lb[3])
+    assert np.abs(lb[0] - lb[1]).max() > 0  # different streams DO differ
+    hb = np.asarray(state_b["heads"])
+    np.testing.assert_array_equal(hb[0], hb[2])
+    np.testing.assert_array_equal(hb[1], hb[3])
+
+
 def test_mega_pack_quant_roundtrip():
     """Pack quantization matches the serving w8a8 row-wise codes."""
     from rwkv_tpu.models.loader import load_params
