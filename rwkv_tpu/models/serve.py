@@ -39,11 +39,13 @@ from rwkv_tpu.ops.parity import Weight, group_norm, l2_normalize, layer_norm
 # decomposed, so at most len(BUCKETS) distinct graphs are ever compiled.
 PREFILL_BUCKETS = (256, 64, 16, 4, 1)
 
-# Largest batch routed through the batched megakernel: the four
-# double-buffered [h, s, s, B] state blocks plus per-layer weights must fit
-# the 100MB VMEM budget (ops/megakernel.py). Beyond this, decode falls back
-# to the per-op path.
-MEGA_MAX_BATCH = 64
+# Batched-megakernel routing. The wkv state blocks pad their lane dim
+# (batch) to 128, so the kernel's step time is FLAT in B up to 128
+# (measured: 2.42 ms at B=8/32/64 at 169M, scripts/bench_mega_batched.py)
+# — which also means the per-op XLA path wins at small batch (0.85 ms at
+# B=8) and the kernel wins once the flat cost is amortized (B=64: +48%).
+# choose_tiling keeps the head-tile VMEM bounded for B > 128.
+MEGA_MAX_BATCH = 256
 
 
 def _densify(w, dtype):
@@ -362,25 +364,37 @@ class ServingModel:
         # pallas_call for all layers, weights double-buffered per layer.
         self._mega = None
         if megakernel:
-            if cfg.version_major != 7 or mesh is not None:
+            if cfg.version_major not in (6, 7) or mesh is not None:
                 raise ValueError(
-                    "megakernel supports single-chip RWKV v7 decode only"
+                    "megakernel supports single-chip RWKV v6/v7 decode only"
                 )
-            from rwkv_tpu.ops.megakernel import build_mega_pack
+            quant = precision in ("quant", "q8", "q8r", "w8a8")
+            if cfg.version_major == 7:
+                from rwkv_tpu.ops.megakernel import build_mega_pack
 
-            self._mega = build_mega_pack(
-                params, cfg,
-                quant=precision in ("quant", "q8", "q8r", "w8a8"),
-            )
+                self._mega = build_mega_pack(params, cfg, quant=quant)
+                mega_mat_keys = ("rkv", "lora1", "lora2", "out", "fk", "fv")
+            else:
+                from rwkv_tpu.ops.megakernel import (
+                    _V6_MAT_KEYS, build_mega_pack_v6,
+                )
+
+                self._mega = build_mega_pack_v6(params, cfg, quant=quant)
+                mega_mat_keys = _V6_MAT_KEYS
             # Whole-layer weight blocks must double-buffer in VMEM; past
             # ~20MB/layer (e.g. 1.5B C=2048) decode uses the phase-tiled
-            # kernel instead (ops/megakernel.py tiled section).
+            # kernel instead (ops/megakernel.py tiled section; v7 only —
+            # big v6 models fall back to the per-op path).
             per_layer = sum(
                 int(np.prod(self._mega[k].shape[1:]))
                 * self._mega[k].dtype.itemsize
-                for k in ("rkv", "lora1", "lora2", "out", "fk", "fv")
+                for k in mega_mat_keys
             )
             self._mega_big = per_layer > 20 * 1024 * 1024
+        # Measured crossover at 169M (scripts/bench_mega_batched.py): the
+        # batched kernel's flat cost beats the per-op path from B≈64 up.
+        # Override per deployment (tests set 2 to force the kernel path).
+        self.mega_min_batch = 64
         self._jit_cache: dict[Any, Any] = {}
 
     # -- state -------------------------------------------------------------
@@ -446,6 +460,45 @@ class ServingModel:
                     "heads": jnp.swapaxes(state["heads"][0], -1, -2),
                 }
                 y, new_t = v7_decode_megakernel(
+                    pack, state_t, x0[:, None], cfg, interpret=interpret
+                )
+                xo = p_ln(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])
+                new_state = {
+                    "att_xx": new_t["att_xx"][None, ..., 0],
+                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
+                    "heads": jnp.swapaxes(new_t["heads"], -1, -2)[None],
+                }
+                return logits, new_state
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _mega6_fn(self):
+        key = ("mega6",)
+        if key not in self._jit_cache:
+            cfg = self.config
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel import v6_decode_megakernel
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            meta = {
+                k: self._mega[k]
+                for k in ("quant", "d_maa", "d_dec", "f_dim")
+            }
+
+            @jax.jit
+            def run(params, pack_arrs, state, token):  # state [1, L, ...]
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][token[0]].astype(jnp.float32), *params["ln0"]
+                )
+                state_t = {
+                    "att_xx": state["att_xx"][0][..., None],
+                    "ffn_xx": state["ffn_xx"][0][..., None],
+                    "heads": jnp.swapaxes(state["heads"][0], -1, -2),
+                }
+                y, new_t = v6_decode_megakernel(
                     pack, state_t, x0[:, None], cfg, interpret=interpret
                 )
                 xo = p_ln(y[:, 0], *params["ln_out"])
@@ -595,10 +648,26 @@ class ServingModel:
 
     def decode(self, tokens, state):
         """One decode step for a batch: tokens [B] -> (logits [B, V], state).
-        With megakernel=True and B=1, runs the whole-model Pallas kernel."""
+        With megakernel=True, B=1 runs the whole-model Pallas kernel and
+        mega_min_batch <= B <= MEGA_MAX_BATCH runs its batched variant
+        (below mega_min_batch the per-op path is faster — the kernel's wkv
+        state stream pads the batch lane dim to 128, so its step cost is
+        flat in B while the per-op path scales down)."""
         tokens = jnp.asarray(tokens, jnp.int32).reshape(-1, 1)
         if self._mega is not None:
             b = tokens.shape[0]
+            if self.config.version_major == 6:
+                # v6 kernel is B=1 whole-layer only; everything else
+                # falls back to the per-op path.
+                if b == 1 and not self._mega_big:
+                    arrs = {
+                        k: v for k, v in self._mega.items()
+                        if k not in ("quant", "d_maa", "d_dec", "f_dim")
+                    }
+                    return self._mega6_fn()(
+                        self.params, arrs, state, tokens[:, 0]
+                    )
+                return self._batched_fn(1, True)(self.params, state, tokens)
             if b == 1 and not self._mega_big:
                 arrs = {
                     k: v for k, v in self._mega.items()
@@ -608,7 +677,7 @@ class ServingModel:
             if b == 1:
                 run, arrs_t = self._mega_tiled1_fn()
                 return run(self.params, arrs_t, state, tokens[:, 0])
-            if b <= MEGA_MAX_BATCH:
+            if self.mega_min_batch <= b <= MEGA_MAX_BATCH:
                 run, arrs_t = self._mega_batched_fn(b)
                 return run(self.params, arrs_t, state, tokens[:, 0])
         return self._batched_fn(1, True)(self.params, state, tokens)

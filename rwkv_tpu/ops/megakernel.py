@@ -731,11 +731,11 @@ def choose_tiling(cfg, quant: bool, batch: int) -> tuple:
     tile <= ~9MB."""
     h, s, c = cfg.head_count, cfg.head_size, cfg.n_embed
     f = 4 * c  # v7 FFN dim
-    lane = 128
+    lane = max(128, batch)                   # lane dim pads B -> 128 min
     if batch == 1:
-        per_head = s * lane * 4              # [s_j, s_i->128] f32
+        per_head = s * 128 * 4               # [s_j, s_i->128] f32
     else:
-        per_head = s * s * lane * 4          # [s_i, s_j, B->128] f32
+        per_head = s * s * lane * 4          # [s_i, s_j, B] f32
     budget = 8 * 1024 * 1024
     nh = 1
     while (h // nh) * per_head > budget or h % nh:
@@ -1136,6 +1136,319 @@ def v7_decode_megakernel_tiled(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+
+
+# ---------------------------------------------------------------------------
+# RWKV v6 whole-model decode kernel (B=1)
+# ---------------------------------------------------------------------------
+#
+# Same architecture as the v7 kernel (grid over layers, [C, 1] column
+# activations, transposed [H, S_j, S_i] state, per-matvec w8a8 activation
+# quantization), with the v6 layer math (reference rwkv_graph.inc:294-385 +
+# 513-531): five-way LoRA token-shift mix (time_maa_w1/w2), dynamic decay
+# LoRA (time_decay_w1/w2), silu gate, time_faaaa bonus INSIDE the wkv
+# output (out uses the OLD state), and an FFN with a sigmoid receptance
+# gate.  wkv6 per head: out[i] = sum_j r[j]*(tf[j]*k[j]*v[i] + S[j,i]);
+# S'[j,i] = S[j,i]*w[j] + k[j]*v[i].
+
+_V6_MAT_KEYS = ("rkvg", "maa1", "maa2", "dw1", "dw2", "out", "fk", "fv", "fr")
+_V6_VEC_KEYS = (
+    "ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+    "att.ln_x.weight", "att.ln_x.bias", "att.time_maa_x",
+    "ffn.time_maa_k", "ffn.time_maa_r",
+)
+_V6_RKVG = ("att.receptance.weight", "att.key.weight", "att.value.weight",
+            "att.gate.weight")
+
+
+def build_mega_pack_v6(params: dict, cfg, quant: bool = True) -> dict:
+    """v6 analogue of build_mega_pack: stack per-layer weights into
+    [L, N, K] int8+row-scale (or bf16) mats and [L, ., 1] f32 columns."""
+    c = cfg.n_embed
+    h, s = cfg.head_count, cfg.head_size
+    blocks = [dict(b) for b in params["blocks"]]
+    n_layer = len(blocks)
+
+    def stack(keys_or_key):
+        if isinstance(keys_or_key, tuple):
+            return np.stack([
+                np.concatenate([_np_dense(b[k]) for k in keys_or_key])
+                for b in blocks
+            ])
+        return np.stack([_np_dense(b[keys_or_key]) for b in blocks])
+
+    d_maa = _np_dense(blocks[0]["att.time_maa_w1"]).shape[0] // 5
+    d_dec = _np_dense(blocks[0]["att.time_decay_w1"]).shape[0]
+    f_dim = _np_dense(blocks[0]["ffn.key.weight"]).shape[0]
+
+    # time_maa_w2 is [5, C, D]; rows s*C..(s+1)*C of the packed [5C, D]
+    # mat are split s's up-projection (matches the kernel's row slicing).
+    maa2 = np.stack([
+        np.asarray(b["att.time_maa_w2"], np.float32).reshape(5 * c, d_maa)
+        for b in blocks
+    ])
+
+    mats = {
+        "rkvg": stack(_V6_RKVG),
+        "maa1": stack("att.time_maa_w1"),
+        "maa2": maa2,
+        "dw1": stack("att.time_decay_w1"),
+        "dw2": stack("att.time_decay_w2"),
+        "out": stack("att.output.weight"),
+        "fk": stack("ffn.key.weight"),
+        "fv": stack("ffn.value.weight"),
+        "fr": stack("ffn.receptance.weight"),
+    }
+    pack = {"quant": quant, "d_maa": d_maa, "d_dec": d_dec, "f_dim": f_dim}
+    for name, w in mats.items():
+        if quant:
+            amax = np.abs(w).max(axis=-1, keepdims=True)  # [L, N, 1]
+            dq = amax / 127.0
+            inv = np.where(dq > 0, 1.0 / np.maximum(dq, 1e-30), 0.0)
+            q = np.clip(np.rint(w * inv), -127, 127).astype(np.int8)
+            pack[name] = jnp.asarray(q)
+            pack[name + "_d"] = jnp.asarray(dq.astype(np.float32))
+        else:
+            pack[name] = jnp.asarray(w, jnp.bfloat16)
+
+    for key in _V6_VEC_KEYS:
+        pack[key] = jnp.asarray(stack(key).reshape(n_layer, c, 1))
+    # five attention token-shift coefficients, order w, k, v, r, g
+    maa5 = np.stack([
+        np.concatenate([
+            np.asarray(b["att.time_maa_" + n], np.float32)
+            for n in ("w", "k", "v", "r", "g")
+        ])
+        for b in blocks
+    ])
+    pack["maa5"] = jnp.asarray(maa5.reshape(n_layer, 5 * c, 1))
+    td = np.stack([
+        np.asarray(b["att.time_decay"], np.float32).reshape(-1)
+        for b in blocks
+    ])
+    pack["tdecay"] = jnp.asarray(td.reshape(n_layer, c, 1))
+    tf = np.stack([
+        np.asarray(b["att.time_faaaa"], np.float32) for b in blocks
+    ])
+    pack["tf"] = jnp.asarray(tf.reshape(n_layer, h, s, 1))
+    return pack
+
+
+def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant):
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        amax = jnp.max(jnp.abs(x))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkvg, rkvg_d, maa1, maa1_d, maa2, maa2_d,
+             dw1, dw1_d, dw2, dw2_d,
+             out_w, out_d, fk_w, fk_d, fv_w, fv_d, fr_w, fr_d,
+             ln1w, ln1b, ln2w, ln2b, lnxw, lnxb, maax, fxk, fxr,
+             maa5, tdecay, tf,
+             y_out, att_out, ffn_out, heads_out,
+             x_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkvg, maa1, maa2, dw1, dw2, out_w, fk_w, fv_w, fr_w,
+             ln1w, ln1b, ln2w, ln2b, lnxw, lnxb, maax, fxk, fxr,
+             maa5, tdecay, tf,
+             y_out, att_out, ffn_out, heads_out,
+             x_s) = refs
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            x_s[:] = x0_ref[:]
+
+        x = x_s[:]
+
+        def matv(w_ref, d_ref, lo, hi, xcol):
+            w = w_ref[0][lo:hi]
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * d_ref[0][lo:hi]
+            return mm(w, xcol.astype(jnp.bfloat16))
+
+        # ---- attention ------------------------------------------------
+        xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+        sx = att_in[0] - xl
+        att_out[0] = xl
+
+        xxx = xl + sx * maax[0]
+        mixdn = jnp.tanh(
+            matv(maa1, maa1_d if quant else None, 0, 5 * d_maa, xxx)
+        )
+        d = d_maa
+        m2d = maa2_d if quant else None
+        m_w = matv(maa2, m2d, 0 * c, 1 * c, mixdn[0 * d:1 * d])
+        m_k = matv(maa2, m2d, 1 * c, 2 * c, mixdn[1 * d:2 * d])
+        m_v = matv(maa2, m2d, 2 * c, 3 * c, mixdn[2 * d:3 * d])
+        m_r = matv(maa2, m2d, 3 * c, 4 * c, mixdn[3 * d:4 * d])
+        m_g = matv(maa2, m2d, 4 * c, 5 * c, mixdn[4 * d:5 * d])
+
+        cf = maa5[0].reshape(5, c, 1)  # order w, k, v, r, g
+        xw = xl + sx * (cf[0] + m_w)
+        xk = xl + sx * (cf[1] + m_k)
+        xv = xl + sx * (cf[2] + m_v)
+        xr = xl + sx * (cf[3] + m_r)
+        xg = xl + sx * (cf[4] + m_g)
+
+        rd = rkvg_d if quant else None
+        r = matv(rkvg, rd, 0 * c, 1 * c, xr)
+        k = matv(rkvg, rd, 1 * c, 2 * c, xk)
+        v = matv(rkvg, rd, 2 * c, 3 * c, xv)
+        gg = matv(rkvg, rd, 3 * c, 4 * c, xg)
+        g = gg * jax.nn.sigmoid(gg)  # silu
+
+        w_dn = jnp.tanh(matv(dw1, dw1_d if quant else None, 0, d_dec, xw))
+        w_l = matv(dw2, dw2_d if quant else None, 0, c, w_dn) + tdecay[0]
+        w_dec = jnp.exp(-jnp.exp(w_l))
+
+        # ---- wkv6 step (transposed state [H, S_j, S_i]) ---------------
+        def col3(vec):
+            return vec.reshape(h, s, 1)
+
+        i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        eye = (i_ == j_).astype(jnp.float32)[None]
+
+        r3, k3, v3, w3 = col3(r), col3(k), col3(v), col3(w_dec)
+        tf3 = tf[0]                                            # [H, S, 1]
+        st = heads_in[0]
+        v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)       # col -> row
+        dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)    # [H, 1, 1]
+        out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
+        st = st * w3 + k3 * v_row
+        heads_out[0] = st
+
+        # group norm per head over S_i (lanes of out_row), eps 64e-5
+        mu = jnp.mean(out_row, axis=2, keepdims=True)
+        yc = out_row - mu
+        var = jnp.mean(yc * yc, axis=2, keepdims=True)
+        y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+        y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)    # row -> col
+        xo = y_col.reshape(c, 1) * lnxw[0] + lnxb[0]
+        xo = xo * g
+
+        x = x + matv(out_w, out_d if quant else None, 0, c, xo)
+
+        # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
+        xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+        sx2 = ffn_in[0] - xl2
+        ffn_out[0] = xl2
+        xk2 = xl2 + sx2 * fxk[0]
+        xr2 = xl2 + sx2 * fxr[0]
+        rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
+        hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+        hk = jnp.square(jnp.maximum(hk, 0.0))
+        x = x + rg * matv(fv_w, fv_d if quant else None, 0, c, hk)
+
+        x_s[:] = x
+        y_out[:] = x
+
+    return kernel
+
+
+def v6_decode_megakernel(
+    pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+):
+    """Run all layers of one v6 decode step (B=1).
+
+    pack: build_mega_pack_v6 output. state_t: transposed per-layer state —
+    att_xx [L, C, 1], ffn_xx [L, C, 1], heads [L, H, S_j, S_i]. x0: [C, 1]
+    f32 (embedding + ln0 applied). Returns (x [C, 1], new state_t)."""
+    c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
+    n_layer = cfg.n_layer
+    d_maa, d_dec = pack["d_maa"], pack["d_dec"]
+    f_dim = pack["f_dim"]
+    quant = pack["quant"]
+
+    kernel = _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant)
+
+    def blocked(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    mat_args, mat_specs = [], []
+    for name in _V6_MAT_KEYS:
+        w = pack[name]
+        mat_args.append(w)
+        mat_specs.append(blocked(w.shape[1:]))
+        if quant:
+            dq = pack[name + "_d"]
+            mat_args.append(dq)
+            mat_specs.append(blocked(dq.shape[1:]))
+
+    vec_args = [pack[k] for k in _V6_VEC_KEYS]
+    vec_specs = [blocked((c, 1)) for _ in _V6_VEC_KEYS]
+
+    args = (
+        [x0.astype(jnp.float32),
+         state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
+        + mat_args + vec_args
+        + [pack["maa5"], pack["tdecay"], pack["tf"]]
+    )
+    in_specs = (
+        [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
+        + mat_specs + vec_specs
+        + [blocked((5 * c, 1)), blocked((c, 1)), blocked((h, s, 1))]
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, h, s, s), jnp.float32),
+    )
+    out_specs = (
+        whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s)),
+    )
+
+    y, att_xx, ffn_xx, heads = pl.pallas_call(
+        kernel,
+        grid=(n_layer,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, 1), jnp.float32),
+        ],
+        # layer grid carries x_s sequentially — "arbitrary" is mandatory
+        # (see the v7 kernel's note).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,

@@ -1,0 +1,216 @@
+"""1.5B-class decode through the phase-tiled whole-model megakernel.
+
+Round-2 context: the per-op XLA w8a8 path measured 3.73 ms/tok at these
+dims (scripts/bench_15b.py), with ~1.7 ms of that attributed to per-op
+launch overhead and the s8 weight stream walled at ~405 GB/s
+(scripts/probe_megakernel2.py).  The whole-layer megakernel cannot compile
+at C=2048 (per-layer weights blow the VMEM double-buffer budget); this
+script times the (layer, phase)-tiled variant (ops/megakernel.py), which
+streams phase-sized weight blocks instead.
+
+The pack is synthesized DIRECTLY ON DEVICE (the tunnel moves ~36 MB/s; the
+1.5 GB int8 pack must never transit the host).  Timing chains N_GEN full
+steps (embed + ln0 + megakernel + ln_out + int8 head + argmax feedback)
+inside one jit and subtracts the measured null sync round-trip — same
+methodology as bench_15b.py.
+
+Usage: timeout 3000 python scripts/bench_mega_15b.py [--batch N]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+from rwkv_tpu.models.synth import synth_config
+from rwkv_tpu.ops.megakernel import (
+    _VEC_KEYS, choose_tiling, v7_decode_megakernel_tiled,
+)
+
+if "--small" in sys.argv:  # CPU smoke (interpret mode)
+    L, C, VOCAB, HEAD, LORA = 2, 256, 1024, 64, 32
+else:
+    L, C, VOCAB, HEAD, LORA = 24, 2048, 65536, 64, 96
+F = 4 * C
+N_GEN = 4 if "--small" in sys.argv else 64
+BATCH = 1
+if "--batch" in sys.argv:
+    BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
+
+
+def synth_pack_device(cfg, nh, nf, seed=0):
+    """Synthesize the retiled w8a8 mega pack directly on device."""
+    key = jax.random.PRNGKey(seed)
+
+    def nk():
+        nonlocal key
+        key, k = jax.random.split(key)
+        return k
+
+    def qmat(shape, k_in):
+        q = jax.random.randint(nk(), shape, -127, 128, jnp.int8)
+        d = (
+            jnp.abs(jax.random.normal(nk(), shape[:-1] + (1,), jnp.float32))
+            * (1.0 / (127.0 * np.sqrt(k_in)))
+            + 1e-5
+        )
+        return q, d
+
+    def vec(scale=0.1, offset=0.0, shape=(C,)):
+        return (
+            jax.random.normal(nk(), (L,) + shape + (1,), jnp.float32) * scale
+            + offset
+        )
+
+    f4 = F // nf
+    pack = {"quant": True, "d_lora": LORA, "f_dim": F, "nh": nh, "nf": nf}
+    pack["rkv"], pack["rkv_d"] = qmat((L, 3 * C, C), C)
+    pack["lora1"], pack["lora1_d"] = qmat((L, 4 * LORA, C), C)
+    pack["lora2"], pack["lora2_d"] = qmat((L, 4 * C, LORA), LORA)
+    pack["out"], pack["out_d"] = qmat((L, C, C), C)
+    pack["fk"], pack["fk_d"] = qmat((L, nf, f4, C), C)
+    pack["fv"], fv_d = qmat((L, nf, C, f4), F)
+    pack["fv_d"] = fv_d[:, 0]  # [L, C, 1] — output-row scales, tile-invariant
+    for name in _VEC_KEYS:
+        ofs = 1.0 if name.endswith("weight") else 0.0
+        scl = 0.02 if ("ln" in name) else 0.3
+        pack[name] = vec(scale=scl, offset=ofs)
+    pack["coeff"] = vec(scale=0.2, offset=0.5, shape=(6 * C,))
+    pack["r_k"] = vec(scale=0.3, shape=(cfg.head_count, HEAD))
+    return pack
+
+
+def main():
+    cfg = synth_config(
+        "7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD
+    )
+    h, s = cfg.head_count, cfg.head_size
+    nh, nf = choose_tiling(cfg, True, BATCH)
+    print(f"tiling: nh={nh} nf={nf} batch={BATCH}", flush=True)
+
+    @jax.jit
+    def probe(x):
+        return x * 1.000001
+
+    x = jnp.ones((8,), jnp.float32)
+    _ = np.asarray(probe(x))
+    ov = 1e9
+    for _i in range(5):
+        t0 = time.perf_counter()
+        _ = np.asarray(probe(x))
+        ov = min(ov, time.perf_counter() - t0)
+    print(f"sync overhead: {ov * 1e3:.1f} ms", flush=True)
+
+    t0 = time.perf_counter()
+    pack = synth_pack_device(cfg, nh, nf)
+    key = jax.random.PRNGKey(99)
+    emb = (jax.random.normal(key, (VOCAB, C), jnp.float32) * 0.02).astype(
+        jnp.bfloat16
+    )
+    hq = jax.random.randint(jax.random.PRNGKey(98), (VOCAB, C), -127, 128,
+                            jnp.int8)
+    hd = jnp.full((VOCAB, 1), 1.0 / (127.0 * np.sqrt(C)), jnp.float32)
+    ln_out_w = jnp.ones((C,), jnp.float32)
+    ln_out_b = jnp.zeros((C,), jnp.float32)
+    jax.block_until_ready(pack["rkv"])
+    nbytes = sum(
+        v.nbytes for v in jax.tree_util.tree_leaves(pack)
+        if hasattr(v, "nbytes")
+    ) + hq.nbytes
+    print(
+        f"pack built on device in {time.perf_counter() - t0:.1f}s "
+        f"({nbytes / 1e9:.2f} GB streamed/step incl. head)",
+        flush=True,
+    )
+
+    meta = {k: pack[k] for k in ("quant", "d_lora", "f_dim", "nh", "nf")}
+    arrs = {k: v for k, v in pack.items() if k not in meta}
+
+    def ln(v, w, b):
+        mu = jnp.mean(v)
+        vc = v - mu
+        return vc * jax.lax.rsqrt(jnp.mean(vc * vc) + 1e-5) * w + b
+
+    def head_mm(xo, hq, hd):  # [B, C] -> [B, V] via s8 MXU
+        amax = jnp.max(jnp.abs(xo), axis=-1, keepdims=True)
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(xo * inv), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x8, hq, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return acc.astype(jnp.float32) * dx * hd[:, 0][None, :]
+
+    # emb/head/ln arrays are passed as ARGUMENTS (closure capture would
+    # bake them into the HLO as constants — hundreds of MB through the
+    # tunnel's remote-compile endpoint, which rejects the request).
+    @jax.jit
+    def chain(arrs, consts, state, tokens):
+        emb, hq, hd, ln_out_w, ln_out_b = consts
+        pk = {**arrs, **meta}
+
+        def body(carry, _):
+            state, tokens = carry
+            x0 = jax.vmap(lambda t: ln(emb[t].astype(jnp.float32),
+                                       jnp.float32(1.0), jnp.float32(0.0)))(
+                tokens
+            )                                             # [B, C]
+            y, state = v7_decode_megakernel_tiled(
+                pk, state, x0.T, cfg,
+                interpret=jax.default_backend() != "tpu",
+            )
+            xo = jax.vmap(lambda v: ln(v, ln_out_w, ln_out_b))(y.T)
+            logits = head_mm(xo, hq, hd)
+            return (state, jnp.argmax(logits, -1).astype(jnp.int32)), None
+
+        (state, tokens), _ = jax.lax.scan(
+            body, (state, tokens), None, length=N_GEN
+        )
+        return jnp.sum(tokens.astype(jnp.float32))
+
+    if BATCH == 1:
+        heads = jnp.zeros((L, nh, h // nh, s, s), jnp.float32)
+    else:
+        heads = jnp.zeros((L, nh, h // nh, s, s, BATCH), jnp.float32)
+    state = {
+        "att_xx": jnp.zeros((L, C, BATCH), jnp.float32),
+        "ffn_xx": jnp.zeros((L, C, BATCH), jnp.float32),
+        "heads": heads,
+    }
+    tokens = jnp.zeros((BATCH,), jnp.int32)
+    consts = (emb, hq, hd, ln_out_w, ln_out_b)
+
+    t0 = time.perf_counter()
+    out = np.asarray(chain(arrs, consts, state, tokens))
+    print(f"compiled+first run in {time.perf_counter() - t0:.1f}s "
+          f"(probe {float(out):.1f})", flush=True)
+    assert np.isfinite(out)
+
+    best = 1e9
+    for _i in range(3):
+        t0 = time.perf_counter()
+        _ = np.asarray(chain(arrs, consts, state, tokens))
+        best = min(best, time.perf_counter() - t0)
+    per_tok = max(best - ov, 1e-9) / N_GEN
+    wt_gb = nbytes / 1e9
+    print(
+        f"1.5B w8a8 TILED megakernel decode, B={BATCH}: "
+        f"{per_tok * 1e3:7.3f} ms/tok  {BATCH / per_tok:8.1f} tok/s  "
+        f"(weight stream {wt_gb / per_tok:.0f} GB/s; per-op path was "
+        f"3.73 ms/tok)",
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 from rwkv_tpu.models.serve import ServingModel, forward_stacked
 from rwkv_tpu.models.synth import synth_config, synth_params
-from rwkv_tpu.ops.megakernel import v7_decode_megakernel_batched
+from rwkv_tpu.ops.megakernel import v7_decode_megakernel_tiled
 from rwkv_tpu.ops.parity import layer_norm
 from rwkv_tpu.models import graph as G
 
@@ -37,7 +37,7 @@ if SMALL:
 else:
     L, C, VOCAB, HEAD, LORA = 12, 768, 65536, 64, 64  # 169M-class
 
-BATCHES = (8, 32, 64)
+BATCHES = (8, 32, 64, 128, 256)
 
 
 def null_overhead():
@@ -63,6 +63,7 @@ def main():
 
     t0 = time.perf_counter()
     mega = ServingModel((cfg, params), precision=precision, megakernel=True)
+    mega.mega_min_batch = 2  # force the batched kernel at tiny B
     ref = ServingModel((cfg, params), precision=precision)
     print(f"build+upload {time.perf_counter()-t0:.0f}s", flush=True)
 
@@ -102,13 +103,19 @@ def main():
     if not ok:
         return 1
 
-    # ---- chained timing ----
-    meta = {k: mega._mega[k] for k in ("quant", "d_lora", "f_dim")}
-    arrs = {k: v for k, v in mega._mega.items() if k not in meta}
+    # ---- chained timing (TILED batched kernel — the whole-layer batched
+    # variant OOMs scoped VMEM natively at B>=8: the [H,S,S,B] state blocks
+    # pad lanes to 128, x4 double-buffered output windows) ----
     n_gen = 64
     ov = null_overhead()
+    L_, H_, S_ = cfg.n_layer, cfg.head_count, cfg.head_size
 
     for B in BATCHES:
+        pack_full, nh, nf = mega._mega_tiled_pack(B)
+        meta = {k: pack_full[k]
+                for k in ("quant", "d_lora", "f_dim", "nh", "nf")}
+        arrs = {k: v for k, v in pack_full.items() if k not in meta}
+
         @jax.jit
         def chain(params, pack_arrs, state, logits):
             pack = {**pack_arrs, **meta}
@@ -119,17 +126,19 @@ def main():
                 x0 = layer_norm(
                     params["emb"][tok].astype(jnp.float32), *params["ln0"]
                 )                                                    # [B, C]
-                y, state4 = v7_decode_megakernel_batched(
-                    pack, state4, x0.T, cfg
+                y, state4 = v7_decode_megakernel_tiled(
+                    pack, state4, x0.T, cfg,
+                    interpret=jax.default_backend() != "tpu",
                 )
                 xo = layer_norm(y.T, *params["ln_out"])
                 logits = G.mm(xo, params["head"])
                 return (state4, logits), None
 
+            heads = jnp.transpose(state["heads"], (1, 2, 3, 4, 0))
             state4 = {
                 "att_xx": jnp.transpose(state["att_xx"], (1, 2, 0)),
                 "ffn_xx": jnp.transpose(state["ffn_xx"], (1, 2, 0)),
-                "heads": jnp.transpose(state["heads"], (1, 2, 3, 4, 0)),
+                "heads": heads.reshape(L_, nh, H_ // nh, S_, S_, B),
             }
             (state4, logits), _ = jax.lax.scan(
                 body, (state4, logits), None, length=n_gen

@@ -21,6 +21,7 @@ def test_megamodel_matches_serving_fixture(quant):
     precision = "w8a8" if quant else "bf16"
     ref = ServingModel(path, precision=precision)
     mega = ServingModel(path, precision=precision, megakernel=True)
+    mega.mega_min_batch = 2  # force the batched kernel at tiny B
 
     state_r = ref.init_state(1)
     state_m = mega.init_state(1)
@@ -80,6 +81,7 @@ def test_megamodel_batched_matches_serving_fixture(quant):
     precision = "w8a8" if quant else "bf16"
     ref = ServingModel(path, precision=precision)
     mega = ServingModel(path, precision=precision, megakernel=True)
+    mega.mega_min_batch = 2  # force the batched kernel at tiny B
 
     B = 3
     state_r = ref.init_state(B)
@@ -114,6 +116,7 @@ def test_megamodel_batched_lane_independence():
     cfg = synth_config("7.0", n_layer=3, n_embed=128, n_vocab=256, head_size=32)
     params = synth_params(cfg, seed=3, lora_dim=32)
     mega = ServingModel((cfg, params), precision="w8a8", megakernel=True)
+    mega.mega_min_batch = 2  # force the batched kernel at tiny B
 
     # lanes (s1, s2, s1, s2): 0 must bit-match 2, and 1 must bit-match 3
     rng = np.random.default_rng(0)
@@ -147,3 +150,61 @@ def test_mega_pack_quant_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(pack["out"][0]), np.asarray(ref.q).T[: w.shape[0]]
     )
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_megamodel_v6_matches_serving_fixture(quant):
+    """v6 whole-model kernel vs the per-op serving path on the tiny 6v0
+    fixture (only quantized base files exist for 6v0; Q5_1 is the
+    committed format-stability fixture)."""
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture("tiny-rwkv-6v0-3m-Q5_1.bin"))
+    precision = "w8a8" if quant else "bf16"
+    ref = ServingModel(path, precision=precision)
+    mega = ServingModel(path, precision=precision, megakernel=True)
+
+    # w8a8 activation scales differ in granularity (per-matvec in the
+    # kernel vs per-token-row per-op) and the difference compounds through
+    # the recurrent state, so the quant band is a bounded-drift gate
+    # (argmax must still agree every step); bf16 stays tight.
+    atol = 1e-1 if quant else 2e-2
+    state_r = ref.init_state(1)
+    state_m = mega.init_state(1)
+    for tok in b'"in":':
+        logits_r, state_r = ref.decode(np.array([tok], np.int32), state_r)
+        logits_m, state_m = mega.decode(np.array([tok], np.int32), state_m)
+        lr, lm = np.asarray(logits_r), np.asarray(logits_m)
+        np.testing.assert_allclose(lm, lr, rtol=2e-2, atol=atol)
+        assert lm.argmax() == lr.argmax()
+    # On this fixture the per-op quant path keeps the file's Q5_1 blocks
+    # (higher precision than the kernel's int8 rows), so the quant state
+    # band is bounded-drift, not closeness.
+    satol = 2.5e-1 if quant else 2e-2
+    np.testing.assert_allclose(
+        np.asarray(state_m["heads"]), np.asarray(state_r["heads"]),
+        rtol=2e-2, atol=satol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_m["att_xx"]), np.asarray(state_r["att_xx"]),
+        rtol=2e-2, atol=satol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_m["ffn_xx"]), np.asarray(state_r["ffn_xx"]),
+        rtol=2e-2, atol=satol,
+    )
+
+
+def test_megamodel_v6_batched_falls_back():
+    """B>1 v6 decode must fall back to the per-op path (identical
+    results), not crash."""
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture("tiny-rwkv-6v0-3m-Q5_1.bin"))
+    ref = ServingModel(path, precision="bf16")
+    mega = ServingModel(path, precision="bf16", megakernel=True)
+    toks = np.array([34, 105, 110], np.int32)
+    sr, sm = ref.init_state(3), mega.init_state(3)
+    lr, sr = ref.decode(toks, sr)
+    lm, sm = mega.decode(toks, sm)
+    np.testing.assert_array_equal(np.asarray(lm), np.asarray(lr))
