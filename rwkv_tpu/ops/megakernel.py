@@ -750,10 +750,26 @@ def choose_tiling(cfg, quant: bool, batch: int) -> tuple:
     return nh, nf
 
 
+# Vectors the tiled kernel stores as [L, 1, N] ROWS: an [N, 1] column
+# block pads its lane dim 1 -> 128 in VMEM (a [2048, 1] window costs 1MB
+# x2 buffers for 8KB of data; at 1.5B the padding alone OOMs the 128MB
+# scoped VMEM).  Rows cost N*4 bytes and are transposed to columns
+# in-kernel — verified exact natively (scripts/probe_row_layout.py pA/pB).
+# ln_x.weight/bias and r_k are EXCLUDED: the wkv phase slices them
+# per head tile with a grid-dependent offset, which needs a ref-level
+# pl.dslice (lax.dynamic_slice on a transposed VALUE has no Mosaic
+# lowering — probe pD), so they stay columns.
+_TILED_ROW_VECS = tuple(
+    k for k in _VEC_KEYS if k not in ("att.ln_x.weight", "att.ln_x.bias")
+)
+
+
 def retile_mega_pack(pack: dict, cfg, nh: int = 1, nf: int = 1) -> dict:
     """Re-tile a build_mega_pack output for the phase-tiled kernel:
     fk [L, F, C] -> [L, nf, F/nf, C], fv [L, C, F] -> [L, nf, C, F/nf]
-    (device-side; fv needs one transpose). Adds 'nh'/'nf' meta."""
+    (device-side; fv needs one transpose); vectors and quant row scales
+    move to [L, 1, N] row layout (see _TILED_ROW_VECS note). Adds
+    'nh'/'nf' meta."""
     f_dim = pack["f_dim"]
     assert f_dim % nf == 0, (f_dim, nf)
     f4 = f_dim // nf
@@ -763,8 +779,15 @@ def retile_mega_pack(pack: dict, cfg, nh: int = 1, nf: int = 1) -> dict:
     out["fk"] = pack["fk"].reshape(L, nf, f4, -1)
     out["fv"] = jnp.swapaxes(pack["fv"].reshape(L, -1, nf, f4), 1, 2)
     if pack["quant"]:
-        out["fk_d"] = pack["fk_d"].reshape(L, nf, f4, 1)
+        out["fk_d"] = jnp.swapaxes(
+            pack["fk_d"].reshape(L, nf, f4, 1), 2, 3
+        )  # [L, nf, 1, f4]
         # fv_d scales rows of the OUTPUT (C) — identical for every tile.
+        for name in ("rkv", "lora1", "lora2", "out", "fv"):
+            out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    for key in _TILED_ROW_VECS:
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    out["coeff"] = jnp.swapaxes(pack["coeff"], 1, 2)
     return out
 
 
@@ -824,9 +847,14 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         i = pl.program_id(0)
         p = pl.program_id(1)
 
+        def cv(ref):
+            """Row-stored vector block [1, N] -> column [N, 1] (exact
+            natively — probe_row_layout.py pA)."""
+            return ref[0].T
+
         def slc(w_ref, d_ref, lo, hi):
             w = w_ref[0][lo:hi]
-            d = d_ref[0][lo:hi] if quant else None
+            d = d_ref[0].T[lo:hi] if quant else None
             return w, d
 
         # ---- phase 0: every projection except att-out and FFN ---------
@@ -837,11 +865,11 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
                 x_s[:] = x0_ref[:]
 
             x = x_s[:]
-            xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+            xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
             sx = att_in[0] - xl
             att_out[0] = xl
 
-            cf = coeff[0].reshape(6, c, 1)
+            cf = coeff[0].T.reshape(6, c, 1)
             xr = xl + sx * cf[0]
             xw = xl + sx * cf[1]
             xk = xl + sx * cf[2]
@@ -868,15 +896,15 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             vmix_l = matv(*slc(lora2, l2, 3 * c, 4 * c), v_dn)
 
             w_dec = jnp.exp(
-                jax.nn.sigmoid(w_l + w0[0]) * jnp.float32(-0.606531)
+                jax.nn.sigmoid(w_l + cv(w0)) * jnp.float32(-0.606531)
             )
-            a_gate = jax.nn.sigmoid(a_l + a0[0])
+            a_gate = jax.nn.sigmoid(a_l + cv(a0))
 
-            kkv = (k * kkw[0]).reshape(h, s, batch)
+            kkv = (k * cv(kkw)).reshape(h, s, batch)
             nrm = jnp.sqrt(jnp.sum(kkv * kkv, axis=1, keepdims=True))
             kkv = kkv / jnp.maximum(nrm, jnp.float32(1e-12))
 
-            ka = k * kaw[0]
+            ka = k * cv(kaw)
             k = k + (a_gate * ka - ka)
 
             @pl.when(i == 0)
@@ -884,7 +912,7 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
                 vf_s[:] = v
 
             vf = vf_s[:]
-            v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + v0[0])
+            v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + cv(v0))
             v = jnp.where(i == 0, v, v_mixed)
 
             r_s[:] = r
@@ -965,13 +993,13 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         @pl.when(p == nh + 1)
         def _out_proj():
             att_proj = matv(
-                out_w[0], out_d[0] if quant else None, xo_s[:]
+                out_w[0], out_d[0].T if quant else None, xo_s[:]
             )
             x = x_s[:] + att_proj
-            xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+            xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
             sx2 = ffn_in[0] - xl2
             ffn_out[0] = xl2
-            xk2_s[:] = xl2 + sx2 * xkw[0]
+            xk2_s[:] = xl2 + sx2 * cv(xkw)
             x_s[:] = x
             acc_s[:] = jnp.zeros_like(acc_s)
 
@@ -980,7 +1008,7 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         def _fk_tile():
             t = p - (nh + 2)
             hk = matv(
-                fk_w[0][0], fk_d[0][0] if quant else None, xk2_s[:]
+                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
             h_s[pl.dslice(t * f4, f4)] = hk
@@ -991,7 +1019,7 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             t = p - (nh + 3)
             hk = h_s[pl.dslice(t * f4, f4)]
             acc_s[:] += matv(
-                fv_w[0][0], fv_d[0] if quant else None, hk
+                fv_w[0][0], fv_d[0].T if quant else None, hk
             )
 
         # ---- finalize layer (same grid step as the last fv tile) ------
@@ -1080,8 +1108,10 @@ def v7_decode_megakernel_tiled(
         mat_args.append(pack["fv_d"])
         mat_specs.append(per_layer(pack["fv_d"].shape[1:]))
 
+    # row-stored vectors are [L, 1, C]; ln_x.weight/bias stay [L, C, 1]
+    # columns (head-tile dslice) — see _TILED_ROW_VECS.
     vec_args = [pack[k] for k in _VEC_KEYS]
-    vec_specs = [per_layer((c, 1)) for _ in _VEC_KEYS]
+    vec_specs = [per_layer(pack[k].shape[1:]) for k in _VEC_KEYS]
 
     if batch == 1:
         head_shape = (h4, s, s)
@@ -1098,7 +1128,7 @@ def v7_decode_megakernel_tiled(
         [whole((c, batch)), per_layer((c, batch)), per_layer((c, batch)),
          head_spec(head_shape)]
         + mat_specs + vec_specs
-        + [per_layer((6 * c, 1)), per_layer((h, s, 1))]
+        + [per_layer((1, 6 * c)), per_layer((h, s, 1))]
     )
 
     out_shapes = (
@@ -1156,7 +1186,11 @@ def v7_decode_megakernel_tiled(
 # gate.  wkv6 per head: out[i] = sum_j r[j]*(tf[j]*k[j]*v[i] + S[j,i]);
 # S'[j,i] = S[j,i]*w[j] + k[j]*v[i].
 
-_V6_MAT_KEYS = ("rkvg", "maa1", "maa2", "dw1", "dw2", "out", "fk", "fv", "fr")
+# maa2 is NOT in the quantized-mat list: its up-projections are K=d_maa
+# (~32) dots feeding the exp(-exp(.)) decay, where int8 rounding flips
+# argmax vs the per-op path (which keeps time_maa_w2 dense) — it stays
+# bf16 in every precision (it is ~5*C*d_maa bytes, bandwidth-negligible).
+_V6_MAT_KEYS = ("rkvg", "maa1", "dw1", "dw2", "out", "fk", "fv", "fr")
 _V6_VEC_KEYS = (
     "ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
     "att.ln_x.weight", "att.ln_x.bias", "att.time_maa_x",
@@ -1196,7 +1230,6 @@ def build_mega_pack_v6(params: dict, cfg, quant: bool = True) -> dict:
     mats = {
         "rkvg": stack(_V6_RKVG),
         "maa1": stack("att.time_maa_w1"),
-        "maa2": maa2,
         "dw1": stack("att.time_decay_w1"),
         "dw2": stack("att.time_decay_w2"),
         "out": stack("att.output.weight"),
@@ -1205,6 +1238,7 @@ def build_mega_pack_v6(params: dict, cfg, quant: bool = True) -> dict:
         "fr": stack("ffn.receptance.weight"),
     }
     pack = {"quant": quant, "d_maa": d_maa, "d_dec": d_dec, "f_dim": f_dim}
+    pack["maa2"] = jnp.asarray(maa2, jnp.bfloat16)  # see _V6_MAT_KEYS note
     for name, w in mats.items():
         if quant:
             amax = np.abs(w).max(axis=-1, keepdims=True)  # [L, N, 1]
@@ -1263,16 +1297,18 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant):
     def kernel(*refs):
         if quant:
             (x0_ref, att_in, ffn_in, heads_in,
-             rkvg, rkvg_d, maa1, maa1_d, maa2, maa2_d,
+             rkvg, rkvg_d, maa1, maa1_d,
              dw1, dw1_d, dw2, dw2_d,
              out_w, out_d, fk_w, fk_d, fv_w, fv_d, fr_w, fr_d,
+             maa2,
              ln1w, ln1b, ln2w, ln2b, lnxw, lnxb, maax, fxk, fxr,
              maa5, tdecay, tf,
              y_out, att_out, ffn_out, heads_out,
              x_s) = refs
         else:
             (x0_ref, att_in, ffn_in, heads_in,
-             rkvg, maa1, maa2, dw1, dw2, out_w, fk_w, fv_w, fr_w,
+             rkvg, maa1, dw1, dw2, out_w, fk_w, fv_w, fr_w,
+             maa2,
              ln1w, ln1b, ln2w, ln2b, lnxw, lnxb, maax, fxk, fxr,
              maa5, tdecay, tf,
              y_out, att_out, ffn_out, heads_out,
@@ -1304,12 +1340,21 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant):
             matv(maa1, maa1_d if quant else None, 0, 5 * d_maa, xxx)
         )
         d = d_maa
-        m2d = maa2_d if quant else None
-        m_w = matv(maa2, m2d, 0 * c, 1 * c, mixdn[0 * d:1 * d])
-        m_k = matv(maa2, m2d, 1 * c, 2 * c, mixdn[1 * d:2 * d])
-        m_v = matv(maa2, m2d, 2 * c, 3 * c, mixdn[2 * d:3 * d])
-        m_r = matv(maa2, m2d, 3 * c, 4 * c, mixdn[3 * d:4 * d])
-        m_g = matv(maa2, m2d, 4 * c, 5 * c, mixdn[4 * d:5 * d])
+
+        def maa_up(lo_c, lo_d):
+            # always-bf16 up-projection (see _V6_MAT_KEYS note)
+            return jax.lax.dot_general(
+                maa2[0][lo_c:lo_c + c],
+                mixdn[lo_d:lo_d + d].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        m_w = maa_up(0 * c, 0 * d)
+        m_k = maa_up(1 * c, 1 * d)
+        m_v = maa_up(2 * c, 2 * d)
+        m_r = maa_up(3 * c, 3 * d)
+        m_g = maa_up(4 * c, 4 * d)
 
         cf = maa5[0].reshape(5, c, 1)  # order w, k, v, r, g
         xw = xl + sx * (cf[0] + m_w)
@@ -1410,6 +1455,8 @@ def v6_decode_megakernel(
             dq = pack[name + "_d"]
             mat_args.append(dq)
             mat_specs.append(blocked(dq.shape[1:]))
+    mat_args.append(pack["maa2"])  # always bf16, no row scales
+    mat_specs.append(blocked(pack["maa2"].shape[1:]))
 
     vec_args = [pack[k] for k in _V6_VEC_KEYS]
     vec_specs = [blocked((c, 1)) for _ in _V6_VEC_KEYS]

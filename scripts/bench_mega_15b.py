@@ -80,11 +80,21 @@ def synth_pack_device(cfg, nh, nf, seed=0):
     pack["fk"], pack["fk_d"] = qmat((L, nf, f4, C), C)
     pack["fv"], fv_d = qmat((L, nf, C, f4), F)
     pack["fv_d"] = fv_d[:, 0]  # [L, C, 1] — output-row scales, tile-invariant
+    # tiled-kernel row layout (retile_mega_pack contract): scales and
+    # most vectors as [L, 1, N] rows; ln_x + r_k stay columns.
+    for name in ("rkv", "lora1", "lora2", "out", "fv"):
+        pack[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    pack["fk_d"] = jnp.swapaxes(pack["fk_d"], 2, 3)
+    from rwkv_tpu.ops.megakernel import _TILED_ROW_VECS
+
     for name in _VEC_KEYS:
         ofs = 1.0 if name.endswith("weight") else 0.0
         scl = 0.02 if ("ln" in name) else 0.3
-        pack[name] = vec(scale=scl, offset=ofs)
-    pack["coeff"] = vec(scale=0.2, offset=0.5, shape=(6 * C,))
+        v = vec(scale=scl, offset=ofs)
+        pack[name] = (
+            jnp.swapaxes(v, 1, 2) if name in _TILED_ROW_VECS else v
+        )
+    pack["coeff"] = jnp.swapaxes(vec(scale=0.2, offset=0.5, shape=(6 * C,)), 1, 2)
     pack["r_k"] = vec(scale=0.3, shape=(cfg.head_count, HEAD))
     return pack
 
