@@ -1062,6 +1062,20 @@ def v7_decode_megakernel_tiled(
             memory_space=pltpu.VMEM,
         )
 
+    def per_layer_early(shape, last_phase):
+        """Per-layer block whose NEXT-layer fetch starts right after its
+        last consuming phase instead of at the layer boundary: once
+        p > last_phase the index map points at layer i+1, so the (big)
+        window's DMA overlaps all remaining phases of layer i rather
+        than the single phase before its use.  With double buffering the
+        layer-i block stays resident while i+1 streams in."""
+        def imap(i, p):
+            return (
+                jnp.minimum(i + (p > last_phase), n_layer - 1),
+            ) + (0,) * len(shape)
+
+        return pl.BlockSpec((1,) + shape, imap, memory_space=pltpu.VMEM)
+
     def whole(shape):
         return pl.BlockSpec(
             shape, lambda i, p: (0,) * len(shape), memory_space=pltpu.VMEM
@@ -1089,14 +1103,17 @@ def v7_decode_megakernel_tiled(
         )
 
     mat_args, mat_specs = [], []
-    for name in ("rkv", "lora1", "lora2", "out"):
+    # rkv/loras are consumed only in phase 0, out in phase nh+1 — fetch
+    # the next layer's block as soon as the last consumer phase is done.
+    for name, last_p in (("rkv", 0), ("lora1", 0), ("lora2", 0),
+                         ("out", nh + 1)):
         w = pack[name]
         mat_args.append(w)
-        mat_specs.append(per_layer(w.shape[1:]))
+        mat_specs.append(per_layer_early(w.shape[1:], last_p))
         if quant:
             d = pack[name + "_d"]
             mat_args.append(d)
-            mat_specs.append(per_layer(d.shape[1:]))
+            mat_specs.append(per_layer_early(d.shape[1:], last_p))
     mat_args.append(pack["fk"])
     mat_specs.append(fk_spec(pack["fk"].shape[2:]))
     if quant:
@@ -1166,7 +1183,9 @@ def v7_decode_megakernel_tiled(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            # 1.5B needs 100.6M of windows+scratch (measured); the chip
+            # has 128M — leave headroom for the compiler's own stack.
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
@@ -1187,9 +1206,10 @@ def v7_decode_megakernel_tiled(
 # S'[j,i] = S[j,i]*w[j] + k[j]*v[i].
 
 # maa2 is NOT in the quantized-mat list: its up-projections are K=d_maa
-# (~32) dots feeding the exp(-exp(.)) decay, where int8 rounding flips
-# argmax vs the per-op path (which keeps time_maa_w2 dense) — it stays
-# bf16 in every precision (it is ~5*C*d_maa bytes, bandwidth-negligible).
+# (~32) dots feeding the exp(-exp(.)) decay, where int8 (or even bf16)
+# rounding drifts far from the per-op path (which computes this einsum at
+# f32-HIGHEST) and compounds across layers — it stays f32 in every
+# precision (it is ~5*C*d_maa*4 bytes, bandwidth-negligible).
 _V6_MAT_KEYS = ("rkvg", "maa1", "dw1", "dw2", "out", "fk", "fv", "fr")
 _V6_VEC_KEYS = (
     "ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
@@ -1238,7 +1258,7 @@ def build_mega_pack_v6(params: dict, cfg, quant: bool = True) -> dict:
         "fr": stack("ffn.receptance.weight"),
     }
     pack = {"quant": quant, "d_maa": d_maa, "d_dec": d_dec, "f_dim": f_dim}
-    pack["maa2"] = jnp.asarray(maa2, jnp.bfloat16)  # see _V6_MAT_KEYS note
+    pack["maa2"] = jnp.asarray(maa2, jnp.float32)  # see _V6_MAT_KEYS note
     for name, w in mats.items():
         if quant:
             amax = np.abs(w).max(axis=-1, keepdims=True)  # [L, N, 1]
@@ -1273,7 +1293,8 @@ def build_mega_pack_v6(params: dict, cfg, quant: bool = True) -> dict:
     return pack
 
 
-def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant):
+def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
+                    debug=False):
     def mm(w, x):
         return jax.lax.dot_general(
             w, x,
@@ -1295,6 +1316,10 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant):
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
     def kernel(*refs):
+        dbg_out = None
+        if debug:
+            *rest, dbg_out, x_s_ = refs
+            refs = tuple(rest) + (x_s_,)
         if quant:
             (x0_ref, att_in, ffn_in, heads_in,
              rkvg, rkvg_d, maa1, maa1_d,
@@ -1342,12 +1367,16 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant):
         d = d_maa
 
         def maa_up(lo_c, lo_d):
-            # always-bf16 up-projection (see _V6_MAT_KEYS note)
+            # always-f32 up-projection (see _V6_MAT_KEYS note).
+            # precision=HIGHEST is load-bearing: Mosaic's default f32
+            # matmul is a single bf16 MXU pass natively, which re-opens
+            # the exact drift this f32 path exists to close (measured
+            # 0.155 rel at L=4 native vs 2.9e-7 interpret).
             return jax.lax.dot_general(
-                maa2[0][lo_c:lo_c + c],
-                mixdn[lo_d:lo_d + d].astype(jnp.bfloat16),
+                maa2[0][lo_c:lo_c + c], mixdn[lo_d:lo_d + d],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
 
         m_w = maa_up(0 * c, 0 * d)
@@ -1400,6 +1429,13 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant):
         xo = y_col.reshape(c, 1) * lnxw[0] + lnxb[0]
         xo = xo * g
 
+        if debug:
+            pad = jnp.zeros((c - 5 * d_maa, 1), jnp.float32)
+            dbg_out[0] = jnp.concatenate([
+                xl, jnp.concatenate([mixdn, pad], axis=0), m_w, xw,
+                r, w_dec, g, xo,
+            ], axis=0)
+
         x = x + matv(out_w, out_d if quant else None, 0, c, xo)
 
         # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
@@ -1421,6 +1457,7 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant):
 
 def v6_decode_megakernel(
     pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+    debug: bool = False,
 ):
     """Run all layers of one v6 decode step (B=1).
 
@@ -1433,7 +1470,8 @@ def v6_decode_megakernel(
     f_dim = pack["f_dim"]
     quant = pack["quant"]
 
-    kernel = _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant)
+    kernel = _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
+                             debug=debug)
 
     def blocked(shape):
         return pl.BlockSpec(
@@ -1455,7 +1493,7 @@ def v6_decode_megakernel(
             dq = pack[name + "_d"]
             mat_args.append(dq)
             mat_specs.append(blocked(dq.shape[1:]))
-    mat_args.append(pack["maa2"])  # always bf16, no row scales
+    mat_args.append(pack["maa2"])  # always f32, no row scales
     mat_specs.append(blocked(pack["maa2"].shape[1:]))
 
     vec_args = [pack[k] for k in _V6_VEC_KEYS]
@@ -1482,8 +1520,13 @@ def v6_decode_megakernel(
     out_specs = (
         whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s)),
     )
+    if debug:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((n_layer, 8 * c, 1), jnp.float32),
+        )
+        out_specs = out_specs + (blocked((8 * c, 1)),)
 
-    y, att_xx, ffn_xx, heads = pl.pallas_call(
+    *outs6, = pl.pallas_call(
         kernel,
         grid=(n_layer,),
         in_specs=in_specs,
@@ -1500,4 +1543,8 @@ def v6_decode_megakernel(
         ),
         interpret=interpret,
     )(*args)
-    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+    y, att_xx, ffn_xx, heads = outs6[:4]
+    state = {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+    if debug:
+        state["dbg"] = outs6[4]
+    return y, state

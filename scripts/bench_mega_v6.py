@@ -59,30 +59,44 @@ def main():
           flush=True)
     params = synth_params(cfg, seed=0, lora_dim=LORA)
 
-    t0 = time.perf_counter()
-    mega = ServingModel((cfg, params), precision=precision, megakernel=True)
-    ref = ServingModel((cfg, params), precision=precision)
-    print(f"build+upload {time.perf_counter()-t0:.0f}s", flush=True)
-
-    # ---- quality gate: argmax agreement + bounded drift vs per-op ----
+    # ---- quality gate on a SHALLOW config (L=4, same width/heads) ----
+    # A random-weight v6 model is numerically CHAOTIC in depth: the
+    # exp(-exp(w)) decay amplifies ulp-level implementation differences,
+    # so at L=12 even per-op-bf16 vs parity-f32 differ by ~0.3 rel
+    # (measured) — a cross-path gate there measures chaos, not bugs.
+    # At L=4 the paths agree to float noise (2.9e-7 measured); kernel
+    # native-vs-interpret exactness is checked separately by
+    # probe_v6_bisect.py at full depth.
+    cfg_g = synth_config("6.0", n_layer=4, n_embed=C, n_vocab=VOCAB,
+                         head_size=HEAD)
+    params_g = synth_params(cfg_g, seed=0, lora_dim=LORA)
+    mega_g = ServingModel((cfg_g, params_g), precision=precision,
+                          megakernel=True)
+    ref_g = ServingModel((cfg_g, params_g), precision=precision)
     rng = np.random.default_rng(0)
     toks = rng.integers(0, cfg.n_vocab, size=6).astype(np.int32)
-    state_m = mega.init_state(1)
-    state_r = ref.init_state(1)
+    state_m = mega_g.init_state(1)
+    state_r = ref_g.init_state(1)
     worst, argmax_ok = 0.0, True
     for t in toks:
-        lm, state_m = mega.decode(np.array([t], np.int32), state_m)
-        lr, state_r = ref.decode(np.array([t], np.int32), state_r)
+        lm, state_m = mega_g.decode(np.array([t], np.int32), state_m)
+        lr, state_r = ref_g.decode(np.array([t], np.int32), state_r)
         lm, lr = np.asarray(lm), np.asarray(lr)
         scale = max(np.abs(lr).max(), 1e-6)
         worst = max(worst, float(np.abs(lm - lr).max() / scale))
         argmax_ok = argmax_ok and (lm.argmax(-1) == lr.argmax(-1)).all()
-    print(f"vs per-op: rel err {worst:.2e}, argmax agree {argmax_ok}",
-          flush=True)
-    ok = worst < 2e-1 and argmax_ok
+    print(f"L=4 gate vs per-op: rel err {worst:.2e}, argmax agree "
+          f"{argmax_ok}", flush=True)
+    ok = worst < 1e-2 and argmax_ok
     print("NUMERICS", "PASS" if ok else "FAIL", flush=True)
     if not ok:
         return 1
+    del mega_g, ref_g
+
+    t0 = time.perf_counter()
+    mega = ServingModel((cfg, params), precision=precision, megakernel=True)
+    ref = ServingModel((cfg, params), precision=precision)
+    print(f"build+upload {time.perf_counter()-t0:.0f}s", flush=True)
 
     # ---- chained timing ----
     meta = {k: mega._mega[k] for k in ("quant", "d_maa", "d_dec", "f_dim")}
