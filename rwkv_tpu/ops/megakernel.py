@@ -1548,3 +1548,307 @@ def v6_decode_megakernel(
     if debug:
         state["dbg"] = outs6[4]
     return y, state
+
+
+# ---------------------------------------------------------------------------
+# RWKV v5 (5.1 / 5.2) whole-model decode kernel (B=1)
+# ---------------------------------------------------------------------------
+#
+# v5 layer math (reference rwkv_graph.inc:199-292 + 484-511): STATIC
+# per-head decay/bonus (time_decay/time_faaaa — no LoRAs), static 3-way
+# token-shift mixes in the reference's op order x*c + (prev - prev*c),
+# wkv identical to v6's recurrence with a constant w, group norm eps 1e-5,
+# a silu gate on 5.2 only, and the v4/v5 FFN (relu^2 key with a sigmoid
+# receptance gate).  5.1 stores per-head SCALAR decay/bonus — broadcast
+# to [H, S] at pack time (the reference's ggml_repeat).
+
+_V5_MAT_KEYS = ("rkvg", "out", "fk", "fv", "fr")
+_V5_VEC_KEYS = (
+    "ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+    "att.ln_x.weight", "att.ln_x.bias",
+)
+
+
+def build_mega_pack_v5(params: dict, cfg, quant: bool = True) -> dict:
+    """v5 analogue of build_mega_pack. has_gate selects 5.2."""
+    c = cfg.n_embed
+    h, s = cfg.head_count, cfg.head_size
+    blocks = [dict(b) for b in params["blocks"]]
+    n_layer = len(blocks)
+    has_gate = "att.gate.weight" in blocks[0]
+
+    def stack(keys_or_key):
+        if isinstance(keys_or_key, tuple):
+            return np.stack([
+                np.concatenate([_np_dense(b[k]) for k in keys_or_key])
+                for b in blocks
+            ])
+        return np.stack([_np_dense(b[keys_or_key]) for b in blocks])
+
+    f_dim = _np_dense(blocks[0]["ffn.key.weight"]).shape[0]
+
+    rkvg_keys = ("att.receptance.weight", "att.key.weight",
+                 "att.value.weight")
+    if has_gate:
+        rkvg_keys = rkvg_keys + ("att.gate.weight",)
+    mats = {
+        "rkvg": stack(rkvg_keys),
+        "out": stack("att.output.weight"),
+        "fk": stack("ffn.key.weight"),
+        "fv": stack("ffn.value.weight"),
+        "fr": stack("ffn.receptance.weight"),
+    }
+    pack = {"quant": quant, "f_dim": f_dim, "has_gate": has_gate}
+    for name, w in mats.items():
+        if quant:
+            amax = np.abs(w).max(axis=-1, keepdims=True)
+            dq = amax / 127.0
+            inv = np.where(dq > 0, 1.0 / np.maximum(dq, 1e-30), 0.0)
+            q = np.clip(np.rint(w * inv), -127, 127).astype(np.int8)
+            pack[name] = jnp.asarray(q)
+            pack[name + "_d"] = jnp.asarray(dq.astype(np.float32))
+        else:
+            pack[name] = jnp.asarray(w, jnp.bfloat16)
+
+    for key in _V5_VEC_KEYS:
+        pack[key] = jnp.asarray(stack(key).reshape(n_layer, c, 1))
+
+    mix_names = ("k", "v", "r") + (("g",) if has_gate else ())
+    amix = np.stack([
+        np.concatenate([
+            np.asarray(b["att.time_mix_" + n], np.float32)
+            for n in mix_names
+        ])
+        for b in blocks
+    ])
+    pack["amix"] = jnp.asarray(
+        amix.reshape(n_layer, len(mix_names) * c, 1)
+    )
+    fmix = np.stack([
+        np.concatenate([
+            np.asarray(b["ffn.time_mix_k"], np.float32),
+            np.asarray(b["ffn.time_mix_r"], np.float32),
+        ])
+        for b in blocks
+    ])
+    pack["fmix"] = jnp.asarray(fmix.reshape(n_layer, 2 * c, 1))
+
+    def head_mat(key):
+        rows = []
+        for b in blocks:
+            a = np.asarray(b[key], np.float32)
+            if a.ndim == 1:  # 5.1 per-head scalars -> broadcast over S
+                a = np.broadcast_to(a[:, None], (h, s))
+            rows.append(a.reshape(h, s))
+        return jnp.asarray(np.stack(rows).reshape(n_layer, h, s, 1))
+
+    pack["td"] = head_mat("att.time_decay")
+    pack["tf"] = head_mat(
+        "att.time_faaaa" if has_gate else "att.time_first"
+    )
+    return pack
+
+
+def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate):
+    n_mix = 4 if has_gate else 3
+
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        amax = jnp.max(jnp.abs(x))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkvg, rkvg_d, out_w, out_d, fk_w, fk_d, fv_w, fv_d,
+             fr_w, fr_d,
+             ln1w, ln1b, ln2w, ln2b, lnxw, lnxb,
+             amix, fmix, td, tf,
+             y_out, att_out, ffn_out, heads_out,
+             x_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkvg, out_w, fk_w, fv_w, fr_w,
+             ln1w, ln1b, ln2w, ln2b, lnxw, lnxb,
+             amix, fmix, td, tf,
+             y_out, att_out, ffn_out, heads_out,
+             x_s) = refs
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            x_s[:] = x0_ref[:]
+
+        x = x_s[:]
+
+        def matv(w_ref, d_ref, lo, hi, xcol):
+            w = w_ref[0][lo:hi]
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * d_ref[0][lo:hi]
+            return mm(w, xcol.astype(jnp.bfloat16))
+
+        # ---- attention ------------------------------------------------
+        xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+        prev = att_in[0]
+        att_out[0] = xl
+
+        cf = amix[0].reshape(n_mix, c, 1)  # order k, v, r(, g)
+        def mix(ci):
+            return xl * cf[ci] + (prev - prev * cf[ci])
+
+        xk, xv, xr = mix(0), mix(1), mix(2)
+
+        rd = rkvg_d if quant else None
+        r = matv(rkvg, rd, 0 * c, 1 * c, xr)
+        k = matv(rkvg, rd, 1 * c, 2 * c, xk)
+        v = matv(rkvg, rd, 2 * c, 3 * c, xv)
+        if has_gate:
+            gg = matv(rkvg, rd, 3 * c, 4 * c, mix(3))
+            g = gg * jax.nn.sigmoid(gg)  # silu
+
+        # ---- wkv (v6 recurrence, constant decay) ----------------------
+        def col3(vec):
+            return vec.reshape(h, s, 1)
+
+        i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+        j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+        eye = (i_ == j_).astype(jnp.float32)[None]
+
+        r3, k3, v3 = col3(r), col3(k), col3(v)
+        td3, tf3 = td[0], tf[0]                                # [H, S, 1]
+        st = heads_in[0]
+        v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
+        dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)
+        out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
+        st = st * td3 + k3 * v_row
+        heads_out[0] = st
+
+        # group norm per head over S_i, eps 1e-5 (v5)
+        mu = jnp.mean(out_row, axis=2, keepdims=True)
+        yc = out_row - mu
+        var = jnp.mean(yc * yc, axis=2, keepdims=True)
+        y_row = yc * jax.lax.rsqrt(var + jnp.float32(1e-5))
+        y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
+        xo = y_col.reshape(c, 1) * lnxw[0] + lnxb[0]
+        if has_gate:
+            xo = xo * g
+
+        x = x + matv(out_w, out_d if quant else None, 0, c, xo)
+
+        # ---- FFN (v4/v5: relu^2 key + sigmoid receptance gate) --------
+        xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+        prev2 = ffn_in[0]
+        ffn_out[0] = xl2
+        fcf = fmix[0].reshape(2, c, 1)
+        xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
+        xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
+        rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
+        hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+        hk = jnp.square(jnp.maximum(hk, 0.0))
+        x = x + rg * matv(fv_w, fv_d if quant else None, 0, c, hk)
+
+        x_s[:] = x
+        y_out[:] = x
+
+    return kernel
+
+
+def v5_decode_megakernel(
+    pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+):
+    """Run all layers of one v5.1/v5.2 decode step (B=1).
+
+    pack: build_mega_pack_v5 output. state_t as in the v6/v7 kernels:
+    att_xx/ffn_xx [L, C, 1], heads [L, H, S_j, S_i]. x0: [C, 1] f32."""
+    c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
+    n_layer = cfg.n_layer
+    f_dim = pack["f_dim"]
+    quant = pack["quant"]
+    has_gate = pack["has_gate"]
+
+    kernel = _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate)
+
+    def blocked(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    mat_args, mat_specs = [], []
+    for name in _V5_MAT_KEYS:
+        w = pack[name]
+        mat_args.append(w)
+        mat_specs.append(blocked(w.shape[1:]))
+        if quant:
+            dq = pack[name + "_d"]
+            mat_args.append(dq)
+            mat_specs.append(blocked(dq.shape[1:]))
+
+    vec_args = [pack[k] for k in _V5_VEC_KEYS]
+    vec_specs = [blocked((c, 1)) for _ in _V5_VEC_KEYS]
+    n_mix = 4 if has_gate else 3
+
+    args = (
+        [x0.astype(jnp.float32),
+         state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
+        + mat_args + vec_args
+        + [pack["amix"], pack["fmix"], pack["td"], pack["tf"]]
+    )
+    in_specs = (
+        [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
+        + mat_specs + vec_specs
+        + [blocked((n_mix * c, 1)), blocked((2 * c, 1)),
+           blocked((h, s, 1)), blocked((h, s, 1))]
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, h, s, s), jnp.float32),
+    )
+    out_specs = (
+        whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s)),
+    )
+
+    y, att_xx, ffn_xx, heads = pl.pallas_call(
+        kernel,
+        grid=(n_layer,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, 1), jnp.float32),
+        ],
+        # layer grid carries x_s sequentially — "arbitrary" is mandatory
+        # (see the v7 kernel's note).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}

@@ -208,3 +208,35 @@ def test_megamodel_v6_batched_falls_back():
     lr, sr = ref.decode(toks, sr)
     lm, sm = mega.decode(toks, sm)
     np.testing.assert_array_equal(np.asarray(lm), np.asarray(lr))
+
+
+@pytest.mark.parametrize("version,quant", [
+    ("5v1-730K", False), ("5v1-730K", True),
+    ("5v2-730K", False), ("5v2-730K", True),
+])
+def test_megamodel_v5_matches_serving_fixture(version, quant):
+    """v5.1/v5.2 whole-model kernel vs the per-op serving path on the
+    tiny fixtures (5.1: per-head scalar decay, no gate; 5.2: [H, S]
+    decay + silu gate)."""
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture(f"tiny-rwkv-{version}-FP32.bin"))
+    precision = "w8a8" if quant else "bf16"
+    ref = ServingModel(path, precision=precision)
+    mega = ServingModel(path, precision=precision, megakernel=True)
+
+    atol = 1e-1 if quant else 2e-2
+    state_r = ref.init_state(1)
+    state_m = mega.init_state(1)
+    for tok in b'"in":':
+        logits_r, state_r = ref.decode(np.array([tok], np.int32), state_r)
+        logits_m, state_m = mega.decode(np.array([tok], np.int32), state_m)
+        lr, lm = np.asarray(logits_r), np.asarray(logits_m)
+        np.testing.assert_allclose(lm, lr, rtol=2e-2, atol=atol)
+        assert lm.argmax() == lr.argmax()
+    satol = 2.5e-1 if quant else 2e-2
+    for key in ("heads", "att_xx", "ffn_xx"):
+        np.testing.assert_allclose(
+            np.asarray(state_m[key]), np.asarray(state_r[key]),
+            rtol=2e-2, atol=satol,
+        )
