@@ -364,10 +364,9 @@ class ServingModel:
         # pallas_call for all layers, weights double-buffered per layer.
         self._mega = None
         if megakernel:
-            if cfg.version_major not in (5, 6, 7) or mesh is not None:
+            if cfg.version_major not in (4, 5, 6, 7) or mesh is not None:
                 raise ValueError(
-                    "megakernel supports single-chip RWKV v5/v6/v7 decode"
-                    " only"
+                    "megakernel supports single-chip RWKV decode only"
                 )
             quant = precision in ("quant", "q8", "q8r", "w8a8")
             if cfg.version_major == 7:
@@ -382,13 +381,20 @@ class ServingModel:
 
                 self._mega = build_mega_pack_v6(params, cfg, quant=quant)
                 mega_mat_keys = _V6_MAT_KEYS
-            else:
+            elif cfg.version_major == 5:
                 from rwkv_tpu.ops.megakernel import (
                     _V5_MAT_KEYS, build_mega_pack_v5,
                 )
 
                 self._mega = build_mega_pack_v5(params, cfg, quant=quant)
                 mega_mat_keys = _V5_MAT_KEYS
+            else:
+                from rwkv_tpu.ops.megakernel import (
+                    _V4_MAT_KEYS, build_mega_pack_v4,
+                )
+
+                self._mega = build_mega_pack_v4(params, cfg, quant=quant)
+                mega_mat_keys = _V4_MAT_KEYS
             # Whole-layer weight blocks must double-buffer in VMEM; past
             # ~20MB/layer (e.g. 1.5B C=2048) decode uses the phase-tiled
             # kernel instead (ops/megakernel.py tiled section; v7 only —
@@ -476,6 +482,40 @@ class ServingModel:
                     "att_xx": new_t["att_xx"][None, ..., 0],
                     "ffn_xx": new_t["ffn_xx"][None, ..., 0],
                     "heads": jnp.swapaxes(new_t["heads"], -1, -2)[None],
+                }
+                return logits, new_state
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key]
+
+    def _mega4_fn(self):
+        key = ("mega4",)
+        if key not in self._jit_cache:
+            cfg = self.config
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel import v4_decode_megakernel
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            meta = {k: self._mega[k] for k in ("quant", "f_dim")}
+
+            @jax.jit
+            def run(params, pack_arrs, state, token):  # state [1, L, ...]
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][token[0]].astype(jnp.float32), *params["ln0"]
+                )
+                state_t = {
+                    k: state[k][0][..., None]
+                    for k in ("att_xx", "ffn_xx", "aa", "bb", "pp")
+                }
+                y, new_t = v4_decode_megakernel(
+                    pack, state_t, x0[:, None], cfg, interpret=interpret
+                )
+                xo = p_ln(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])
+                new_state = {
+                    k: new_t[k][None, ..., 0]
+                    for k in ("att_xx", "ffn_xx", "aa", "bb", "pp")
                 }
                 return logits, new_state
 
@@ -702,16 +742,19 @@ class ServingModel:
         tokens = jnp.asarray(tokens, jnp.int32).reshape(-1, 1)
         if self._mega is not None:
             b = tokens.shape[0]
-            if self.config.version_major in (5, 6):
-                # v5/v6 kernels are B=1 whole-layer only; everything
+            if self.config.version_major in (4, 5, 6):
+                # v4/v5/v6 kernels are B=1 whole-layer only; everything
                 # else falls back to the per-op path.
                 if b == 1 and not self._mega_big:
                     if self.config.version_major == 6:
                         meta = ("quant", "d_maa", "d_dec", "f_dim")
                         fn = self._mega6_fn()
-                    else:
+                    elif self.config.version_major == 5:
                         meta = ("quant", "f_dim", "has_gate")
                         fn = self._mega5_fn()
+                    else:
+                        meta = ("quant", "f_dim")
+                        fn = self._mega4_fn()
                     arrs = {
                         k: v for k, v in self._mega.items()
                         if k not in meta

@@ -1852,3 +1852,262 @@ def v5_decode_megakernel(
         interpret=interpret,
     )(*args)
     return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+
+
+# ---------------------------------------------------------------------------
+# RWKV v4 whole-model decode kernel (B=1)
+# ---------------------------------------------------------------------------
+#
+# v4 layer math (reference rwkv_graph.inc:84-197 + 484-511): scalar-state
+# attention — aa/bb/pp accumulator columns with the max-trick wkv
+# (rwkv_graph.inc:119-161), sigmoid receptance multiplying the wkv output
+# before the out projection, no group norm / gate; FFN as v5.
+
+_V4_MAT_KEYS = ("rkv", "out", "fk", "fv", "fr")
+_V4_VEC_KEYS = ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias")
+
+
+def build_mega_pack_v4(params: dict, cfg, quant: bool = True) -> dict:
+    """v4 analogue of build_mega_pack."""
+    c = cfg.n_embed
+    blocks = [dict(b) for b in params["blocks"]]
+    n_layer = len(blocks)
+
+    def stack(keys_or_key):
+        if isinstance(keys_or_key, tuple):
+            return np.stack([
+                np.concatenate([_np_dense(b[k]) for k in keys_or_key])
+                for b in blocks
+            ])
+        return np.stack([_np_dense(b[keys_or_key]) for b in blocks])
+
+    f_dim = _np_dense(blocks[0]["ffn.key.weight"]).shape[0]
+
+    mats = {
+        "rkv": stack(("att.receptance.weight", "att.key.weight",
+                      "att.value.weight")),
+        "out": stack("att.output.weight"),
+        "fk": stack("ffn.key.weight"),
+        "fv": stack("ffn.value.weight"),
+        "fr": stack("ffn.receptance.weight"),
+    }
+    pack = {"quant": quant, "f_dim": f_dim}
+    for name, w in mats.items():
+        if quant:
+            amax = np.abs(w).max(axis=-1, keepdims=True)
+            dq = amax / 127.0
+            inv = np.where(dq > 0, 1.0 / np.maximum(dq, 1e-30), 0.0)
+            q = np.clip(np.rint(w * inv), -127, 127).astype(np.int8)
+            pack[name] = jnp.asarray(q)
+            pack[name + "_d"] = jnp.asarray(dq.astype(np.float32))
+        else:
+            pack[name] = jnp.asarray(w, jnp.bfloat16)
+
+    for key in _V4_VEC_KEYS:
+        pack[key] = jnp.asarray(stack(key).reshape(n_layer, c, 1))
+    amix = np.stack([
+        np.concatenate([
+            np.asarray(b["att.time_mix_" + n], np.float32)
+            for n in ("k", "v", "r")
+        ])
+        for b in blocks
+    ])
+    pack["amix"] = jnp.asarray(amix.reshape(n_layer, 3 * c, 1))
+    fmix = np.stack([
+        np.concatenate([
+            np.asarray(b["ffn.time_mix_k"], np.float32),
+            np.asarray(b["ffn.time_mix_r"], np.float32),
+        ])
+        for b in blocks
+    ])
+    pack["fmix"] = jnp.asarray(fmix.reshape(n_layer, 2 * c, 1))
+    pack["tf"] = jnp.asarray(np.stack([
+        np.asarray(b["att.time_first"], np.float32) for b in blocks
+    ]).reshape(n_layer, c, 1))
+    pack["td"] = jnp.asarray(np.stack([
+        np.asarray(b["att.time_decay"], np.float32) for b in blocks
+    ]).reshape(n_layer, c, 1))
+    return pack
+
+
+def _make_kernel_v4(c, f_dim, n_layer, quant):
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        amax = jnp.max(jnp.abs(x))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, aa_in, bb_in, pp_in,
+             rkv, rkv_d, out_w, out_d, fk_w, fk_d, fv_w, fv_d, fr_w, fr_d,
+             ln1w, ln1b, ln2w, ln2b,
+             amix, fmix, tf, td,
+             y_out, att_out, ffn_out, aa_out, bb_out, pp_out,
+             x_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, aa_in, bb_in, pp_in,
+             rkv, out_w, fk_w, fv_w, fr_w,
+             ln1w, ln1b, ln2w, ln2b,
+             amix, fmix, tf, td,
+             y_out, att_out, ffn_out, aa_out, bb_out, pp_out,
+             x_s) = refs
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            x_s[:] = x0_ref[:]
+
+        x = x_s[:]
+
+        def matv(w_ref, d_ref, lo, hi, xcol):
+            w = w_ref[0][lo:hi]
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * d_ref[0][lo:hi]
+            return mm(w, xcol.astype(jnp.bfloat16))
+
+        # ---- attention ------------------------------------------------
+        xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+        prev = att_in[0]
+        att_out[0] = xl
+
+        cf = amix[0].reshape(3, c, 1)  # order k, v, r
+        xk = xl * cf[0] + (prev - prev * cf[0])
+        xv = xl * cf[1] + (prev - prev * cf[1])
+        xr = xl * cf[2] + (prev - prev * cf[2])
+
+        rd = rkv_d if quant else None
+        r = jax.nn.sigmoid(matv(rkv, rd, 0 * c, 1 * c, xr))
+        k = matv(rkv, rd, 1 * c, 2 * c, xk)
+        v = matv(rkv, rd, 2 * c, 3 * c, xv)
+
+        # ---- wkv4 step (max-trick, rwkv_graph.inc:119-161) ------------
+        aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
+        ww = tf[0] + k
+        qq = jnp.maximum(pp, ww)
+        e1 = jnp.exp(pp - qq)
+        e2 = jnp.exp(ww - qq)
+        wkv = (e1 * aa + e2 * v) / (e1 * bb + e2)
+        ww2 = pp + td[0]
+        qq2 = jnp.maximum(ww2, k)
+        e1b = jnp.exp(ww2 - qq2)
+        e2b = jnp.exp(k - qq2)
+        aa_out[0] = e1b * aa + e2b * v
+        bb_out[0] = e1b * bb + e2b
+        pp_out[0] = qq2
+
+        x = x + matv(out_w, out_d if quant else None, 0, c, r * wkv)
+
+        # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
+        xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+        prev2 = ffn_in[0]
+        ffn_out[0] = xl2
+        fcf = fmix[0].reshape(2, c, 1)
+        xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
+        xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
+        rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
+        hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+        hk = jnp.square(jnp.maximum(hk, 0.0))
+        x = x + rg * matv(fv_w, fv_d if quant else None, 0, c, hk)
+
+        x_s[:] = x
+        y_out[:] = x
+
+    return kernel
+
+
+def v4_decode_megakernel(
+    pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+):
+    """Run all layers of one v4 decode step (B=1).
+
+    pack: build_mega_pack_v4 output. state_t: att_xx/ffn_xx/aa/bb/pp all
+    [L, C, 1]. x0: [C, 1] f32. Returns (x [C, 1], new state_t)."""
+    c = cfg.n_embed
+    n_layer = cfg.n_layer
+    f_dim = pack["f_dim"]
+    quant = pack["quant"]
+
+    kernel = _make_kernel_v4(c, f_dim, n_layer, quant)
+
+    def blocked(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    mat_args, mat_specs = [], []
+    for name in _V4_MAT_KEYS:
+        w = pack[name]
+        mat_args.append(w)
+        mat_specs.append(blocked(w.shape[1:]))
+        if quant:
+            dq = pack[name + "_d"]
+            mat_args.append(dq)
+            mat_specs.append(blocked(dq.shape[1:]))
+
+    vec_args = [pack[k] for k in _V4_VEC_KEYS]
+    vec_specs = [blocked((c, 1)) for _ in _V4_VEC_KEYS]
+
+    args = (
+        [x0.astype(jnp.float32),
+         state_t["att_xx"], state_t["ffn_xx"],
+         state_t["aa"], state_t["bb"], state_t["pp"]]
+        + mat_args + vec_args
+        + [pack["amix"], pack["fmix"], pack["tf"], pack["td"]]
+    )
+    in_specs = (
+        [whole((c, 1))] + [blocked((c, 1))] * 5
+        + mat_specs + vec_specs
+        + [blocked((3 * c, 1)), blocked((2 * c, 1)),
+           blocked((c, 1)), blocked((c, 1))]
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+    ) + tuple(
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32) for _ in range(5)
+    )
+    out_specs = (whole((c, 1)),) + tuple(blocked((c, 1)) for _ in range(5))
+
+    y, att_xx, ffn_xx, aa, bb, pp = pl.pallas_call(
+        kernel,
+        grid=(n_layer,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, 1), jnp.float32),
+        ],
+        # layer grid carries x_s sequentially — "arbitrary" is mandatory
+        # (see the v7 kernel's note).
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx,
+               "aa": aa, "bb": bb, "pp": pp}

@@ -240,3 +240,31 @@ def test_megamodel_v5_matches_serving_fixture(version, quant):
             np.asarray(state_m[key]), np.asarray(state_r[key]),
             rtol=2e-2, atol=satol,
         )
+
+
+@pytest.mark.parametrize("quant", [False, True])
+def test_megamodel_v4_matches_serving_fixture(quant):
+    """v4 whole-model kernel (scalar aa/bb/pp state, max-trick wkv) vs
+    the per-op serving path on the tiny 4v0 fixture."""
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture("tiny-rwkv-4v0-660K-FP32.bin"))
+    precision = "w8a8" if quant else "bf16"
+    ref = ServingModel(path, precision=precision)
+    mega = ServingModel(path, precision=precision, megakernel=True)
+
+    atol = 1e-1 if quant else 2e-2
+    state_r = ref.init_state(1)
+    state_m = mega.init_state(1)
+    for tok in b'"in":':
+        logits_r, state_r = ref.decode(np.array([tok], np.int32), state_r)
+        logits_m, state_m = mega.decode(np.array([tok], np.int32), state_m)
+        lr, lm = np.asarray(logits_r), np.asarray(logits_m)
+        np.testing.assert_allclose(lm, lr, rtol=2e-2, atol=atol)
+        assert lm.argmax() == lr.argmax()
+    satol = 2.5e-1 if quant else 2e-2
+    for key in ("aa", "bb", "att_xx", "ffn_xx"):
+        np.testing.assert_allclose(
+            np.asarray(state_m[key]), np.asarray(state_r[key]),
+            rtol=2e-2, atol=satol,
+        )
