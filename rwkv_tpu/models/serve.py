@@ -601,14 +601,17 @@ class ServingModel:
 
     def _mega_tiled_pack(self, b: int):
         """Retiled pack + (nh, nf) for the phase-tiled kernel, cached by
-        the nf it implies (nh has no effect on the pack)."""
+        the reshape-affecting tile counts (nh has no effect on the
+        pack)."""
         from rwkv_tpu.ops.megakernel import choose_tiling, retile_mega_pack
 
         cfg = self.config
-        nh, nf = choose_tiling(cfg, self._mega["quant"], b)
-        key = ("megapack", nf)
+        nh, nf, nr, no = choose_tiling(cfg, self._mega["quant"], b)
+        key = ("megapack", nf, nr, no)
         if key not in self._jit_cache:
-            self._jit_cache[key] = retile_mega_pack(self._mega, cfg, nh, nf)
+            self._jit_cache[key] = retile_mega_pack(
+                self._mega, cfg, nh, nf, nr, no
+            )
         pack = dict(self._jit_cache[key])
         pack["nh"] = nh
         return pack, nh, nf
@@ -625,7 +628,7 @@ class ServingModel:
 
             pack_full, nh, nf = self._mega_tiled_pack(1)
             meta = {k: pack_full[k]
-                    for k in ("quant", "d_lora", "f_dim", "nh", "nf")}
+                    for k in ("quant", "d_lora", "f_dim", "nh", "nf", "nr", "no")}
             arrs = {k: v for k, v in pack_full.items() if k not in meta}
             L, H, S = cfg.n_layer, cfg.head_count, cfg.head_size
 
@@ -672,7 +675,7 @@ class ServingModel:
 
             pack_full, nh, nf = self._mega_tiled_pack(b)
             meta = {k: pack_full[k]
-                    for k in ("quant", "d_lora", "f_dim", "nh", "nf")}
+                    for k in ("quant", "d_lora", "f_dim", "nh", "nf", "nr", "no")}
             arrs = {k: v for k, v in pack_full.items() if k not in meta}
             L, H = cfg.n_layer, cfg.head_count
             S = cfg.head_size

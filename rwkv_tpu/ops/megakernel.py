@@ -726,17 +726,27 @@ def v7_decode_megakernel_batched(
 
 
 def choose_tiling(cfg, quant: bool, batch: int) -> tuple:
-    """(nh, nf) so that each phase's double-buffered blocks stay small:
-    head-tile state block <= ~8MB (lane dim pads to 128 for B>1), fk/fv
-    tile <= ~9MB."""
+    """(nh, nf, nr, no) so that each phase's double-buffered blocks stay
+    small: head-tile state block <= ~8MB batched / ~2MB at B=1 (lane dim
+    pads to 128 for B>1), fk/fv tile <= ~4.5MB, rkv/out row tiles <= ~8MB
+    (nr counts tiles over the whole [3C, C] rkv — always a multiple of 3
+    so tiles never straddle a projection boundary)."""
     h, s, c = cfg.head_count, cfg.head_size, cfg.n_embed
     f = 4 * c  # v7 FFN dim
+    # Tile budgets shrink at 7B-class widths: the fixed VMEM costs
+    # (activation scratch columns, state windows) grow linearly with C,
+    # so the weight windows must take a smaller share to keep the total
+    # under the chip's 128MB. <=1.5B keeps the configuration its numbers
+    # were measured at.
+    wide = c >= 3072
+    mm_budget = (9 * 1024 * 1024 // 4) if wide else (9 * 1024 * 1024 // 2)
     lane = max(128, batch)                   # lane dim pads B -> 128 min
     if batch == 1:
         per_head = s * 128 * 4               # [s_j, s_i->128] f32
+        budget = (512 if wide else 1024) * 1024
     else:
         per_head = s * s * lane * 4          # [s_i, s_j, B] f32
-    budget = 8 * 1024 * 1024
+        budget = 8 * 1024 * 1024
     nh = 1
     while (h // nh) * per_head > budget or h % nh:
         nh += 1
@@ -745,9 +755,12 @@ def choose_tiling(cfg, quant: bool, batch: int) -> tuple:
             break
     wbytes = 1 if quant else 2
     nf = 1
-    while (f * c * wbytes) // nf > 9 * 1024 * 1024 or f % nf:
+    while (f * c * wbytes) // nf > mm_budget or f % nf:
         nf += 1
-    return nh, nf
+    m = 1
+    while (c // m) * c * wbytes > mm_budget or c % m:
+        m += 1
+    return nh, nf, 3 * m, m
 
 
 # Vectors the tiled kernel stores as [L, 1, N] ROWS: an [N, 1] column
@@ -764,27 +777,45 @@ _TILED_ROW_VECS = tuple(
 )
 
 
-def retile_mega_pack(pack: dict, cfg, nh: int = 1, nf: int = 1) -> dict:
+def retile_mega_pack(pack: dict, cfg, nh: int = 1, nf: int = 1,
+                     nr: int = 3, no: int = 1) -> dict:
     """Re-tile a build_mega_pack output for the phase-tiled kernel:
-    fk [L, F, C] -> [L, nf, F/nf, C], fv [L, C, F] -> [L, nf, C, F/nf]
+    fk [L, F, C] -> [L, nf, F/nf, C], fv [L, C, F] -> [L, nf, C, F/nf],
+    rkv [L, 3C, C] -> [L, nr, 3C/nr, C], out [L, C, C] -> [L, no, C/no, C]
     (device-side; fv needs one transpose); vectors and quant row scales
-    move to [L, 1, N] row layout (see _TILED_ROW_VECS note). Adds
-    'nh'/'nf' meta."""
+    move to [L, 1, N] row layout (see _TILED_ROW_VECS note), with the
+    rkv/out scales tiled alongside their weights ([L, nt, 1, rows] —
+    tile-local row slicing needs a tile-indexed window, not a dynamic
+    slice of a transposed value). Adds 'nh'/'nf'/'nr'/'no' meta."""
+    c = cfg.n_embed
     f_dim = pack["f_dim"]
     assert f_dim % nf == 0, (f_dim, nf)
+    assert nr % 3 == 0 and c % (nr // 3) == 0, (c, nr)
+    assert c % no == 0, (c, no)
     f4 = f_dim // nf
+    c_r = 3 * c // nr
+    c_o = c // no
     out = dict(pack)
     out["nh"], out["nf"] = nh, nf
+    out["nr"], out["no"] = nr, no
     L = pack["fk"].shape[0]
     out["fk"] = pack["fk"].reshape(L, nf, f4, -1)
     out["fv"] = jnp.swapaxes(pack["fv"].reshape(L, -1, nf, f4), 1, 2)
+    out["rkv"] = pack["rkv"].reshape(L, nr, c_r, c)
+    out["out"] = pack["out"].reshape(L, no, c_o, c)
     if pack["quant"]:
         out["fk_d"] = jnp.swapaxes(
             pack["fk_d"].reshape(L, nf, f4, 1), 2, 3
         )  # [L, nf, 1, f4]
         # fv_d scales rows of the OUTPUT (C) — identical for every tile.
-        for name in ("rkv", "lora1", "lora2", "out", "fv"):
+        for name in ("lora1", "lora2", "fv"):
             out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+        out["rkv_d"] = jnp.swapaxes(
+            pack["rkv_d"].reshape(L, nr, c_r, 1), 2, 3
+        )  # [L, nr, 1, c_r]
+        out["out_d"] = jnp.swapaxes(
+            pack["out_d"].reshape(L, no, c_o, 1), 2, 3
+        )  # [L, no, 1, c_o]
     for key in _TILED_ROW_VECS:
         out[key] = jnp.swapaxes(pack[key], 1, 2)
     out["coeff"] = jnp.swapaxes(pack["coeff"], 1, 2)
@@ -792,10 +823,26 @@ def retile_mega_pack(pack: dict, cfg, nh: int = 1, nf: int = 1) -> dict:
 
 
 def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
-                       nh, nf):
+                       nh, nf, nr, no):
     h4 = h // nh
     f4 = f_dim // nf
-    n_phase = nh + nf + 3
+    m = nr // 3                  # rkv tiles per projection
+    c_r = c // m                 # rows per rkv tile
+    c_o = c // no                # rows per out tile
+    # With m == 1 the rkv projections run FUSED inside phase 0 (the
+    # whole [3C, C] window early-prefetches across the entire previous
+    # layer — maximum DMA slack, the configuration every <=1.5B model
+    # was validated and measured at). m > 1 switches to per-tile rkv
+    # phases whose windows fit VMEM at 7B-class widths.
+    fused = (m == 1)
+    # phase layout (see v7_decode_megakernel_tiled docstring):
+    P_WKV0 = 1 if fused else (1 + nr + 1)
+    P_POST = P_WKV0 - 1          # unused when fused
+    P_OUT0 = P_WKV0 + nh
+    P_FSH = P_OUT0 + no
+    P_FK0 = P_FSH + 1
+    P_FV0 = P_FK0 + 1
+    n_phase = P_FK0 + nf + 1
 
     def mm(w, x):
         return jax.lax.dot_general(
@@ -817,15 +864,13 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         var = jnp.mean(vc * vc, axis=0, keepdims=True)
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
-    def matv(w, d, xcol):
-        """w [N, K] (already sliced), d [N, 1] row scales or None."""
-        if quant:
-            x8, dx = qx(xcol)
-            acc = mm(w, x8)
-            return acc.astype(jnp.float32) * dx * d
-        return mm(w, xcol.astype(jnp.bfloat16))
-
     def kernel(*refs):
+        # y_s exists only in the batched variant (slab-reduce group-norm
+        # materialization) — B=1 skips the allocation entirely.
+        y_s = None
+        if batch > 1:
+            *refs_, y_s = refs
+            refs = tuple(refs_)
         if quant:
             (x0_ref, att_in, ffn_in, heads_in,
              rkv, rkv_d, lora1, lora1_d, lora2, lora2_d,
@@ -833,16 +878,18 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
              ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
              coeff, rk,
              y_out, att_out, ffn_out, heads_out,
-             x_s, vf_s, y_s, xo_s, xk2_s, acc_s, h_s,
-             r_s, k_s, v_s, wd_s, ag_s, kk_s, g_s) = refs
+             x_s, vf_s, xo_s, xk2_s, acc_s, h_s,
+             r_s, k_s, v_s, wd_s, ag_s, kk_s, g_s,
+             xr_s, xk_in_s, xv_in_s, vm_s, ap_s) = refs
         else:
             (x0_ref, att_in, ffn_in, heads_in,
              rkv, lora1, lora2, out_w, fk_w, fv_w,
              ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
              coeff, rk,
              y_out, att_out, ffn_out, heads_out,
-             x_s, vf_s, y_s, xo_s, xk2_s, acc_s, h_s,
-             r_s, k_s, v_s, wd_s, ag_s, kk_s, g_s) = refs
+             x_s, vf_s, xo_s, xk2_s, acc_s, h_s,
+             r_s, k_s, v_s, wd_s, ag_s, kk_s, g_s,
+             xr_s, xk_in_s, xv_in_s, vm_s, ap_s) = refs
 
         i = pl.program_id(0)
         p = pl.program_id(1)
@@ -857,9 +904,39 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             d = d_ref[0].T[lo:hi] if quant else None
             return w, d
 
-        # ---- phase 0: every projection except att-out and FFN ---------
+        def matv(w, d, xcol):
+            """w [N, K] (already sliced), d [N, 1] row scales or None."""
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * d
+            return mm(w, xcol.astype(jnp.bfloat16))
+
+        def _post_body():
+            k = k_s[:]
+            v = v_s[:]
+            a_gate = ag_s[:]
+
+            kkv = (k * cv(kkw)).reshape(h, s, batch)
+            nrm = jnp.sqrt(jnp.sum(kkv * kkv, axis=1, keepdims=True))
+            kkv = kkv / jnp.maximum(nrm, jnp.float32(1e-12))
+            kk_s[:] = kkv.reshape(c, batch)
+
+            ka = k * cv(kaw)
+            k_s[:] = k + (a_gate * ka - ka)
+
+            @pl.when(i == 0)
+            def _():
+                vf_s[:] = v
+
+            vf = vf_s[:]
+            v_mixed = v + (vf - v) * jax.nn.sigmoid(vm_s[:] + cv(v0))
+            v_s[:] = jnp.where(i == 0, v, v_mixed)
+
+        # ---- phase 0: token shift + LoRA chain (projection inputs to
+        #      scratch; the r/k/v matvecs stream in the next nr phases) --
         @pl.when(p == 0)
-        def _matvecs():
+        def _shift_loras():
             @pl.when(i == 0)
             def _():
                 x_s[:] = x0_ref[:]
@@ -870,17 +947,13 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             att_out[0] = xl
 
             cf = coeff[0].T.reshape(6, c, 1)
-            xr = xl + sx * cf[0]
+            xr_s[:] = xl + sx * cf[0]
             xw = xl + sx * cf[1]
-            xk = xl + sx * cf[2]
+            xk_in_s[:] = xl + sx * cf[2]
             xv = xl + sx * cf[3]
+            xv_in_s[:] = xv
             xa = xl + sx * cf[4]
             xg = xl + sx * cf[5]
-
-            rd = rkv_d if quant else None
-            r = matv(*slc(rkv, rd, 0 * c, 1 * c), xr)
-            k = matv(*slc(rkv, rd, 1 * c, 2 * c), xk)
-            v = matv(*slc(rkv, rd, 2 * c, 3 * c), xv)
 
             d = d_lora
             l1 = lora1_d if quant else None
@@ -892,41 +965,65 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
 
             w_l = matv(*slc(lora2, l2, 0 * c, 1 * c), w_dn)
             a_l = matv(*slc(lora2, l2, 1 * c, 2 * c), a_dn)
-            g = matv(*slc(lora2, l2, 2 * c, 3 * c), g_dn)
-            vmix_l = matv(*slc(lora2, l2, 3 * c, 4 * c), v_dn)
+            g_s[:] = matv(*slc(lora2, l2, 2 * c, 3 * c), g_dn)
+            vm_s[:] = matv(*slc(lora2, l2, 3 * c, 4 * c), v_dn)
 
-            w_dec = jnp.exp(
+            wd_s[:] = jnp.exp(
                 jax.nn.sigmoid(w_l + cv(w0)) * jnp.float32(-0.606531)
             )
-            a_gate = jax.nn.sigmoid(a_l + cv(a0))
+            ag_s[:] = jax.nn.sigmoid(a_l + cv(a0))
 
-            kkv = (k * cv(kkw)).reshape(h, s, batch)
-            nrm = jnp.sqrt(jnp.sum(kkv * kkv, axis=1, keepdims=True))
-            kkv = kkv / jnp.maximum(nrm, jnp.float32(1e-12))
+            if fused:
+                rd = rkv_d if quant else None
+                r_s[:] = matv(
+                    rkv[0, 0], rkv_d[0, 0].T if quant else None, xr_s[:]
+                )
+                k_s[:] = matv(
+                    rkv[0, 1], rkv_d[0, 1].T if quant else None,
+                    xk_in_s[:],
+                )
+                v_s[:] = matv(
+                    rkv[0, 2], rkv_d[0, 2].T if quant else None,
+                    xv_in_s[:],
+                )
+                _post_body()
 
-            ka = k * cv(kaw)
-            k = k + (a_gate * ka - ka)
+        if not fused:
+            # ---- phases 1..nr: rkv row tiles --------------------------
+            @pl.when((p >= 1) & (p < 1 + nr))
+            def _rkv_tile():
+                t = p - 1
+                q = t // m          # projection: 0=r, 1=k, 2=v
+                sft = (t % m) * c_r
+                w = rkv[0, 0]                               # [c_r, C]
+                d = rkv_d[0, 0].T if quant else None        # [c_r, 1]
+                xin = jnp.where(
+                    q == 0, xr_s[:],
+                    jnp.where(q == 1, xk_in_s[:], xv_in_s[:]),
+                )
+                acc = matv(w, d, xin)
 
-            @pl.when(i == 0)
-            def _():
-                vf_s[:] = v
+                @pl.when(q == 0)
+                def _():
+                    r_s[pl.dslice(sft, c_r)] = acc
 
-            vf = vf_s[:]
-            v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + cv(v0))
-            v = jnp.where(i == 0, v, v_mixed)
+                @pl.when(q == 1)
+                def _():
+                    k_s[pl.dslice(sft, c_r)] = acc
 
-            r_s[:] = r
-            k_s[:] = k
-            v_s[:] = v
-            wd_s[:] = w_dec
-            ag_s[:] = a_gate
-            kk_s[:] = kkv.reshape(c, batch)
-            g_s[:] = g
+                @pl.when(q == 2)
+                def _():
+                    v_s[pl.dslice(sft, c_r)] = acc
 
-        # ---- phases 1..nh: wkv + group norm + bonus + gate per tile ---
-        @pl.when((p >= 1) & (p < 1 + nh))
+            # ---- phase P_POST: k-transform + value residual -----------
+            @pl.when(p == P_POST)
+            def _post():
+                _post_body()
+
+        # ---- phases P_WKV0..: wkv + group norm + bonus + gate ---------
+        @pl.when((p >= P_WKV0) & (p < P_WKV0 + nh))
         def _wkv_tile():
-            t = p - 1
+            t = p - P_WKV0
             rows_lo = t * h4 * s
 
             def tile(ref):
@@ -989,13 +1086,18 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             gt = g_s[pl.dslice(rows_lo, h4 * s)]
             xo_s[pl.dslice(rows_lo, h4 * s)] = (xo + bonus) * gt
 
-        # ---- phase nh+1: att out-projection + FFN token shift ---------
-        @pl.when(p == nh + 1)
-        def _out_proj():
-            att_proj = matv(
-                out_w[0], out_d[0].T if quant else None, xo_s[:]
-            )
-            x = x_s[:] + att_proj
+        # ---- phases P_OUT0..: att out-projection row tiles ------------
+        @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
+        def _out_tile():
+            t = p - P_OUT0
+            w = out_w[0, 0]                                 # [c_o, C]
+            d = out_d[0, 0].T if quant else None
+            ap_s[pl.dslice(t * c_o, c_o)] = matv(w, d, xo_s[:])
+
+        # ---- phase P_FSH: residual + FFN token shift ------------------
+        @pl.when(p == P_FSH)
+        def _ffn_shift():
+            x = x_s[:] + ap_s[:]
             xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
             sx2 = ffn_in[0] - xl2
             ffn_out[0] = xl2
@@ -1003,20 +1105,20 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             x_s[:] = x
             acc_s[:] = jnp.zeros_like(acc_s)
 
-        # ---- phases nh+2..nh+1+nf: fk tiles -> hidden slices ----------
-        @pl.when((p >= nh + 2) & (p < nh + 2 + nf))
+        # ---- phases P_FK0..: fk tiles -> hidden slices ----------------
+        @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
         def _fk_tile():
-            t = p - (nh + 2)
+            t = p - P_FK0
             hk = matv(
                 fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
             h_s[pl.dslice(t * f4, f4)] = hk
 
-        # ---- phases nh+3..nh+2+nf: fv tiles consume hidden slices -----
-        @pl.when((p >= nh + 3) & (p < nh + 3 + nf))
+        # ---- phases P_FV0..: fv tiles consume hidden slices -----------
+        @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
         def _fv_tile():
-            t = p - (nh + 3)
+            t = p - P_FV0
             hk = h_s[pl.dslice(t * f4, f4)]
             acc_s[:] += matv(
                 fv_w[0][0], fv_d[0].T if quant else None, hk
@@ -1029,7 +1131,7 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             x_s[:] = x
             y_out[:] = x
 
-    return kernel
+    return kernel, n_phase
 
 
 def v7_decode_megakernel_tiled(
@@ -1047,13 +1149,20 @@ def v7_decode_megakernel_tiled(
     d_lora, f_dim = pack["d_lora"], pack["f_dim"]
     quant = pack["quant"]
     nh, nf = pack["nh"], pack["nf"]
+    nr, no = pack["nr"], pack["no"]
     h4 = h // nh
-    f4 = f_dim // nf
     batch = x0.shape[1]
-    n_phase = nh + nf + 3
+    # phase layout: [shift+loras | nr rkv tiles | post | nh wkv tiles |
+    # no out tiles | ffn-shift | nf fk tiles // nf fv tiles | finish]
+    P_POST = 1 + nr
+    P_WKV0 = P_POST + 1
+    P_OUT0 = P_WKV0 + nh
+    P_FSH = P_OUT0 + no
+    P_FK0 = P_FSH + 1
+    P_FV0 = P_FK0 + 1
 
-    kernel = _make_kernel_tiled(
-        c, h, s, d_lora, f_dim, n_layer, quant, batch, nh, nf
+    kernel, n_phase = _make_kernel_tiled(
+        c, h, s, d_lora, f_dim, n_layer, quant, batch, nh, nf, nr, no
     )
 
     def per_layer(shape):
@@ -1084,36 +1193,80 @@ def v7_decode_megakernel_tiled(
     def head_spec(shape):
         return pl.BlockSpec(
             (1, 1) + shape,
-            lambda i, p: (i, jnp.clip(p - 1, 0, nh - 1)) + (0,) * len(shape),
+            lambda i, p: (
+                (i, jnp.clip(p - P_WKV0, 0, nh - 1)) + (0,) * len(shape)
+            ),
             memory_space=pltpu.VMEM,
         )
 
     def fk_spec(shape):
         return pl.BlockSpec(
             (1, 1) + shape,
-            lambda i, p: (i, jnp.clip(p - (nh + 2), 0, nf - 1), 0, 0),
+            lambda i, p: (i, jnp.clip(p - P_FK0, 0, nf - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
     def fv_spec(shape):
         return pl.BlockSpec(
             (1, 1) + shape,
-            lambda i, p: (i, jnp.clip(p - (nh + 3), 0, nf - 1), 0, 0),
+            lambda i, p: (i, jnp.clip(p - P_FV0, 0, nf - 1), 0, 0),
             memory_space=pltpu.VMEM,
         )
 
+    def tiled_rows_spec(shape, first_p, nt):
+        """Row-tiled weight/scale window over [L, nt, ...]: tile t is
+        consumed at phase first_p + t; after the last tile the map points
+        at the NEXT layer's tile 0 (early prefetch across the remaining
+        phases of this layer)."""
+        def imap(i, p):
+            done = p > first_p + nt - 1
+            t = jnp.where(done, 0, jnp.clip(p - first_p, 0, nt - 1))
+            return (
+                jnp.minimum(i + done, n_layer - 1), t,
+            ) + (0,) * len(shape)
+
+        return pl.BlockSpec((1, 1) + shape, imap, memory_space=pltpu.VMEM)
+
+    # With m == 1 ("fused") the kernel reads all three rkv projections
+    # inside phase 0, so its window must hold the WHOLE [3, C, C] block
+    # (early-prefetched across the entire next layer); with m > 1 each
+    # phase sees a single [1, c_r, C] tile.
+    fused = (nr == 3)
+    if fused:
+        rkv_spec = per_layer_early(pack["rkv"].shape[1:], 0)
+        rkv_d_spec = (
+            per_layer_early(pack["rkv_d"].shape[1:], 0) if quant else None
+        )
+    else:
+        rkv_spec = tiled_rows_spec(pack["rkv"].shape[2:], 1, nr)
+        rkv_d_spec = (
+            tiled_rows_spec(pack["rkv_d"].shape[2:], 1, nr)
+            if quant else None
+        )
+
     mat_args, mat_specs = [], []
-    # rkv/loras are consumed only in phase 0, out in phase nh+1 — fetch
-    # the next layer's block as soon as the last consumer phase is done.
-    for name, last_p in (("rkv", 0), ("lora1", 0), ("lora2", 0),
-                         ("out", nh + 1)):
-        w = pack[name]
-        mat_args.append(w)
-        mat_specs.append(per_layer_early(w.shape[1:], last_p))
+    # rkv/out stream as row tiles across their consuming phases; loras
+    # are consumed only in phase 0 — all prefetch the next layer's block
+    # as soon as their last consumer phase retires.
+    for name, spec in (
+        ("rkv", rkv_spec),
+        ("lora1", per_layer_early(pack["lora1"].shape[1:], 0)),
+        ("lora2", per_layer_early(pack["lora2"].shape[1:], 0)),
+        ("out", tiled_rows_spec(pack["out"].shape[2:], P_OUT0, no)),
+    ):
+        mat_args.append(pack[name])
+        mat_specs.append(spec)
         if quant:
             d = pack[name + "_d"]
+            if name == "rkv":
+                mat_specs.append(rkv_d_spec)
+            elif name == "out":
+                mat_specs.append(
+                    tiled_rows_spec(d.shape[2:], P_OUT0, no)
+                )
+            else:
+                mat_specs.append(per_layer_early(d.shape[1:], 0))
             mat_args.append(d)
-            mat_specs.append(per_layer_early(d.shape[1:], last_p))
     mat_args.append(pack["fk"])
     mat_specs.append(fk_spec(pack["fk"].shape[2:]))
     if quant:
@@ -1168,7 +1321,6 @@ def v7_decode_megakernel_tiled(
         scratch_shapes=[
             pltpu.VMEM((c, batch), jnp.float32),      # x_s
             pltpu.VMEM((c, batch), jnp.float32),      # vf_s
-            pltpu.VMEM((c, batch), jnp.float32),      # y_s
             pltpu.VMEM((c, batch), jnp.float32),      # xo_s
             pltpu.VMEM((c, batch), jnp.float32),      # xk2_s
             pltpu.VMEM((c, batch), jnp.float32),      # acc_s
@@ -1180,11 +1332,19 @@ def v7_decode_megakernel_tiled(
             pltpu.VMEM((c, batch), jnp.float32),      # ag_s
             pltpu.VMEM((c, batch), jnp.float32),      # kk_s
             pltpu.VMEM((c, batch), jnp.float32),      # g_s
-        ],
+            pltpu.VMEM((c, batch), jnp.float32),      # xr_s
+            pltpu.VMEM((c, batch), jnp.float32),      # xk_in_s
+            pltpu.VMEM((c, batch), jnp.float32),      # xv_in_s
+            pltpu.VMEM((c, batch), jnp.float32),      # vm_s
+            pltpu.VMEM((c, batch), jnp.float32),      # ap_s
+        ] + ([pltpu.VMEM((c, batch), jnp.float32)]    # y_s, batched only
+             if batch > 1 else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # 1.5B needs 100.6M of windows+scratch (measured); the chip
-            # has 128M — leave headroom for the compiler's own stack.
+            # NOTE: the pipeline GROWS its buffering toward this limit
+            # (raising it raises usage), and the limit is reserved in
+            # full against the chip's 128M — keep it fixed and shrink
+            # tile budgets (choose_tiling) when a config does not fit.
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,

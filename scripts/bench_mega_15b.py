@@ -38,6 +38,8 @@ from rwkv_tpu.ops.megakernel import (
 
 if "--small" in sys.argv:  # CPU smoke (interpret mode)
     L, C, VOCAB, HEAD, LORA = 2, 256, 1024, 64, 32
+elif "--7b" in sys.argv:   # 7B-class (row-tiled rkv/out phases)
+    L, C, VOCAB, HEAD, LORA = 32, 4096, 65536, 64, 128
 else:
     L, C, VOCAB, HEAD, LORA = 24, 2048, 65536, 64, 96
 F = 4 * C
@@ -47,7 +49,7 @@ if "--batch" in sys.argv:
     BATCH = int(sys.argv[sys.argv.index("--batch") + 1])
 
 
-def synth_pack_device(cfg, nh, nf, seed=0):
+def synth_pack_device(cfg, nh, nf, nr, no, seed=0):
     """Synthesize the retiled w8a8 mega pack directly on device."""
     key = jax.random.PRNGKey(seed)
 
@@ -72,19 +74,25 @@ def synth_pack_device(cfg, nh, nf, seed=0):
         )
 
     f4 = F // nf
-    pack = {"quant": True, "d_lora": LORA, "f_dim": F, "nh": nh, "nf": nf}
-    pack["rkv"], pack["rkv_d"] = qmat((L, 3 * C, C), C)
+    c_r = 3 * C // nr
+    c_o = C // no
+    pack = {"quant": True, "d_lora": LORA, "f_dim": F,
+            "nh": nh, "nf": nf, "nr": nr, "no": no}
+    pack["rkv"], pack["rkv_d"] = qmat((L, nr, c_r, C), C)
     pack["lora1"], pack["lora1_d"] = qmat((L, 4 * LORA, C), C)
     pack["lora2"], pack["lora2_d"] = qmat((L, 4 * C, LORA), LORA)
-    pack["out"], pack["out_d"] = qmat((L, C, C), C)
+    pack["out"], pack["out_d"] = qmat((L, no, c_o, C), C)
     pack["fk"], pack["fk_d"] = qmat((L, nf, f4, C), C)
     pack["fv"], fv_d = qmat((L, nf, C, f4), F)
     pack["fv_d"] = fv_d[:, 0]  # [L, C, 1] — output-row scales, tile-invariant
     # tiled-kernel row layout (retile_mega_pack contract): scales and
-    # most vectors as [L, 1, N] rows; ln_x + r_k stay columns.
-    for name in ("rkv", "lora1", "lora2", "out", "fv"):
+    # most vectors as rows; ln_x + r_k stay columns; rkv/out scales are
+    # tile-indexed [L, nt, 1, rows].
+    for name in ("lora1", "lora2", "fv"):
         pack[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
     pack["fk_d"] = jnp.swapaxes(pack["fk_d"], 2, 3)
+    pack["rkv_d"] = jnp.swapaxes(pack["rkv_d"], 2, 3)
+    pack["out_d"] = jnp.swapaxes(pack["out_d"], 2, 3)
     from rwkv_tpu.ops.megakernel import _TILED_ROW_VECS
 
     for name in _VEC_KEYS:
@@ -104,8 +112,9 @@ def main():
         "7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD
     )
     h, s = cfg.head_count, cfg.head_size
-    nh, nf = choose_tiling(cfg, True, BATCH)
-    print(f"tiling: nh={nh} nf={nf} batch={BATCH}", flush=True)
+    nh, nf, nr, no = choose_tiling(cfg, True, BATCH)
+    print(f"tiling: nh={nh} nf={nf} nr={nr} no={no} batch={BATCH}",
+          flush=True)
 
     @jax.jit
     def probe(x):
@@ -121,7 +130,7 @@ def main():
     print(f"sync overhead: {ov * 1e3:.1f} ms", flush=True)
 
     t0 = time.perf_counter()
-    pack = synth_pack_device(cfg, nh, nf)
+    pack = synth_pack_device(cfg, nh, nf, nr, no)
     key = jax.random.PRNGKey(99)
     emb = (jax.random.normal(key, (VOCAB, C), jnp.float32) * 0.02).astype(
         jnp.bfloat16
@@ -142,7 +151,8 @@ def main():
         flush=True,
     )
 
-    meta = {k: pack[k] for k in ("quant", "d_lora", "f_dim", "nh", "nf")}
+    meta = {k: pack[k]
+            for k in ("quant", "d_lora", "f_dim", "nh", "nf", "nr", "no")}
     arrs = {k: v for k, v in pack.items() if k not in meta}
 
     def ln(v, w, b):
@@ -213,8 +223,10 @@ def main():
         best = min(best, time.perf_counter() - t0)
     per_tok = max(best - ov, 1e-9) / N_GEN
     wt_gb = nbytes / 1e9
+    size = "7B" if "--7b" in sys.argv else (
+        "small" if "--small" in sys.argv else "1.5B")
     print(
-        f"1.5B w8a8 TILED megakernel decode, B={BATCH}: "
+        f"{size} w8a8 TILED megakernel decode, B={BATCH}: "
         f"{per_tok * 1e3:7.3f} ms/tok  {BATCH / per_tok:8.1f} tok/s  "
         f"(weight stream {wt_gb / per_tok:.0f} GB/s; per-op path was "
         f"3.73 ms/tok)",

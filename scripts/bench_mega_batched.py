@@ -113,7 +113,7 @@ def main():
     for B in BATCHES:
         pack_full, nh, nf = mega._mega_tiled_pack(B)
         meta = {k: pack_full[k]
-                for k in ("quant", "d_lora", "f_dim", "nh", "nf")}
+                for k in ("quant", "d_lora", "f_dim", "nh", "nf", "nr", "no")}
         arrs = {k: v for k, v in pack_full.items() if k not in meta}
 
         @jax.jit

@@ -268,3 +268,36 @@ def test_megamodel_v4_matches_serving_fixture(quant):
             np.asarray(state_m[key]), np.asarray(state_r[key]),
             rtol=2e-2, atol=satol,
         )
+
+
+def test_megamodel_tiled_rkv_phases():
+    """Wide synth model that crosses the row-tiling thresholds (m > 1:
+    rkv/out stream as row tiles, the 7B-class configuration) vs the
+    per-op path. C=2304 -> m=2, nr=6, no=2, and _mega_big routes B=1
+    through the phase-tiled kernel."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import choose_tiling
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=2304, n_vocab=512,
+                       head_size=64)
+    nh, nf, nr, no = choose_tiling(cfg, True, 1)
+    assert nr > 3 and no > 1, (nr, no)  # the path under test
+    params = synth_params(cfg, seed=5, lora_dim=64)
+    # bf16: tight closeness (no quantization noise between the paths);
+    # w8a8: bounded drift + argmax (activation-scale granularity differs).
+    for precision, tol in (("bf16", 5e-3), ("w8a8", 1e-1)):
+        ref = ServingModel((cfg, params), precision=precision)
+        mega = ServingModel((cfg, params), precision=precision,
+                            megakernel=True)
+        assert mega._mega_big  # must route through the tiled kernel
+
+        state_r = ref.init_state(1)
+        state_m = mega.init_state(1)
+        for tok in (3, 77, 200):
+            lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+            lm, state_m = mega.decode(np.array([tok], np.int32), state_m)
+            lr, lm = np.asarray(lr), np.asarray(lm)
+            scale = max(np.abs(lr).max(), 1e-6)
+            assert np.abs(lm - lr).max() / scale < tol
+            assert lm.argmax() == lr.argmax()
