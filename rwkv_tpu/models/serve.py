@@ -397,8 +397,8 @@ class ServingModel:
                 mega_mat_keys = _V4_MAT_KEYS
             # Whole-layer weight blocks must double-buffer in VMEM; past
             # ~20MB/layer (e.g. 1.5B C=2048) decode uses the phase-tiled
-            # kernel instead (ops/megakernel.py tiled section; v7 only —
-            # big v6 models fall back to the per-op path).
+            # kernel instead (ops/megakernel.py tiled sections; v7 and
+            # v6 — big v4/v5 models fall back to the per-op path).
             per_layer = sum(
                 int(np.prod(self._mega[k].shape[1:]))
                 * self._mega[k].dtype.itemsize
@@ -599,6 +599,74 @@ class ServingModel:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _mega6_tiled_pack(self):
+        """Retiled v6 pack + (nh, nf) for the v6 phase-tiled kernel."""
+        from rwkv_tpu.ops.megakernel import (
+            choose_tiling, retile_mega_pack_v6,
+        )
+
+        cfg = self.config
+        nh, nf, ng, no = choose_tiling(
+            cfg, self._mega["quant"], 1,
+            f_dim=self._mega["f_dim"], n_proj=4,
+        )
+        key = ("megapack6", nf, ng, no)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = retile_mega_pack_v6(
+                self._mega, cfg, nh, nf, ng, no
+            )
+        pack = dict(self._jit_cache[key])
+        pack["nh"] = nh
+        return pack, nh, nf
+
+    def _mega6_tiled1_fn(self):
+        """Single-stream v6 decode through the phase-tiled kernel (big
+        models — the Finch 1.6B/3B/7B/14B sizes)."""
+        key = ("mega6t1",)
+        if key not in self._jit_cache:
+            cfg = self.config
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel import v6_decode_megakernel_tiled
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            pack_full, nh, nf = self._mega6_tiled_pack()
+            meta = {k: pack_full[k]
+                    for k in ("quant", "d_maa", "d_dec", "f_dim",
+                              "nh", "nf", "ng", "no")}
+            arrs = {k: v for k, v in pack_full.items() if k not in meta}
+            L, H, S = cfg.n_layer, cfg.head_count, cfg.head_size
+
+            @jax.jit
+            def run(params, pack_arrs, state, token):   # state [1, L, ...]
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][token[0]].astype(jnp.float32),
+                    *params["ln0"],
+                )
+                heads = jnp.swapaxes(state["heads"][0], -1, -2)  # -> (j, i)
+                state_t = {
+                    "att_xx": state["att_xx"][0][..., None],
+                    "ffn_xx": state["ffn_xx"][0][..., None],
+                    "heads": heads.reshape(L, nh, H // nh, S, S),
+                }
+                y, new_t = v6_decode_megakernel_tiled(
+                    pack, state_t, x0[:, None], cfg, interpret=interpret
+                )
+                xo = p_ln(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])
+                new_heads = jnp.swapaxes(
+                    new_t["heads"].reshape(L, H, S, S), -1, -2
+                )
+                new_state = {
+                    "att_xx": new_t["att_xx"][None, ..., 0],
+                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
+                    "heads": new_heads[None],
+                }
+                return logits, new_state
+
+            self._jit_cache[key] = (run, arrs)
+        return self._jit_cache[key]
+
     def _mega_tiled_pack(self, b: int):
         """Retiled pack + (nh, nf) for the phase-tiled kernel, cached by
         the reshape-affecting tile counts (nh has no effect on the
@@ -746,8 +814,13 @@ class ServingModel:
         if self._mega is not None:
             b = tokens.shape[0]
             if self.config.version_major in (4, 5, 6):
-                # v4/v5/v6 kernels are B=1 whole-layer only; everything
+                # v4/v5 kernels are B=1 whole-layer only; v6 big models
+                # route to the v6 phase-tiled kernel at B=1; everything
                 # else falls back to the per-op path.
+                if (b == 1 and self._mega_big
+                        and self.config.version_major == 6):
+                    run, arrs_t = self._mega6_tiled1_fn()
+                    return run(self.params, arrs_t, state, tokens[:, 0])
                 if b == 1 and not self._mega_big:
                     if self.config.version_major == 6:
                         meta = ("quant", "d_maa", "d_dec", "f_dim")

@@ -725,14 +725,16 @@ def v7_decode_megakernel_batched(
 # slab reduce.
 
 
-def choose_tiling(cfg, quant: bool, batch: int) -> tuple:
+def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
+                  n_proj: int = 3) -> tuple:
     """(nh, nf, nr, no) so that each phase's double-buffered blocks stay
     small: head-tile state block <= ~8MB batched / ~2MB at B=1 (lane dim
     pads to 128 for B>1), fk/fv tile <= ~4.5MB, rkv/out row tiles <= ~8MB
-    (nr counts tiles over the whole [3C, C] rkv — always a multiple of 3
-    so tiles never straddle a projection boundary)."""
+    (nr counts tiles over the whole fused input-projection block — always
+    a multiple of n_proj so tiles never straddle a projection boundary;
+    n_proj=3 for v7's r/k/v, 4 for v6's r/k/v/g)."""
     h, s, c = cfg.head_count, cfg.head_size, cfg.n_embed
-    f = 4 * c  # v7 FFN dim
+    f = f_dim if f_dim is not None else 4 * c
     # Tile budgets shrink at 7B-class widths: the fixed VMEM costs
     # (activation scratch columns, state windows) grow linearly with C,
     # so the weight windows must take a smaller share to keep the total
@@ -760,7 +762,7 @@ def choose_tiling(cfg, quant: bool, batch: int) -> tuple:
     m = 1
     while (c // m) * c * wbytes > mm_budget or c % m:
         m += 1
-    return nh, nf, 3 * m, m
+    return nh, nf, n_proj * m, m
 
 
 # Vectors the tiled kernel stores as [L, 1, N] ROWS: an [N, 1] column
@@ -1708,6 +1710,522 @@ def v6_decode_megakernel(
     if debug:
         state["dbg"] = outs6[4]
     return y, state
+
+
+# ---------------------------------------------------------------------------
+# RWKV v6 phase-tiled whole-model decode kernel (big models, B=1)
+# ---------------------------------------------------------------------------
+#
+# v6 analogue of the v7 phase-tiled kernel: a (layer, phase) grid streams
+# phase-sized weight blocks so 1.5B/7B-class v6 models (the Finch family
+# sizes) fit scoped VMEM.  Differences from v7: FOUR fused input
+# projections (r/k/v/g -> ng = 4*m row tiles), the five-way maa LoRA +
+# decay LoRA chain in phase 0 (maa2 stays f32/HIGHEST — see the
+# _V6_MAT_KEYS note), no post phase (v6 has no kk normalization or value
+# residual; the silu gate is applied at projection-tile write time), and
+# an extra row-tiled FFN receptance gate (fr) between the FFN shift and
+# the fk tiles.  B=1 only: batched v6 decode stays on the per-op path.
+
+# Vectors the v6 tiled kernel stores as [L, 1, N] rows (lane-padding rule
+# — see _TILED_ROW_VECS).  ln_x w/b and time_faaaa stay columns: the wkv
+# head-tile phases slice them at a grid-dependent offset.
+_V6_TILED_ROW_VECS = (
+    "ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+    "att.time_maa_x", "ffn.time_maa_k", "ffn.time_maa_r",
+)
+
+
+def retile_mega_pack_v6(pack: dict, cfg, nh: int = 1, nf: int = 1,
+                        ng: int = 4, no: int = 1) -> dict:
+    """Re-tile a build_mega_pack_v6 output for the v6 phase-tiled kernel
+    (same contract as retile_mega_pack: row-tiled big mats with
+    tile-indexed scales, row-stored vectors, 'nh'/'nf'/'ng'/'no' meta)."""
+    c = cfg.n_embed
+    f_dim = pack["f_dim"]
+    assert f_dim % nf == 0, (f_dim, nf)
+    assert ng % 4 == 0, ng
+    m = ng // 4
+    assert c % m == 0 and c % no == 0, (c, ng, no)
+    f4 = f_dim // nf
+    c_g = c // m
+    c_o = c // no
+    out = dict(pack)
+    out["nh"], out["nf"] = nh, nf
+    out["ng"], out["no"] = ng, no
+    L = pack["rkvg"].shape[0]
+    out["rkvg"] = pack["rkvg"].reshape(L, ng, c_g, c)
+    out["out"] = pack["out"].reshape(L, no, c_o, c)
+    out["fr"] = pack["fr"].reshape(L, no, c_o, c)
+    out["fk"] = pack["fk"].reshape(L, nf, f4, c)
+    out["fv"] = jnp.swapaxes(pack["fv"].reshape(L, c, nf, f4), 1, 2)
+    if pack["quant"]:
+        for name, nt in (("rkvg", ng), ("out", no), ("fr", no), ("fk", nf)):
+            d = pack[name + "_d"]
+            out[name + "_d"] = jnp.swapaxes(
+                d.reshape(L, nt, d.shape[1] // nt, 1), 2, 3
+            )  # [L, nt, 1, rows]
+        # fv_d scales rows of the OUTPUT (C) — identical for every tile.
+        for name in ("maa1", "dw1", "dw2", "fv"):
+            out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    for key in _V6_TILED_ROW_VECS:
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    out["maa5"] = jnp.swapaxes(pack["maa5"], 1, 2)
+    out["tdecay"] = jnp.swapaxes(pack["tdecay"], 1, 2)
+    return out
+
+
+def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
+                          nh, nf, ng, no):
+    h4 = h // nh
+    f4 = f_dim // nf
+    m = ng // 4                  # rkvg tiles per projection
+    c_g = c // m
+    c_o = c // no
+    fused = (m == 1)
+    # phase layout: [shift+loras | (ng rkvg tiles) | nh wkv tiles |
+    # no out tiles | ffn-shift | no fr tiles | nf fk tiles // nf fv
+    # tiles | finish]
+    P_WKV0 = 1 if fused else 1 + ng
+    P_OUT0 = P_WKV0 + nh
+    P_FSH = P_OUT0 + no
+    P_FR0 = P_FSH + 1
+    P_FK0 = P_FR0 + no
+    P_FV0 = P_FK0 + 1
+    n_phase = P_FK0 + nf + 1
+
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        amax = jnp.max(jnp.abs(x))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkvg, rkvg_d, maa1, maa1_d, dw1, dw1_d, dw2, dw2_d,
+             out_w, out_d, fr_w, fr_d, fk_w, fk_d, fv_w, fv_d,
+             maa2,
+             ln1w, ln1b, ln2w, ln2b, lnxw, lnxb, maax, fxk, fxr,
+             maa5, tdecay, tf,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, xo_s, xk2_s, xr2_s, acc_s, h_s,
+             r_s, k_s, v_s, g_s, wd_s, rg_s, ap_s,
+             xr_in_s, xk_in_s, xv_in_s, xg_in_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkvg, maa1, dw1, dw2, out_w, fr_w, fk_w, fv_w,
+             maa2,
+             ln1w, ln1b, ln2w, ln2b, lnxw, lnxb, maax, fxk, fxr,
+             maa5, tdecay, tf,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, xo_s, xk2_s, xr2_s, acc_s, h_s,
+             r_s, k_s, v_s, g_s, wd_s, rg_s, ap_s,
+             xr_in_s, xk_in_s, xv_in_s, xg_in_s) = refs
+
+        i = pl.program_id(0)
+        p = pl.program_id(1)
+
+        def cv(ref):
+            """Row-stored vector block [1, N] -> column [N, 1] (exact
+            natively — probe_row_layout.py pA)."""
+            return ref[0].T
+
+        def matv(w, d, xcol):
+            """w [N, K] (already sliced), d [N, 1] row scales or None."""
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * d
+            return mm(w, xcol.astype(jnp.bfloat16))
+
+        # ---- phase 0: token shift + maa/decay LoRA chains -------------
+        @pl.when(p == 0)
+        def _shift_loras():
+            @pl.when(i == 0)
+            def _():
+                x_s[:] = x0_ref[:]
+
+            x = x_s[:]
+            xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
+            sx = att_in[0] - xl
+            att_out[0] = xl
+
+            xxx = xl + sx * cv(maax)
+            mixdn = jnp.tanh(
+                matv(maa1[0], maa1_d[0].T if quant else None, xxx)
+            )
+            d = d_maa
+
+            def maa_up(lo_c, lo_d):
+                # always-f32 up-projection at HIGHEST precision (see the
+                # _V6_MAT_KEYS note — Mosaic's default f32 matmul is a
+                # single bf16 MXU pass natively).
+                return jax.lax.dot_general(
+                    maa2[0][lo_c:lo_c + c], mixdn[lo_d:lo_d + d],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            cf = maa5[0].T.reshape(5, c, 1)  # order w, k, v, r, g
+            xw = xl + sx * (cf[0] + maa_up(0 * c, 0 * d))
+            xk_in_s[:] = xl + sx * (cf[1] + maa_up(1 * c, 1 * d))
+            xv_in_s[:] = xl + sx * (cf[2] + maa_up(2 * c, 2 * d))
+            xr_in_s[:] = xl + sx * (cf[3] + maa_up(3 * c, 3 * d))
+            xg_in_s[:] = xl + sx * (cf[4] + maa_up(4 * c, 4 * d))
+
+            w_dn = jnp.tanh(matv(dw1[0], dw1_d[0].T if quant else None, xw))
+            w_l = matv(dw2[0], dw2_d[0].T if quant else None, w_dn)
+            wd_s[:] = jnp.exp(-jnp.exp(w_l + cv(tdecay)))
+
+            if fused:
+                def proj(q, xin):
+                    return matv(
+                        rkvg[0, q], rkvg_d[0, q].T if quant else None, xin
+                    )
+
+                r_s[:] = proj(0, xr_in_s[:])
+                k_s[:] = proj(1, xk_in_s[:])
+                v_s[:] = proj(2, xv_in_s[:])
+                gg = proj(3, xg_in_s[:])
+                g_s[:] = gg * jax.nn.sigmoid(gg)  # silu
+
+        if not fused:
+            # ---- phases 1..ng: rkvg row tiles -------------------------
+            @pl.when((p >= 1) & (p < 1 + ng))
+            def _rkvg_tile():
+                t = p - 1
+                q = t // m          # projection: 0=r, 1=k, 2=v, 3=g
+                sft = (t % m) * c_g
+                w = rkvg[0, 0]                              # [c_g, C]
+                dd = rkvg_d[0, 0].T if quant else None      # [c_g, 1]
+                xin = jnp.where(
+                    q == 0, xr_in_s[:],
+                    jnp.where(q == 1, xk_in_s[:],
+                              jnp.where(q == 2, xv_in_s[:], xg_in_s[:])),
+                )
+                acc = matv(w, dd, xin)
+
+                @pl.when(q == 0)
+                def _():
+                    r_s[pl.dslice(sft, c_g)] = acc
+
+                @pl.when(q == 1)
+                def _():
+                    k_s[pl.dslice(sft, c_g)] = acc
+
+                @pl.when(q == 2)
+                def _():
+                    v_s[pl.dslice(sft, c_g)] = acc
+
+                @pl.when(q == 3)
+                def _():
+                    g_s[pl.dslice(sft, c_g)] = acc * jax.nn.sigmoid(acc)
+
+        # ---- phases P_WKV0..: wkv6 + group norm + gate per head tile --
+        @pl.when((p >= P_WKV0) & (p < P_WKV0 + nh))
+        def _wkv_tile():
+            t = p - P_WKV0
+            rows_lo = t * h4 * s
+
+            def tile(ref):
+                return ref[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, 1)
+
+            r3, k3, v3, w3 = tile(r_s), tile(k_s), tile(v_s), tile(wd_s)
+            tf3 = tf[0, pl.dslice(t * h4, h4)]             # [h4, s, 1]
+
+            i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            eye = (i_ == j_).astype(jnp.float32)[None]
+            st = heads_in[0, 0]                            # [h4, S_j, S_i]
+            v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
+            dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)
+            out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
+            st = st * w3 + k3 * v_row
+            heads_out[0, 0] = st
+
+            # group norm per head over S_i (lanes), eps 64e-5
+            mu = jnp.mean(out_row, axis=2, keepdims=True)
+            yc = out_row - mu
+            var = jnp.mean(yc * yc, axis=2, keepdims=True)
+            y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+            y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
+            yn = y_col.reshape(h4 * s, 1)
+
+            lw = lnxw[0, pl.dslice(rows_lo, h4 * s)]
+            lb = lnxb[0, pl.dslice(rows_lo, h4 * s)]
+            gt = g_s[pl.dslice(rows_lo, h4 * s)]
+            xo_s[pl.dslice(rows_lo, h4 * s)] = (yn * lw + lb) * gt
+
+        # ---- phases P_OUT0..: att out-projection row tiles ------------
+        @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
+        def _out_tile():
+            t = p - P_OUT0
+            w = out_w[0, 0]                                 # [c_o, C]
+            d = out_d[0, 0].T if quant else None
+            ap_s[pl.dslice(t * c_o, c_o)] = matv(w, d, xo_s[:])
+
+        # ---- phase P_FSH: residual + FFN token shift ------------------
+        @pl.when(p == P_FSH)
+        def _ffn_shift():
+            x = x_s[:] + ap_s[:]
+            xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
+            sx2 = ffn_in[0] - xl2
+            ffn_out[0] = xl2
+            xk2_s[:] = xl2 + sx2 * cv(fxk)
+            xr2_s[:] = xl2 + sx2 * cv(fxr)
+            x_s[:] = x
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        # ---- phases P_FR0..: FFN receptance-gate row tiles ------------
+        @pl.when((p >= P_FR0) & (p < P_FR0 + no))
+        def _fr_tile():
+            t = p - P_FR0
+            w = fr_w[0, 0]                                  # [c_o, C]
+            d = fr_d[0, 0].T if quant else None
+            rg_s[pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
+                matv(w, d, xr2_s[:])
+            )
+
+        # ---- phases P_FK0..: fk tiles -> hidden slices ----------------
+        @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
+        def _fk_tile():
+            t = p - P_FK0
+            hk = matv(
+                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
+            )
+            hk = jnp.square(jnp.maximum(hk, 0.0))
+            h_s[pl.dslice(t * f4, f4)] = hk
+
+        # ---- phases P_FV0..: fv tiles consume hidden slices -----------
+        @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
+        def _fv_tile():
+            t = p - P_FV0
+            hk = h_s[pl.dslice(t * f4, f4)]
+            acc_s[:] += matv(
+                fv_w[0][0], fv_d[0].T if quant else None, hk
+            )
+
+        # ---- finalize layer (same grid step as the last fv tile) ------
+        @pl.when(p == n_phase - 1)
+        def _finish():
+            x = x_s[:] + rg_s[:] * acc_s[:]
+            x_s[:] = x
+            y_out[:] = x
+
+    return kernel, n_phase
+
+
+def v6_decode_megakernel_tiled(
+    pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+):
+    """Phase-tiled whole-model v6 decode step (B=1; bounded VMEM).
+
+    pack: retile_mega_pack_v6(build_mega_pack_v6(...)) output. State:
+    att_xx/ffn_xx [L, C, 1], heads [L, nh, H/nh, S_j, S_i]. x0: [C, 1]
+    f32. Returns (x [C, 1], new state)."""
+    c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
+    n_layer = cfg.n_layer
+    d_maa, d_dec = pack["d_maa"], pack["d_dec"]
+    f_dim = pack["f_dim"]
+    quant = pack["quant"]
+    nh, nf = pack["nh"], pack["nf"]
+    ng, no = pack["ng"], pack["no"]
+    h4 = h // nh
+    assert x0.shape[1] == 1, "v6 tiled kernel is B=1 only"
+    m = ng // 4
+    fused = (m == 1)
+    P_WKV0 = 1 if fused else 1 + ng
+    P_OUT0 = P_WKV0 + nh
+    P_FSH = P_OUT0 + no
+    P_FR0 = P_FSH + 1
+    P_FK0 = P_FR0 + no
+    P_FV0 = P_FK0 + 1
+
+    kernel, n_phase = _make_kernel_tiled_v6(
+        c, h, s, d_maa, d_dec, f_dim, n_layer, quant, nh, nf, ng, no
+    )
+
+    def per_layer(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i, p: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def per_layer_early(shape, last_phase):
+        """See v7_decode_megakernel_tiled.per_layer_early."""
+        def imap(i, p):
+            return (
+                jnp.minimum(i + (p > last_phase), n_layer - 1),
+            ) + (0,) * len(shape)
+
+        return pl.BlockSpec((1,) + shape, imap, memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i, p: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def head_spec(shape):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda i, p: (
+                (i, jnp.clip(p - P_WKV0, 0, nh - 1)) + (0,) * len(shape)
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    def ffn_spec(shape, first_p):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda i, p: (i, jnp.clip(p - first_p, 0, nf - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def tiled_rows_spec(shape, first_p, nt):
+        """See v7_decode_megakernel_tiled.tiled_rows_spec."""
+        def imap(i, p):
+            done = p > first_p + nt - 1
+            t = jnp.where(done, 0, jnp.clip(p - first_p, 0, nt - 1))
+            return (
+                jnp.minimum(i + done, n_layer - 1), t,
+            ) + (0,) * len(shape)
+
+        return pl.BlockSpec((1, 1) + shape, imap, memory_space=pltpu.VMEM)
+
+    if fused:
+        rkvg_spec = per_layer_early(pack["rkvg"].shape[1:], 0)
+        rkvg_d_spec = (
+            per_layer_early(pack["rkvg_d"].shape[1:], 0) if quant else None
+        )
+    else:
+        rkvg_spec = tiled_rows_spec(pack["rkvg"].shape[2:], 1, ng)
+        rkvg_d_spec = (
+            tiled_rows_spec(pack["rkvg_d"].shape[2:], 1, ng)
+            if quant else None
+        )
+
+    mat_specs_by_name = {
+        "rkvg": (rkvg_spec, rkvg_d_spec),
+        "maa1": None,   # per_layer_early(..., 0)
+        "dw1": None,
+        "dw2": None,
+        "out": (
+            tiled_rows_spec(pack["out"].shape[2:], P_OUT0, no),
+            tiled_rows_spec(pack["out_d"].shape[2:], P_OUT0, no)
+            if quant else None,
+        ),
+        "fr": (
+            tiled_rows_spec(pack["fr"].shape[2:], P_FR0, no),
+            tiled_rows_spec(pack["fr_d"].shape[2:], P_FR0, no)
+            if quant else None,
+        ),
+    }
+
+    mat_args, mat_specs = [], []
+    for name in ("rkvg", "maa1", "dw1", "dw2", "out", "fr"):
+        w = pack[name]
+        mat_args.append(w)
+        named = mat_specs_by_name[name]
+        if named is None:
+            mat_specs.append(per_layer_early(w.shape[1:], 0))
+        else:
+            mat_specs.append(named[0])
+        if quant:
+            d = pack[name + "_d"]
+            mat_args.append(d)
+            if named is None:
+                mat_specs.append(per_layer_early(d.shape[1:], 0))
+            else:
+                mat_specs.append(named[1])
+    mat_args.append(pack["fk"])
+    mat_specs.append(ffn_spec(pack["fk"].shape[2:], P_FK0))
+    if quant:
+        mat_args.append(pack["fk_d"])
+        mat_specs.append(ffn_spec(pack["fk_d"].shape[2:], P_FK0))
+    mat_args.append(pack["fv"])
+    mat_specs.append(ffn_spec(pack["fv"].shape[2:], P_FV0))
+    if quant:
+        mat_args.append(pack["fv_d"])
+        mat_specs.append(per_layer(pack["fv_d"].shape[1:]))
+    mat_args.append(pack["maa2"])  # always f32, no row scales
+    mat_specs.append(per_layer_early(pack["maa2"].shape[1:], 0))
+
+    vec_args = [pack[k] for k in _V6_VEC_KEYS]
+    vec_specs = [per_layer(pack[k].shape[1:]) for k in _V6_VEC_KEYS]
+
+    head_shape = (h4, s, s)
+    args = (
+        [x0.astype(jnp.float32),
+         state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
+        + mat_args + vec_args
+        + [pack["maa5"], pack["tdecay"], pack["tf"]]
+    )
+    in_specs = (
+        [whole((c, 1)), per_layer((c, 1)), per_layer((c, 1)),
+         head_spec(head_shape)]
+        + mat_specs + vec_specs
+        + [per_layer((1, 5 * c)), per_layer((1, c)), per_layer((h, s, 1))]
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, nh) + head_shape, jnp.float32),
+    )
+    out_specs = (
+        whole((c, 1)), per_layer((c, 1)), per_layer((c, 1)),
+        head_spec(head_shape),
+    )
+
+    y, att_xx, ffn_xx, heads = pl.pallas_call(
+        kernel,
+        grid=(n_layer, n_phase),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, 1), jnp.float32),      # x_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xo_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xk2_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xr2_s
+            pltpu.VMEM((c, 1), jnp.float32),      # acc_s
+            pltpu.VMEM((f_dim, 1), jnp.float32),  # h_s
+            pltpu.VMEM((c, 1), jnp.float32),      # r_s
+            pltpu.VMEM((c, 1), jnp.float32),      # k_s
+            pltpu.VMEM((c, 1), jnp.float32),      # v_s
+            pltpu.VMEM((c, 1), jnp.float32),      # g_s
+            pltpu.VMEM((c, 1), jnp.float32),      # wd_s
+            pltpu.VMEM((c, 1), jnp.float32),      # rg_s
+            pltpu.VMEM((c, 1), jnp.float32),      # ap_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xr_in_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xk_in_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xv_in_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xg_in_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            # see the v7 tiled kernel's note on this limit
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
 
 
 # ---------------------------------------------------------------------------

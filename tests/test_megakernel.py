@@ -301,3 +301,65 @@ def test_megamodel_tiled_rkv_phases():
             scale = max(np.abs(lr).max(), 1e-6)
             assert np.abs(lm - lr).max() / scale < tol
             assert lm.argmax() == lr.argmax()
+
+
+def test_megamodel_v6_tiled_big():
+    """v6 phase-tiled kernel (big-model routing) vs the per-op path:
+    C=2304 L=2 crosses the row-tiling thresholds (bf16 m=3, w8a8 m=2 —
+    rkvg/out/fr stream as row tiles), and _mega_big routes B=1 through
+    v6_decode_megakernel_tiled."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import choose_tiling
+
+    cfg = synth_config("6.0", n_layer=2, n_embed=2304, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=7)
+    for precision, tol in (("bf16", 5e-3), ("w8a8", 1e-1)):
+        quant = precision == "w8a8"
+        nh, nf, ng, no = choose_tiling(cfg, quant, 1,
+                                       f_dim=4 * cfg.n_embed, n_proj=4)
+        assert ng > 4 and no > 1, (ng, no)  # the row-tiled branch
+        ref = ServingModel((cfg, params), precision=precision)
+        mega = ServingModel((cfg, params), precision=precision,
+                            megakernel=True)
+        assert mega._mega_big  # must route through the tiled kernel
+
+        state_r = ref.init_state(1)
+        state_m = mega.init_state(1)
+        for tok in (3, 77, 200):
+            lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+            lm, state_m = mega.decode(np.array([tok], np.int32), state_m)
+            lr, lm = np.asarray(lr), np.asarray(lm)
+            scale = max(np.abs(lr).max(), 1e-6)
+            assert np.abs(lm - lr).max() / scale < tol
+            assert lm.argmax() == lr.argmax()
+
+
+def test_megamodel_v6_tiled_fused():
+    """v6 phase-tiled kernel in the FUSED (m=1) configuration — C=2048
+    w8a8 keeps the whole [4C, C] rkvg window in one phase (the 1.5B-class
+    Finch configuration) while still routing through the tiled kernel."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import choose_tiling
+
+    cfg = synth_config("6.0", n_layer=2, n_embed=2048, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=8)
+    nh, nf, ng, no = choose_tiling(cfg, True, 1,
+                                   f_dim=4 * cfg.n_embed, n_proj=4)
+    assert ng == 4 and no == 1, (ng, no)  # the fused branch
+    ref = ServingModel((cfg, params), precision="w8a8")
+    mega = ServingModel((cfg, params), precision="w8a8", megakernel=True)
+    assert mega._mega_big
+
+    state_r = ref.init_state(1)
+    state_m = mega.init_state(1)
+    for tok in (11, 42):
+        lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+        lm, state_m = mega.decode(np.array([tok], np.int32), state_m)
+        lr, lm = np.asarray(lr), np.asarray(lm)
+        scale = max(np.abs(lr).max(), 1e-6)
+        assert np.abs(lm - lr).max() / scale < 1e-1
+        assert lm.argmax() == lr.argmax()
