@@ -100,7 +100,12 @@ def wkv6_chunked(s0, r, k, v, w, tf, chunk_size: int = 16):
 def wkv6_auto(s, r, k, v, w, tf, chunk_size: int = 16):
     """Dispatch: chunked matmul form when T is a chunk multiple and > 1,
     sequential scan otherwise. Accepts rank-3 ([T, H, S], single sequence)
-    or rank-4 ([T, B, H, S]) operands like wkv6_scan."""
+    or rank-4 ([T, B, H, S]) operands like wkv6_scan. On TPU the chunk
+    machinery runs as ONE Pallas kernel per call with the chunk state in
+    VMEM (wkv6_chunked_pallas) — the XLA chunk path materializes a
+    [P, P, B, H, S] HBM intermediate per chunk."""
+    import jax as _jax
+
     from rwkv_tpu.models.graph import wkv6_scan
 
     t = r.shape[0]
@@ -113,7 +118,40 @@ def wkv6_auto(s, r, k, v, w, tf, chunk_size: int = 16):
         if w.ndim == 3:
             w = w[:, None]
         s = s[None]
-    y, s2 = wkv6_chunked(s, r, k, v, w, tf, chunk_size)
+    t_len, bsz, h, s_dim = r.shape
+    bh = bsz * h
+    # VMEM footprint: state carry/in/out + ~2x-buffered chunk operands +
+    # the [BH, P, P, S] pair intermediate (the dominant term).
+    vmem_est = 4 * (
+        bh * s_dim * s_dim * 3
+        + bh * chunk_size * s_dim * 12
+        + 2 * bh * chunk_size * chunk_size * s_dim
+    )
+    if (
+        _jax.default_backend() == "tpu"
+        and s_dim % 8 == 0
+        and vmem_est < 60 * 2**20
+    ):
+        if w.ndim == 2:
+            w4 = jnp.broadcast_to(w, r.shape)
+        else:
+            w4 = w
+
+        def fold(x):
+            return x.reshape(t_len, bh, s_dim)
+
+        tf_f = jnp.broadcast_to(tf[None], (bsz, h, s_dim)).reshape(
+            bh, s_dim
+        )
+        y, s2 = wkv6_chunked_pallas(
+            s.reshape(bh, s_dim, s_dim),
+            fold(r), fold(k), fold(v), fold(w4), tf_f,
+            chunk_size,
+        )
+        y = y.reshape(t_len, bsz, h, s_dim)
+        s2 = s2.reshape(bsz, h, s_dim, s_dim)
+    else:
+        y, s2 = wkv6_chunked(s, r, k, v, w, tf, chunk_size)
     if squeeze:
         return y[:, 0], s2[0]
     return y, s2
@@ -421,5 +459,161 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
         s0.astype(jnp.float32),
     )
     # [NC, H, P, S] -> [T, H, S]
+    out = jnp.swapaxes(out, 1, 2).reshape(t, h, s_dim)
+    return out, s_next
+
+
+# ---------------------------------------------------------------------------
+# Pallas wkv6 chunk kernel (B=1): all chunks of a layer in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _wkv6_chunk_kernel(p, s_dim, h, n_chunks):
+    """Kernel body factory for wkv6 (grid (n_chunks,), sequential; chunk
+    state resident in a VMEM scratch — same architecture as the wkv7
+    kernel above, without the triangular solve).
+
+    wkv6's decay is UNBOUNDED (w = exp(-exp(.)) can underflow to 0), so
+    the intra-chunk attention cannot use the wkv7 kernel's factorized
+    r-hat/k-tilde form (exp(-lcum) overflows f32). Instead the exact
+    per-pair log-space ratios are materialized as an [H, P, P, S] VMEM
+    intermediate (the thing the XLA chunk path materializes in HBM —
+    rwkv_operators_wkv_v7.inc-era reference keeps no such analogue; cf.
+    _chunk_body above) and reduced over S on the VPU: every exponent
+    reaching exp() is clamped <= 0, so the kernel is finite for ANY
+    decay. The state-read factor rq = r*exp(lcum_ex) and the state-write
+    factor kap = k*exp(llast - lcum) are <= |r|, |k| by construction."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    from jax.experimental import pallas as pl
+
+    def bdot(x, y, cx, cy):
+        return _jax.lax.dot_general(
+            x, y, (((cx,), (cy,)), ((0,), (0,))),
+            preferred_element_type=_jnp.float32,
+        )
+
+    def kernel(r_ref, k_ref, v_ref, lcum_ref, lcex_ref, llast_ref, tf_ref,
+               s0_ref, out_ref, snext_ref, t_s):
+        c = pl.program_id(0)
+
+        @pl.when(c == 0)
+        def _():
+            t_s[:] = s0_ref[:]
+
+        r = r_ref[0]          # block (1, H, P, S) -> [H, P, S]
+        k = k_ref[0]
+        v = v_ref[0]
+        lcum = lcum_ref[0]
+        lcex = lcex_ref[0]
+        llast = llast_ref[0]  # [H, 1, S]
+        tf = tf_ref[:]        # [H, 1, S]
+
+        rq = r * _jnp.exp(lcex)
+        kap = k * _jnp.exp(llast - lcum)
+        elast = _jnp.exp(llast)
+
+        ti = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 0)
+        ui = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 1)
+        strict = (ui < ti).astype(_jnp.float32)[None]
+
+        # exact causal pair ratios: exponent <= 0 for tau < t, clamped
+        # for the (masked-out) rest
+        ldiff = _jnp.minimum(
+            lcex[:, :, None, :] - lcum[:, None, :, :], 0.0
+        )                                              # [H, P, P, S]
+        pair = r[:, :, None, :] * k[:, None, :, :] * _jnp.exp(ldiff)
+        att = _jnp.sum(pair, axis=-1) * strict         # [H, P, P]
+
+        diag = _jnp.sum(r * tf * k, axis=-1, keepdims=True)  # [H, P, 1]
+
+        tmat = t_s[:]                                  # [H, S_i, S_j]
+        out = bdot(att, v, 2, 1) + diag * v + bdot(rq, tmat, 2, 2)
+        out_ref[0] = out
+
+        t_s[:] = tmat * elast + bdot(v, kap, 1, 1)
+
+        @pl.when(c == n_chunks - 1)
+        def _():
+            snext_ref[:] = t_s[:]
+
+    return kernel
+
+
+def wkv6_chunked_pallas(s0, r, k, v, w, tf, chunk_size: int = 16,
+                        interpret: bool = False):
+    """Single-sequence chunked wkv5/6 as ONE pallas_call. Shapes: r/k/v/w
+    [T, H, S] (w may be [H, S] — static v5 decay); tf [H, S]; s0
+    [H, S_i, S_j]. Same math as wkv6_chunked with the per-chunk pipeline
+    on-chip and NO [P, P, ..., S] HBM intermediate."""
+    import jax as _jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t, h, s_dim = r.shape
+    p = chunk_size
+    nc = t // p
+
+    if w.ndim == 2:
+        w = jnp.broadcast_to(w, r.shape)
+    lw = jnp.log(jnp.maximum(w, jnp.float32(1e-38)))
+    lw_c = lw.reshape(nc, p, h, s_dim)
+    lcum = jnp.cumsum(lw_c, axis=1)
+    lcum_ex = lcum - lw_c
+
+    def to_nhps(x):
+        return jnp.swapaxes(x.reshape(nc, p, h, s_dim), 1, 2)
+
+    r_op = to_nhps(r)
+    k_op = to_nhps(k)
+    v_op = to_nhps(v)
+    lcum_op = jnp.swapaxes(lcum, 1, 2)
+    lcex_op = jnp.swapaxes(lcum_ex, 1, 2)
+    llast = lcum[:, -1][:, :, None, :]              # [NC, H, 1, S]
+    tf_op = tf[:, None, :]                          # [H, 1, S]
+
+    def opspec():
+        return pl.BlockSpec(
+            (1, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = _wkv6_chunk_kernel(p, s_dim, h, nc)
+    out, s_next = pl.pallas_call(
+        kernel,
+        grid=(nc,),
+        in_specs=[opspec() for _ in range(5)]
+        + [pl.BlockSpec((1, h, 1, s_dim), lambda cc: (cc, 0, 0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((h, 1, s_dim), lambda cc: (0, 0, 0),
+                        memory_space=pltpu.VMEM),
+           pl.BlockSpec((h, s_dim, s_dim), lambda cc: (0, 0, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=(
+            pl.BlockSpec((1, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, s_dim, s_dim), lambda cc: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((nc, h, p, s_dim), jnp.float32),
+            jax.ShapeDtypeStruct((h, s_dim, s_dim), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((h, s_dim, s_dim), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 2**20,
+        ),
+        interpret=interpret,
+    )(
+        r_op.astype(jnp.float32), k_op.astype(jnp.float32),
+        v_op.astype(jnp.float32),
+        lcum_op.astype(jnp.float32), lcex_op.astype(jnp.float32),
+        llast.astype(jnp.float32),
+        tf_op.astype(jnp.float32),
+        s0.astype(jnp.float32),
+    )
     out = jnp.swapaxes(out, 1, 2).reshape(t, h, s_dim)
     return out, s_next

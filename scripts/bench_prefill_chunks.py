@@ -44,7 +44,11 @@ def null_overhead():
 
 def main():
     if "--validate" in sys.argv:
+        if "--v6" in sys.argv:
+            return 0 if validate_native_v6() else 1
         return 0 if validate_native() else 1
+    if "--v6" in sys.argv:
+        return bench_v6()
 
     bsz = 1
     if "--batch" in sys.argv:
@@ -177,6 +181,75 @@ def validate_native():
     ok = en < max(5e-4, 4 * ei)
     print("PASS" if ok else "FAIL", flush=True)
     return ok
+
+
+def validate_native_v6():
+    """Native-vs-f64 check of the wkv6 Pallas chunk kernel at 169M dims
+    (same methodology as validate_native: both compile modes compared
+    against a float64 sequential ground truth)."""
+    from rwkv_tpu.ops.chunked import wkv6_chunked_pallas
+
+    rs = np.random.RandomState(0)
+    t, h, s_dim, p = 256, 12, 64, 16
+    r, k, v = (rs.randn(t, h, s_dim).astype(np.float32) * 0.3
+               for _ in range(3))
+    w = np.exp(-np.exp(rs.randn(t, h, s_dim).astype(np.float32)))
+    tf = rs.randn(h, s_dim).astype(np.float32) * 0.2
+    s0 = rs.randn(h, s_dim, s_dim).astype(np.float32) * 0.3
+    args = [jnp.asarray(x) for x in (s0, r, k, v, w, tf)]
+
+    y_n, s_n = jax.jit(
+        lambda *xs: wkv6_chunked_pallas(*xs, chunk_size=p)
+    )(*args)
+    y_i, s_i = wkv6_chunked_pallas(*args, chunk_size=p, interpret=True)
+
+    s64 = s0.astype(np.float64)
+    y64 = np.zeros((t, h, s_dim))
+    tf64 = tf.astype(np.float64)
+    for ti in range(t):
+        r64 = r[ti].astype(np.float64)
+        k64 = k[ti].astype(np.float64)
+        v64 = v[ti].astype(np.float64)
+        dot = np.sum(r64 * tf64 * k64, axis=-1)            # [h]
+        y64[ti] = np.einsum("hij,hj->hi", s64, r64) + dot[:, None] * v64
+        s64 = (
+            s64 * w[ti].astype(np.float64)[:, None, :]
+            + v64[:, :, None] * k64[:, None, :]
+        )
+
+    scale = np.abs(y64).max()
+    en = float(np.abs(np.asarray(y_n) - y64).max() / scale)
+    ei = float(np.abs(np.asarray(y_i) - y64).max() / scale)
+    esn = float(np.abs(np.asarray(s_n) - s64).max())
+    print(f"v6 rel err vs f64: native={en:.2e} interpret={ei:.2e} "
+          f"state(native)={esn:.2e}", flush=True)
+    ok = en < max(5e-4, 4 * ei)
+    print("PASS" if ok else "FAIL", flush=True)
+    return ok
+
+
+def bench_v6():
+    """T=256 v6 prefill at 169M-class dims through the serving engine
+    (wkv6_auto routes to the Pallas chunk kernel on TPU)."""
+    cfg = synth_config("6.0", n_layer=L, n_embed=C, n_vocab=VOCAB,
+                       head_size=HEAD)
+    params = synth_params(cfg, seed=0)
+    toks = np.arange(T, dtype=np.int32) % VOCAB
+    ov = null_overhead()
+
+    for precision in ("bf16", "w8a8"):
+        srv = ServingModel((cfg, params), precision=precision)
+        logits, _ = srv.prefill(toks)          # compile + first run
+        assert np.isfinite(np.asarray(logits)).all()
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            logits, _ = srv.prefill(toks)
+            np.asarray(logits)
+            best = min(best, time.perf_counter() - t0)
+        dt = best - ov
+        print(f"v6 {precision} T={T} prefill: {dt*1e3:7.2f} ms "
+              f"({T/dt:8.0f} tok/s)", flush=True)
 
 
 if __name__ == "__main__":

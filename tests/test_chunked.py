@@ -192,3 +192,112 @@ def test_wkv7_auto_batched_pallas_fold_matches_scan():
         np.asarray(s_pl).reshape(bsz, h, s_dim, s_dim), np.asarray(s_ref),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_wkv6_pallas_chunk_kernel_matches_chunked():
+    """The wkv6 single-pallas_call chunk pipeline (exact log-space pair
+    ratios in VMEM; natively validated by scripts/bench_prefill_chunks.py
+    --v6) equals the XLA chunked form and the scan."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.models.graph import wkv6_scan
+    from rwkv_tpu.ops.chunked import wkv6_chunked, wkv6_chunked_pallas
+
+    rs = np.random.RandomState(1)
+    t, h, s_dim, p = 64, 4, 64, 16
+    r, k, v = (rs.randn(t, h, s_dim).astype(np.float32) * 0.3
+               for _ in range(3))
+    w = np.exp(-np.exp(rs.randn(t, h, s_dim).astype(np.float32)))
+    tf = rs.randn(h, s_dim).astype(np.float32) * 0.2
+    s0 = rs.randn(h, s_dim, s_dim).astype(np.float32) * 0.3
+
+    y_ref, s_ref = wkv6_chunked(
+        jnp.asarray(s0)[None],
+        *(jnp.asarray(x)[:, None] for x in (r, k, v, w)),
+        jnp.asarray(tf), chunk_size=p,
+    )
+    y_pl, s_pl = wkv6_chunked_pallas(
+        jnp.asarray(s0), *(jnp.asarray(x) for x in (r, k, v, w)),
+        jnp.asarray(tf), chunk_size=p, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pl), np.asarray(y_ref)[:, 0], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pl), np.asarray(s_ref)[0], rtol=1e-5, atol=1e-5
+    )
+    # and against the plain scan (independent derivation)
+    y_sc, s_sc = wkv6_scan(
+        jnp.asarray(s0), *(jnp.asarray(x) for x in (r, k, v, w)),
+        jnp.asarray(tf),
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pl), np.asarray(y_sc), rtol=2e-4, atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pl), np.asarray(s_sc), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_wkv6_pallas_extreme_decay_stable():
+    """Near-zero decays (w underflow territory) must stay finite in the
+    kernel — every exponent reaching exp() is clamped <= 0."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.ops.chunked import wkv6_chunked, wkv6_chunked_pallas
+
+    rs = np.random.RandomState(2)
+    t, h, s_dim, p = 32, 2, 64, 16
+    r, k, v = (rs.randn(t, h, s_dim).astype(np.float32) * 0.3
+               for _ in range(3))
+    # half the channels decay brutally (w ~ exp(-20)), half barely
+    expo = np.where(rs.rand(t, h, s_dim) < 0.5, 20.0, 0.01)
+    w = np.exp(-expo).astype(np.float32)
+    tf = rs.randn(h, s_dim).astype(np.float32) * 0.2
+    s0 = rs.randn(h, s_dim, s_dim).astype(np.float32) * 0.3
+
+    y_pl, s_pl = wkv6_chunked_pallas(
+        jnp.asarray(s0), *(jnp.asarray(x) for x in (r, k, v, w)),
+        jnp.asarray(tf), chunk_size=p, interpret=True,
+    )
+    assert np.isfinite(np.asarray(y_pl)).all()
+    assert np.isfinite(np.asarray(s_pl)).all()
+    y_ref, s_ref = wkv6_chunked(
+        jnp.asarray(s0)[None],
+        *(jnp.asarray(x)[:, None] for x in (r, k, v, w)),
+        jnp.asarray(tf), chunk_size=p,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pl), np.asarray(y_ref)[:, 0], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_wkv6_pallas_static_decay_v5():
+    """Static [H, S] decay (the v5 form) broadcasts into the kernel."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.ops.chunked import wkv6_chunked, wkv6_chunked_pallas
+
+    rs = np.random.RandomState(3)
+    t, h, s_dim, p = 32, 2, 64, 16
+    r, k, v = (rs.randn(t, h, s_dim).astype(np.float32) * 0.3
+               for _ in range(3))
+    w = np.exp(-np.exp(rs.randn(h, s_dim).astype(np.float32)))
+    tf = rs.randn(h, s_dim).astype(np.float32) * 0.2
+    s0 = rs.randn(h, s_dim, s_dim).astype(np.float32) * 0.3
+
+    y_ref, s_ref = wkv6_chunked(
+        jnp.asarray(s0)[None],
+        *(jnp.asarray(x)[:, None] for x in (r, k, v)),
+        jnp.asarray(w), jnp.asarray(tf), chunk_size=p,
+    )
+    y_pl, s_pl = wkv6_chunked_pallas(
+        jnp.asarray(s0), *(jnp.asarray(x) for x in (r, k, v)),
+        jnp.asarray(w), jnp.asarray(tf), chunk_size=p, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_pl), np.asarray(y_ref)[:, 0], rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_pl), np.asarray(s_ref)[0], rtol=1e-5, atol=1e-5
+    )
