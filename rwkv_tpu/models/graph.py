@@ -107,6 +107,27 @@ def wkv7_scan(s, r, w, k, v, a, b):
     return y, s
 
 
+def wkv7_scan_trace(s, r, w, k, v, a, b):
+    """wkv7_scan that also emits the state AFTER every step:
+    returns (y [T, H, S], s_all [T, H, S, S]). s_all[-1] equals
+    wkv7_scan's final state — the speculative-commit primitive (state
+    after any accepted prefix is a single gather, no replay)."""
+
+    def step(s, inp):
+        rt, wt, kt, vt, at, bt = inp
+        sa = jnp.einsum("...hij,...hj->...hi", s, at)
+        s = (
+            s * wt[..., None, :]
+            + vt[..., :, None] * kt[..., None, :]
+            + sa[..., :, None] * bt[..., None, :]
+        )
+        y = jnp.einsum("...hij,...hj->...hi", s, rt)
+        return s, (y, s)
+
+    _, (y, s_all) = jax.lax.scan(step, s, (r, w, k, v, a, b))
+    return y, s_all
+
+
 # ---------------------------------------------------------------------------
 # Attention blocks
 # ---------------------------------------------------------------------------
@@ -222,6 +243,7 @@ def att_v7(
     cfg: ModelConfig,
     is_first=None,
     wkv_fn=None,
+    trace=False,
 ):
     """rwkv_att_v7 (rwkv_graph.inc:387-482): six-way shift, low-rank
     w/a/g/v gates, l2-normalized kk, cross-layer value residual, and the
@@ -229,7 +251,10 @@ def att_v7(
 
     `is_first`: None for the unrolled path (v_first=None marks layer 0);
     a traced boolean for the scan-over-layers serving path, where layer 0's
-    missing v0/v1/v2 are zero-padded and selected away."""
+    missing v0/v1/v2 are zero-padded and selected away.
+
+    trace=True (single-sequence [T, C] x): additionally returns
+    (xl, heads_all) — the per-position recurrent state."""
     h, s = cfg.head_count, cfg.head_size
     lead, c = x.shape[:-1], x.shape[-1]
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
@@ -273,13 +298,20 @@ def att_v7(
     vh = v.reshape(*lead, h, s)
     ah = a.reshape(*lead, h, s)
 
-    y, heads = (wkv_fn or wkv7_scan)(heads, rh, wh, kh, vh, -kk, kk * ah)
+    if trace:
+        y, heads_all = wkv7_scan_trace(heads, rh, wh, kh, vh, -kk, kk * ah)
+        heads = heads_all[-1]
+    else:
+        y, heads = (wkv_fn or wkv7_scan)(heads, rh, wh, kh, vh, -kk, kk * ah)
     xo = group_norm(
         y.reshape(*lead, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"], h, eps=64e-5
     )
     bonus = (vh * jnp.sum(kh * rh * layer["att.r_k"], axis=-1, keepdims=True)).reshape(*lead, c)
     xo = (xo + bonus) * g
-    return mm(xo, layer["att.output.weight"]), new_xx, heads, v_first
+    out = mm(xo, layer["att.output.weight"])
+    if trace:
+        return out, new_xx, heads, v_first, (xl, heads_all)
+    return out, new_xx, heads, v_first
 
 
 # ---------------------------------------------------------------------------

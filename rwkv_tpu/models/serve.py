@@ -142,9 +142,14 @@ def stack_layer_params(
     }
 
 
-def _att_v7_fused(layer, x, att_xx, heads, v_first, cfg, is_first, wkv_fn):
+def _att_v7_fused(layer, x, att_xx, heads, v_first, cfg, is_first, wkv_fn,
+                  trace=False):
     """v7 attention with batched fused projections (see stack_layer_params):
-    same math as graph.att_v7, 3 matmul kernels instead of 11."""
+    same math as graph.att_v7, 3 matmul kernels instead of 11.
+
+    trace=True (single-sequence [T, C] x only): additionally returns
+    (xl, heads_all) — the per-position recurrent state (att_xx after
+    position t is xl[t]; heads after t is heads_all[t])."""
     h, hs = cfg.head_count, cfg.head_size
     lead, c = x.shape[:-1], x.shape[-1]
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
@@ -201,14 +206,21 @@ def _att_v7_fused(layer, x, att_xx, heads, v_first, cfg, is_first, wkv_fn):
     vh = v.reshape(*lead, h, hs)
     ah = a.reshape(*lead, h, hs)
 
-    y, heads = (wkv_fn or G.wkv7_scan)(heads, rh, wh, kh, vh, -kk, kk * ah)
+    if trace:
+        y, heads_all = G.wkv7_scan_trace(heads, rh, wh, kh, vh, -kk, kk * ah)
+        heads = heads_all[-1]
+    else:
+        y, heads = (wkv_fn or G.wkv7_scan)(heads, rh, wh, kh, vh, -kk, kk * ah)
     xo = group_norm(
         y.reshape(*lead, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"],
         h, eps=64e-5,
     )
     bonus = (vh * jnp.sum(kh * rh * layer["att.r_k"], axis=-1, keepdims=True)).reshape(*lead, c)
     xo = (xo + bonus) * g
-    return G.mm(xo, layer["att.output.weight"]), new_xx, heads, v_first
+    out = G.mm(xo, layer["att.output.weight"])
+    if trace:
+        return out, new_xx, heads, v_first, (xl, heads_all)
+    return out, new_xx, heads, v_first
 
 
 def run_blocks(
@@ -322,6 +334,48 @@ def forward_stacked(
         else:
             logits = G.mm(xo, params["head"])
     return logits, new_state
+
+
+def forward_stacked_trace(params, state, tokens, cfg):
+    """Single-sequence scoring pass that returns per-position logits AND
+    the recurrent state after EVERY position (v7 stacked/fused params
+    only). tokens [T]; state arrays [L, ...]. Returns (logits [T, V],
+    trace) with trace arrays [L, T, ...]: indexing position j gives the
+    exact state after consuming tokens[:j+1] — the speculative-commit
+    primitive (no prefix-replay pass; cf. rwkv_eval.inc:158-221's scratch
+    chunk loop, which re-evaluates to advance state)."""
+    assert cfg.version_major == 7, "trace path is v7-only"
+    emb = params["emb"][tokens]
+    x = layer_norm(emb.astype(jnp.float32), *params["ln0"])
+    xs = (params["blocks"], state["att_xx"], state["ffn_xx"],
+          state["heads"], jnp.arange(cfg.n_layer))
+
+    def body(carry, inp):
+        x, v_first = carry
+        layer, att_xx, ffn_xx, heads, idx = inp
+        if "att.rkv.weight" in layer:
+            dx, _, heads, v_first, (xl, heads_all) = _att_v7_fused(
+                layer, x, att_xx, heads, v_first, cfg, (idx == 0), None,
+                trace=True,
+            )
+        else:
+            dx, _, heads, v_first, (xl, heads_all) = G.att_v7(
+                layer, x, att_xx, heads, v_first, cfg, is_first=(idx == 0),
+                trace=True,
+            )
+        x = x + dx
+        # ffn_xx state after position t is ln2(x)[t] (ffn_v7 recomputes
+        # this internally for its token shift)
+        xl2 = layer_norm(x, layer["ln2.weight"], layer["ln2.bias"])
+        dx, _ = G.ffn_v7(layer, x, ffn_xx)
+        x = x + dx
+        return (x, v_first), (xl, xl2, heads_all)
+
+    v0 = jnp.zeros_like(x)
+    (x, _), (xl_all, xl2_all, heads_all) = jax.lax.scan(body, (x, v0), xs)
+    logits = G.mm(layer_norm(x, *params["ln_out"]), params["head"])
+    trace = {"att_xx": xl_all, "ffn_xx": xl2_all, "heads": heads_all}
+    return logits, trace
 
 
 class ServingModel:
@@ -799,6 +853,30 @@ class ServingModel:
                         lambda a: jnp.swapaxes(a, 0, 1), new_lb
                     )
                 return jnp.swapaxes(logits, 0, 1), new_state
+
+            self._jit_cache[key] = run
+        return self._jit_cache[key](self.params, state, tokens)
+
+    def score_trace(self, tokens, state):
+        """Single-sequence scoring WITH per-position states: tokens [t]
+        (python list/array) + state [1, L, ...] -> (logits [t, V], trace
+        arrays [L, t, ...]). See forward_stacked_trace; v7 only."""
+        tokens = jnp.asarray(tokens, jnp.int32).reshape(-1)
+        key = ("score_trace", tokens.shape[0])
+        if key not in self._jit_cache:
+            cfg = self.config
+            mm_force = self._mm_force
+
+            @jax.jit
+            def run(params, state, tokens):
+                from rwkv_tpu.ops.kernels import force_mode
+
+                with force_mode(mm_force):
+                    st = jax.tree.map(lambda a: a[0], state)
+                    logits, trace = forward_stacked_trace(
+                        params, st, tokens, cfg
+                    )
+                return logits, trace
 
             self._jit_cache[key] = run
         return self._jit_cache[key](self.params, state, tokens)

@@ -105,3 +105,123 @@ def speculative_generate(
         "acceptance_rate": (n_accepted / n_drafted) if n_drafted else 1.0,
     }
     return np.asarray(out[:n_tokens], np.int32), stats
+
+
+# ---------------------------------------------------------------------------
+# Fully on-device speculative loop
+# ---------------------------------------------------------------------------
+
+_DEVICE_JIT_CACHE: dict = {}
+
+
+def speculative_generate_device(
+    target: ServingModel,
+    draft: ServingModel,
+    prompt_tokens: Sequence[int],
+    n_tokens: int,
+    k: int = 4,
+) -> Tuple[np.ndarray, dict]:
+    """Greedy speculative generation with the ENTIRE round loop on device
+    (one host sync for the whole generation, vs ~3k+2 syncs/round for the
+    host loop above — each sync costs ~25 ms through this environment's
+    tunnel, and is never free in production).
+
+    Per round, inside one jitted lax.while_loop iteration:
+      1. the draft runs k+1 sequential steps (collecting its per-step
+         states as scan outputs),
+      2. the target scores seq = [pred, d_1..d_k] in ONE sequence pass
+         that also emits the state after every position
+         (forward_stacked_trace) — because the scored tokens ARE the
+         committed tokens for any accepted prefix, the commit state is a
+         single gather trace[:, j]: no prefix-replay pass at all,
+      3. the accepted length j and the replacement token come from device
+         argmax/cumprod math, and the emitted window is written into a
+         fixed output buffer at a dynamic offset (positions beyond the
+         accepted prefix are overwritten by the next round's window).
+
+    Output is identical to `target`'s greedy decode (tests assert this).
+    Target must be a v7 ServingModel (the trace path); the draft can be
+    any architecture forward_stacked supports."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkv_tpu.models.serve import forward_stacked, forward_stacked_trace
+    from rwkv_tpu.ops.kernels import force_mode
+
+    logits_t, state_t = target.prefill(list(prompt_tokens))
+    _, state_d = draft.prefill(list(prompt_tokens))
+    pred0 = jnp.argmax(jnp.asarray(logits_t), -1).astype(jnp.int32)
+
+    t_cfg, d_cfg = target.config, draft.config
+    t_force, d_force = target._mm_force, draft._mm_force
+    n_cap = n_tokens + k + 2
+    key = (id(target), id(draft), n_tokens, k)
+
+    if key not in _DEVICE_JIT_CACHE:
+
+        @jax.jit
+        def run(t_params, d_params, state_t, state_d, pred):
+            state_t = jax.tree.map(lambda a: a[0], state_t)
+            state_d = jax.tree.map(lambda a: a[0], state_d)
+
+            def cond(carry):
+                return carry[4] < n_tokens
+
+            def body(carry):
+                state_t, state_d, pred, buf, count, rounds, acc = carry
+
+                def dstep(c, _):
+                    st, tok = c
+                    with force_mode(d_force):
+                        logits, st2 = forward_stacked(
+                            d_params, st, tok[None], d_cfg
+                        )
+                    nxt = jnp.argmax(logits, -1).astype(jnp.int32)
+                    return (st2, nxt), (nxt, st2)
+
+                (_, _), (draft_toks, d_states) = jax.lax.scan(
+                    dstep, (state_d, pred), None, length=k + 1
+                )
+                seq = jnp.concatenate([pred[None], draft_toks[:k]])
+
+                with force_mode(t_force):
+                    logits_all, trace = forward_stacked_trace(
+                        t_params, state_t, seq, t_cfg
+                    )
+                greedy = jnp.argmax(logits_all, -1).astype(jnp.int32)
+
+                matches = (greedy[:k] == draft_toks[:k]).astype(jnp.int32)
+                j = jnp.sum(jnp.cumprod(matches))
+
+                state_t = jax.tree.map(lambda a: a[:, j], trace)
+                state_d = jax.tree.map(lambda a: a[j], d_states)
+
+                buf = jax.lax.dynamic_update_slice(buf, seq, (count,))
+                return (state_t, state_d, greedy[j], buf, count + j + 1,
+                        rounds + 1, acc + j)
+
+            buf0 = jnp.zeros((n_cap,), jnp.int32)
+            out = jax.lax.while_loop(
+                cond,
+                body,
+                (state_t, state_d, pred,
+                 buf0, jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+            )
+            _, _, _, buf, count, rounds, acc = out
+            return buf, count, rounds, acc
+
+        _DEVICE_JIT_CACHE[key] = run
+
+    buf, count, rounds, acc = _DEVICE_JIT_CACHE[key](
+        target.params, draft.params, state_t, state_d, pred0
+    )
+    buf = np.asarray(buf)
+    n_rounds = int(rounds)
+    n_acc = int(acc)
+    stats = {
+        "rounds": n_rounds,
+        "drafted": n_rounds * k,
+        "accepted": n_acc,
+        "acceptance_rate": (n_acc / (n_rounds * k)) if n_rounds else 1.0,
+    }
+    return buf[:n_tokens].astype(np.int32), stats

@@ -78,3 +78,60 @@ def test_score_matches_serial_logits():
         np.asarray(state_seq["heads"]), np.asarray(state["heads"]),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_score_trace_matches_score_and_decode_chain():
+    """forward_stacked_trace: last-position state equals score()'s final
+    state; a mid-position state equals the serial decode chain's."""
+    target = _target()
+    _, st0 = target.prefill(PROMPT)
+    seq = [34, 105, 110, 32]
+
+    logits_ref, new_state = target.score(np.array([seq], np.int32), st0)
+    logits_tr, trace = target.score_trace(seq, st0)
+    np.testing.assert_allclose(
+        np.asarray(logits_tr), np.asarray(logits_ref)[0],
+        rtol=1e-5, atol=1e-5,
+    )
+    for key in ("att_xx", "ffn_xx", "heads"):
+        np.testing.assert_allclose(
+            np.asarray(trace[key][:, -1]), np.asarray(new_state[key][0]),
+            rtol=1e-5, atol=1e-5,
+        )
+    # mid-position: state after seq[:2] via serial decode
+    st = st0
+    for t in seq[:2]:
+        _, st = target.decode(np.array([t], np.int32), st)
+    for key in ("att_xx", "ffn_xx", "heads"):
+        np.testing.assert_allclose(
+            np.asarray(trace[key][:, 1]), np.asarray(st[key][0]),
+            rtol=1e-5, atol=1e-5,
+        )
+
+
+def test_speculative_device_exactness_weak_draft():
+    """The on-device while_loop round must emit the target's exact greedy
+    stream with a disagreeing draft."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.speculative import speculative_generate_device
+
+    target = _target()
+    draft = ServingModel(
+        str(require_fixture("tiny-rwkv-5v2-730K-FP32.bin")), precision="f32"
+    )
+    n = 12
+    want = _greedy_reference(target, PROMPT, n)
+    got, stats = speculative_generate_device(target, draft, PROMPT, n, k=3)
+    assert got.tolist() == want, (got.tolist(), want, stats)
+    assert stats["rounds"] > 0
+
+
+def test_speculative_device_perfect_draft_accepts_all():
+    from rwkv_tpu.models.speculative import speculative_generate_device
+
+    target = _target()
+    n = 10
+    want = _greedy_reference(target, PROMPT, n)
+    got, stats = speculative_generate_device(target, target, PROMPT, n, k=4)
+    assert got.tolist() == want, (got.tolist(), want, stats)
+    assert stats["acceptance_rate"] == 1.0
