@@ -653,6 +653,64 @@ class ServingModel:
             self._jit_cache[key] = run
         return self._jit_cache[key]
 
+    def _mega4_tiled_pack(self):
+        """Retiled v4 pack + tile counts for the v4 phase-tiled kernel."""
+        from rwkv_tpu.ops.megakernel import (
+            choose_tiling, retile_mega_pack_v4,
+        )
+
+        cfg = self.config
+        _, nf, nr, no = choose_tiling(
+            cfg, self._mega["quant"], 1,
+            f_dim=self._mega["f_dim"], n_proj=3,
+        )
+        key = ("megapack4", nf, nr, no)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = retile_mega_pack_v4(
+                self._mega, cfg, nf, nr, no
+            )
+        return self._jit_cache[key]
+
+    def _mega4_tiled1_fn(self):
+        """Single-stream v4 decode through the phase-tiled kernel (big
+        models — the World 7B/14B sizes the reference benchmarks)."""
+        key = ("mega4t1",)
+        if key not in self._jit_cache:
+            cfg = self.config
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel import v4_decode_megakernel_tiled
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            pack_full = self._mega4_tiled_pack()
+            meta = {k: pack_full[k]
+                    for k in ("quant", "f_dim", "nf", "nr", "no")}
+            arrs = {k: v for k, v in pack_full.items() if k not in meta}
+
+            @jax.jit
+            def run(params, pack_arrs, state, token):   # state [1, L, ...]
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][token[0]].astype(jnp.float32),
+                    *params["ln0"],
+                )
+                state_t = {
+                    k: state[k][0][..., None]
+                    for k in ("att_xx", "ffn_xx", "aa", "bb", "pp")
+                }
+                y, new_t = v4_decode_megakernel_tiled(
+                    pack, state_t, x0[:, None], cfg, interpret=interpret
+                )
+                xo = p_ln(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])
+                new_state = {
+                    k: new_t[k][None, ..., 0]
+                    for k in ("att_xx", "ffn_xx", "aa", "bb", "pp")
+                }
+                return logits, new_state
+
+            self._jit_cache[key] = (run, arrs)
+        return self._jit_cache[key]
+
     def _mega6_tiled_pack(self):
         """Retiled v6 pack + (nh, nf) for the v6 phase-tiled kernel."""
         from rwkv_tpu.ops.megakernel import (
@@ -892,12 +950,16 @@ class ServingModel:
         if self._mega is not None:
             b = tokens.shape[0]
             if self.config.version_major in (4, 5, 6):
-                # v4/v5 kernels are B=1 whole-layer only; v6 big models
-                # route to the v6 phase-tiled kernel at B=1; everything
-                # else falls back to the per-op path.
+                # v4/v5 whole-layer kernels are B=1 only; big v4/v6
+                # models route to their phase-tiled kernels at B=1;
+                # everything else falls back to the per-op path.
                 if (b == 1 and self._mega_big
                         and self.config.version_major == 6):
                     run, arrs_t = self._mega6_tiled1_fn()
+                    return run(self.params, arrs_t, state, tokens[:, 0])
+                if (b == 1 and self._mega_big
+                        and self.config.version_major == 4):
+                    run, arrs_t = self._mega4_tiled1_fn()
                     return run(self.params, arrs_t, state, tokens[:, 0])
                 if b == 1 and not self._mega_big:
                     if self.config.version_major == 6:

@@ -2789,3 +2789,425 @@ def v4_decode_megakernel(
     )(*args)
     return y, {"att_xx": att_xx, "ffn_xx": ffn_xx,
                "aa": aa, "bb": bb, "pp": pp}
+
+
+# ---------------------------------------------------------------------------
+# RWKV v4 phase-tiled whole-model decode kernel (big models, B=1)
+# ---------------------------------------------------------------------------
+#
+# The reference's OWN 7B headline benchmark is RWKV-4 World 7B
+# (README.md:65-76, 75 ms/tok hipBLAS-offloaded) — this kernel serves
+# that exact architecture class on one chip.  Same phase architecture as
+# the v6/v7 tiled kernels; v4 is the simplest member: three row-tiled
+# input projections, a SCALAR-state wkv (aa/bb/pp [C, 1] columns with
+# the max-trick — no head tiles at all), row-tiled out/fr, and the
+# shared fk/fv FFN pipeline.  B=1 only.
+
+_V4_TILED_ROW_VECS = (
+    "ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+)
+
+
+def retile_mega_pack_v4(pack: dict, cfg, nf: int = 1, nr: int = 3,
+                        no: int = 1) -> dict:
+    """Re-tile a build_mega_pack_v4 output for the v4 phase-tiled kernel
+    (row-tiled big mats with tile-indexed scales, row-stored vectors,
+    'nf'/'nr'/'no' meta)."""
+    c = cfg.n_embed
+    f_dim = pack["f_dim"]
+    assert f_dim % nf == 0, (f_dim, nf)
+    assert nr % 3 == 0, nr
+    m = nr // 3
+    assert c % m == 0 and c % no == 0, (c, nr, no)
+    f4 = f_dim // nf
+    c_r = c // m
+    c_o = c // no
+    out = dict(pack)
+    out["nf"], out["nr"], out["no"] = nf, nr, no
+    L = pack["rkv"].shape[0]
+    out["rkv"] = pack["rkv"].reshape(L, nr, c_r, c)
+    out["out"] = pack["out"].reshape(L, no, c_o, c)
+    out["fr"] = pack["fr"].reshape(L, no, c_o, c)
+    out["fk"] = pack["fk"].reshape(L, nf, f4, c)
+    out["fv"] = jnp.swapaxes(pack["fv"].reshape(L, c, nf, f4), 1, 2)
+    if pack["quant"]:
+        for name, nt in (("rkv", nr), ("out", no), ("fr", no), ("fk", nf)):
+            d = pack[name + "_d"]
+            out[name + "_d"] = jnp.swapaxes(
+                d.reshape(L, nt, d.shape[1] // nt, 1), 2, 3
+            )  # [L, nt, 1, rows]
+        out["fv_d"] = jnp.swapaxes(pack["fv_d"], 1, 2)
+    for key in _V4_TILED_ROW_VECS:
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    for key in ("amix", "fmix", "tf", "td"):
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    return out
+
+
+def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no):
+    f4 = f_dim // nf
+    m = nr // 3
+    c_r = c // m
+    c_o = c // no
+    fused = (m == 1)
+    # phase layout: [shift+mix (| nr rkv tiles | wkv) | no out tiles |
+    # ffn-shift | no fr tiles | nf fk tiles // nf fv tiles | finish]
+    P_WKV = 0 if fused else 1 + nr
+    P_OUT0 = P_WKV + 1
+    P_FSH = P_OUT0 + no
+    P_FR0 = P_FSH + 1
+    P_FK0 = P_FR0 + no
+    P_FV0 = P_FK0 + 1
+    n_phase = P_FK0 + nf + 1
+
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        amax = jnp.max(jnp.abs(x))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, aa_in, bb_in, pp_in,
+             rkv, rkv_d, out_w, out_d, fr_w, fr_d,
+             fk_w, fk_d, fv_w, fv_d,
+             ln1w, ln1b, ln2w, ln2b, amix, fmix, tf, td,
+             y_out, att_out, ffn_out, aa_out, bb_out, pp_out,
+             x_s, xk_s, xv_s, xr_s, r_s, k_s, v_s, wr_s, ap_s,
+             xk2_s, xr2_s, rg_s, acc_s, h_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, aa_in, bb_in, pp_in,
+             rkv, out_w, fr_w, fk_w, fv_w,
+             ln1w, ln1b, ln2w, ln2b, amix, fmix, tf, td,
+             y_out, att_out, ffn_out, aa_out, bb_out, pp_out,
+             x_s, xk_s, xv_s, xr_s, r_s, k_s, v_s, wr_s, ap_s,
+             xk2_s, xr2_s, rg_s, acc_s, h_s) = refs
+
+        i = pl.program_id(0)
+        p = pl.program_id(1)
+
+        def cv(ref):
+            return ref[0].T
+
+        def matv(w, d, xcol):
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * d
+            return mm(w, xcol.astype(jnp.bfloat16))
+
+        def _wkv_body():
+            """max-trick wkv4 (rwkv_graph.inc:119-161) on [C, 1] columns;
+            consumes r_s/k_s/v_s, produces wr_s (= sigmoid(r)*wkv) and
+            the aa/bb/pp state updates."""
+            r = r_s[:]
+            k = k_s[:]
+            v = v_s[:]
+            aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
+            ww = cv(tf) + k
+            qq = jnp.maximum(pp, ww)
+            e1 = jnp.exp(pp - qq)
+            e2 = jnp.exp(ww - qq)
+            wkv = (e1 * aa + e2 * v) / (e1 * bb + e2)
+            ww2 = pp + cv(td)
+            qq2 = jnp.maximum(ww2, k)
+            e1b = jnp.exp(ww2 - qq2)
+            e2b = jnp.exp(k - qq2)
+            aa_out[0] = e1b * aa + e2b * v
+            bb_out[0] = e1b * bb + e2b
+            pp_out[0] = qq2
+            wr_s[:] = r * wkv
+
+        # ---- phase 0: att token shift + mixes -------------------------
+        @pl.when(p == 0)
+        def _shift():
+            @pl.when(i == 0)
+            def _():
+                x_s[:] = x0_ref[:]
+
+            x = x_s[:]
+            xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
+            prev = att_in[0]
+            att_out[0] = xl
+
+            cf = amix[0].T.reshape(3, c, 1)  # order k, v, r
+            xk_s[:] = xl * cf[0] + (prev - prev * cf[0])
+            xv_s[:] = xl * cf[1] + (prev - prev * cf[1])
+            xr_s[:] = xl * cf[2] + (prev - prev * cf[2])
+
+            if fused:
+                def proj(q, xin):
+                    return matv(
+                        rkv[0, q], rkv_d[0, q].T if quant else None, xin
+                    )
+
+                r_s[:] = jax.nn.sigmoid(proj(0, xr_s[:]))
+                k_s[:] = proj(1, xk_s[:])
+                v_s[:] = proj(2, xv_s[:])
+                _wkv_body()
+
+        if not fused:
+            # ---- phases 1..nr: rkv row tiles --------------------------
+            @pl.when((p >= 1) & (p < 1 + nr))
+            def _rkv_tile():
+                t = p - 1
+                q = t // m          # projection: 0=r, 1=k, 2=v
+                sft = (t % m) * c_r
+                w = rkv[0, 0]
+                dd = rkv_d[0, 0].T if quant else None
+                xin = jnp.where(
+                    q == 0, xr_s[:],
+                    jnp.where(q == 1, xk_s[:], xv_s[:]),
+                )
+                acc = matv(w, dd, xin)
+
+                @pl.when(q == 0)
+                def _():
+                    r_s[pl.dslice(sft, c_r)] = jax.nn.sigmoid(acc)
+
+                @pl.when(q == 1)
+                def _():
+                    k_s[pl.dslice(sft, c_r)] = acc
+
+                @pl.when(q == 2)
+                def _():
+                    v_s[pl.dslice(sft, c_r)] = acc
+
+            # ---- phase P_WKV: scalar-state wkv ------------------------
+            @pl.when(p == P_WKV)
+            def _wkv():
+                _wkv_body()
+
+        # ---- phases P_OUT0..: att out-projection row tiles ------------
+        @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
+        def _out_tile():
+            t = p - P_OUT0
+            w = out_w[0, 0]
+            d = out_d[0, 0].T if quant else None
+            ap_s[pl.dslice(t * c_o, c_o)] = matv(w, d, wr_s[:])
+
+        # ---- phase P_FSH: residual + FFN token shift ------------------
+        @pl.when(p == P_FSH)
+        def _ffn_shift():
+            x = x_s[:] + ap_s[:]
+            xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
+            prev2 = ffn_in[0]
+            ffn_out[0] = xl2
+            fcf = fmix[0].T.reshape(2, c, 1)  # order k, r
+            xk2_s[:] = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
+            xr2_s[:] = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
+            x_s[:] = x
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        # ---- phases P_FR0..: FFN receptance-gate row tiles ------------
+        @pl.when((p >= P_FR0) & (p < P_FR0 + no))
+        def _fr_tile():
+            t = p - P_FR0
+            w = fr_w[0, 0]
+            d = fr_d[0, 0].T if quant else None
+            rg_s[pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
+                matv(w, d, xr2_s[:])
+            )
+
+        # ---- phases P_FK0..: fk tiles -> hidden slices ----------------
+        @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
+        def _fk_tile():
+            t = p - P_FK0
+            hk = matv(
+                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
+            )
+            hk = jnp.square(jnp.maximum(hk, 0.0))
+            h_s[pl.dslice(t * f4, f4)] = hk
+
+        # ---- phases P_FV0..: fv tiles consume hidden slices -----------
+        @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
+        def _fv_tile():
+            t = p - P_FV0
+            hk = h_s[pl.dslice(t * f4, f4)]
+            acc_s[:] += matv(
+                fv_w[0][0], fv_d[0].T if quant else None, hk
+            )
+
+        # ---- finalize layer -------------------------------------------
+        @pl.when(p == n_phase - 1)
+        def _finish():
+            x = x_s[:] + rg_s[:] * acc_s[:]
+            x_s[:] = x
+            y_out[:] = x
+
+    return kernel, n_phase
+
+
+def v4_decode_megakernel_tiled(
+    pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+):
+    """Phase-tiled whole-model v4 decode step (B=1; bounded VMEM).
+
+    pack: retile_mega_pack_v4(build_mega_pack_v4(...)) output. State:
+    att_xx/ffn_xx/aa/bb/pp [L, C, 1]. x0: [C, 1] f32."""
+    c = cfg.n_embed
+    n_layer = cfg.n_layer
+    f_dim = pack["f_dim"]
+    quant = pack["quant"]
+    nf = pack["nf"]
+    nr, no = pack["nr"], pack["no"]
+    assert x0.shape[1] == 1, "v4 tiled kernel is B=1 only"
+    m = nr // 3
+    fused = (m == 1)
+    P_WKV = 0 if fused else 1 + nr
+    P_OUT0 = P_WKV + 1
+    P_FSH = P_OUT0 + no
+    P_FR0 = P_FSH + 1
+    P_FK0 = P_FR0 + no
+    P_FV0 = P_FK0 + 1
+
+    kernel, n_phase = _make_kernel_tiled_v4(
+        c, f_dim, n_layer, quant, nf, nr, no
+    )
+
+    def per_layer(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i, p: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def per_layer_early(shape, last_phase):
+        def imap(i, p):
+            return (
+                jnp.minimum(i + (p > last_phase), n_layer - 1),
+            ) + (0,) * len(shape)
+
+        return pl.BlockSpec((1,) + shape, imap, memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i, p: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def ffn_spec(shape, first_p):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda i, p: (i, jnp.clip(p - first_p, 0, nf - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def tiled_rows_spec(shape, first_p, nt):
+        def imap(i, p):
+            done = p > first_p + nt - 1
+            t = jnp.where(done, 0, jnp.clip(p - first_p, 0, nt - 1))
+            return (
+                jnp.minimum(i + done, n_layer - 1), t,
+            ) + (0,) * len(shape)
+
+        return pl.BlockSpec((1, 1) + shape, imap, memory_space=pltpu.VMEM)
+
+    if fused:
+        rkv_spec = per_layer_early(pack["rkv"].shape[1:], 0)
+        rkv_d_spec = (
+            per_layer_early(pack["rkv_d"].shape[1:], 0) if quant else None
+        )
+    else:
+        rkv_spec = tiled_rows_spec(pack["rkv"].shape[2:], 1, nr)
+        rkv_d_spec = (
+            tiled_rows_spec(pack["rkv_d"].shape[2:], 1, nr)
+            if quant else None
+        )
+
+    mat_args, mat_specs = [], []
+    for name, spec_pair in (
+        ("rkv", (rkv_spec, rkv_d_spec)),
+        ("out", (
+            tiled_rows_spec(pack["out"].shape[2:], P_OUT0, no),
+            tiled_rows_spec(pack["out_d"].shape[2:], P_OUT0, no)
+            if quant else None,
+        )),
+        ("fr", (
+            tiled_rows_spec(pack["fr"].shape[2:], P_FR0, no),
+            tiled_rows_spec(pack["fr_d"].shape[2:], P_FR0, no)
+            if quant else None,
+        )),
+    ):
+        mat_args.append(pack[name])
+        mat_specs.append(spec_pair[0])
+        if quant:
+            mat_args.append(pack[name + "_d"])
+            mat_specs.append(spec_pair[1])
+    mat_args.append(pack["fk"])
+    mat_specs.append(ffn_spec(pack["fk"].shape[2:], P_FK0))
+    if quant:
+        mat_args.append(pack["fk_d"])
+        mat_specs.append(ffn_spec(pack["fk_d"].shape[2:], P_FK0))
+    mat_args.append(pack["fv"])
+    mat_specs.append(ffn_spec(pack["fv"].shape[2:], P_FV0))
+    if quant:
+        mat_args.append(pack["fv_d"])
+        mat_specs.append(per_layer(pack["fv_d"].shape[1:]))
+
+    vec_args = [pack[k] for k in _V4_TILED_ROW_VECS]
+    vec_specs = [per_layer(pack[k].shape[1:]) for k in _V4_TILED_ROW_VECS]
+
+    args = (
+        [x0.astype(jnp.float32),
+         state_t["att_xx"], state_t["ffn_xx"],
+         state_t["aa"], state_t["bb"], state_t["pp"]]
+        + mat_args + vec_args
+        + [pack["amix"], pack["fmix"], pack["tf"], pack["td"]]
+    )
+    in_specs = (
+        [whole((c, 1))] + [per_layer((c, 1))] * 5
+        + mat_specs + vec_specs
+        + [per_layer((1, 3 * c)), per_layer((1, 2 * c)),
+           per_layer((1, c)), per_layer((1, c))]
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+    ) + tuple(
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32) for _ in range(5)
+    )
+    out_specs = (whole((c, 1)),) + tuple(per_layer((c, 1)) for _ in range(5))
+
+    y, att_xx, ffn_xx, aa, bb, pp = pl.pallas_call(
+        kernel,
+        grid=(n_layer, n_phase),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, 1), jnp.float32),      # x_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xk_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xv_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xr_s
+            pltpu.VMEM((c, 1), jnp.float32),      # r_s
+            pltpu.VMEM((c, 1), jnp.float32),      # k_s
+            pltpu.VMEM((c, 1), jnp.float32),      # v_s
+            pltpu.VMEM((c, 1), jnp.float32),      # wr_s
+            pltpu.VMEM((c, 1), jnp.float32),      # ap_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xk2_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xr2_s
+            pltpu.VMEM((c, 1), jnp.float32),      # rg_s
+            pltpu.VMEM((c, 1), jnp.float32),      # acc_s
+            pltpu.VMEM((f_dim, 1), jnp.float32),  # h_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx,
+               "aa": aa, "bb": bb, "pp": pp}

@@ -363,3 +363,46 @@ def test_megamodel_v6_tiled_fused():
         scale = max(np.abs(lr).max(), 1e-6)
         assert np.abs(lm - lr).max() / scale < 1e-1
         assert lm.argmax() == lr.argmax()
+
+
+def test_megamodel_v4_tiled_big():
+    """v4 phase-tiled kernel (big-model routing — the reference's own 7B
+    benchmark arch) vs the per-op path: C=2304 L=2 crosses the
+    row-tiling thresholds; C=2048 w8a8 exercises the fused (m=1)
+    configuration."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import choose_tiling
+
+    for c, precision, tol, expect_fused in (
+        (2304, "bf16", 5e-3, False),
+        (2304, "w8a8", 1e-1, False),
+        (2048, "w8a8", 1e-1, True),
+    ):
+        cfg = synth_config("4.0", n_layer=2, n_embed=c, n_vocab=512,
+                           head_size=64)
+        quant = precision == "w8a8"
+        _, nf, nr, no = choose_tiling(cfg, quant, 1,
+                                      f_dim=4 * c, n_proj=3)
+        assert (nr == 3) == expect_fused, (c, precision, nr)
+        params = synth_params(cfg, seed=11)
+        ref = ServingModel((cfg, params), precision=precision)
+        mega = ServingModel((cfg, params), precision=precision,
+                            megakernel=True)
+        assert mega._mega_big  # must route through the tiled kernel
+
+        state_r = ref.init_state(1)
+        state_m = mega.init_state(1)
+        for tok in (3, 77, 200):
+            lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+            lm, state_m = mega.decode(np.array([tok], np.int32), state_m)
+            lr, lm = np.asarray(lr), np.asarray(lm)
+            scale = max(np.abs(lr).max(), 1e-6)
+            assert np.abs(lm - lr).max() / scale < tol, (c, precision)
+            # random-synth w8a8 logits can have near-ties within quant
+            # noise; exact argmax is only meaningful for bf16
+            if precision == "bf16":
+                assert lm.argmax() == lr.argmax(), (c, precision)
+            else:
+                top5 = np.argsort(lr[0])[-5:]
+                assert lm[0].argmax() in top5, (c, precision)
