@@ -397,8 +397,12 @@ class ServingModel:
         # precision: 'bf16' | 'f32' (dense), 'quant' (keep the file's packed
         # blocks, fused dequant-matmul), 'q8' (repack everything to int8).
         dtype = jnp.float32 if precision == "f32" else jnp.bfloat16
+        # 'w4a8': per-row int4 weights + int8 activations on the B=1
+        # phase-tiled megakernel (v7); every other path (prefill, batch,
+        # score) runs this model's params as w8a8.
         mode = {"bf16": "dense", "f32": "dense", "quant": "keep-quant",
-                "q8": "q8", "q8r": "q8r", "w8a8": "w8a8"}[precision]
+                "q8": "q8", "q8r": "q8r", "w8a8": "w8a8",
+                "w4a8": "w8a8"}[precision]
         self.precision = precision
         self.params = stack_layer_params(params, cfg, dtype, mode)
         # mesh: a jax.sharding.Mesh with ("data", "model") axes. Weights are
@@ -422,11 +426,15 @@ class ServingModel:
                 raise ValueError(
                     "megakernel supports single-chip RWKV decode only"
                 )
-            quant = precision in ("quant", "q8", "q8r", "w8a8")
+            quant = precision in ("quant", "q8", "q8r", "w8a8", "w4a8")
+            w4 = precision == "w4a8"
+            if w4 and cfg.version_major != 7:
+                raise ValueError("w4a8 serving is v7-only (tiled kernel)")
             if cfg.version_major == 7:
                 from rwkv_tpu.ops.megakernel import build_mega_pack
 
-                self._mega = build_mega_pack(params, cfg, quant=quant)
+                self._mega = build_mega_pack(params, cfg, quant=quant,
+                                             w4=w4)
                 mega_mat_keys = ("rkv", "lora1", "lora2", "out", "fk", "fv")
             elif cfg.version_major == 6:
                 from rwkv_tpu.ops.megakernel import (
@@ -458,7 +466,12 @@ class ServingModel:
                 * self._mega[k].dtype.itemsize
                 for k in mega_mat_keys
             )
-            self._mega_big = per_layer > 20 * 1024 * 1024
+            # w4 is implemented on the tiled kernel only — always route
+            # through it regardless of model size.
+            self._mega_big = (
+                per_layer > 20 * 1024 * 1024
+                or (cfg.version_major == 7 and precision == "w4a8")
+            )
         # Measured crossover at 169M (scripts/bench_mega_batched.py): the
         # batched kernel's flat cost beats the per-op path from B≈64 up.
         # Override per deployment (tests set 2 to force the kernel path).
@@ -513,7 +526,8 @@ class ServingModel:
             # static kernel config vs traced arrays: jit must not trace the
             # pack's python scalars (they select slices/kernels)
             meta = {
-                k: self._mega[k] for k in ("quant", "d_lora", "f_dim")
+                k: self._mega[k]
+                for k in ("quant", "w4", "d_lora", "f_dim")
             }
 
             @jax.jit
@@ -711,6 +725,75 @@ class ServingModel:
             self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
+    def _mega5_tiled_pack(self):
+        """Retiled v5 pack + (nh, nf) for the v5 phase-tiled kernel."""
+        from rwkv_tpu.ops.megakernel import (
+            choose_tiling, retile_mega_pack_v5,
+        )
+
+        cfg = self.config
+        n_mix = 4 if self._mega["has_gate"] else 3
+        nh, nf, ng, no = choose_tiling(
+            cfg, self._mega["quant"], 1,
+            f_dim=self._mega["f_dim"], n_proj=n_mix,
+        )
+        key = ("megapack5", nf, ng, no)
+        if key not in self._jit_cache:
+            self._jit_cache[key] = retile_mega_pack_v5(
+                self._mega, cfg, nh, nf, ng, no
+            )
+        pack = dict(self._jit_cache[key])
+        pack["nh"] = nh
+        return pack, nh, nf
+
+    def _mega5_tiled1_fn(self):
+        """Single-stream v5 decode through the phase-tiled kernel (big
+        models — the World 7B-class v5 sizes)."""
+        key = ("mega5t1",)
+        if key not in self._jit_cache:
+            cfg = self.config
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel import v5_decode_megakernel_tiled
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            pack_full, nh, nf = self._mega5_tiled_pack()
+            meta = {k: pack_full[k]
+                    for k in ("quant", "f_dim", "has_gate",
+                              "nh", "nf", "ng", "no")}
+            arrs = {k: v for k, v in pack_full.items() if k not in meta}
+            L, H, S = cfg.n_layer, cfg.head_count, cfg.head_size
+
+            @jax.jit
+            def run(params, pack_arrs, state, token):   # state [1, L, ...]
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][token[0]].astype(jnp.float32),
+                    *params["ln0"],
+                )
+                heads = jnp.swapaxes(state["heads"][0], -1, -2)  # -> (j, i)
+                state_t = {
+                    "att_xx": state["att_xx"][0][..., None],
+                    "ffn_xx": state["ffn_xx"][0][..., None],
+                    "heads": heads.reshape(L, nh, H // nh, S, S),
+                }
+                y, new_t = v5_decode_megakernel_tiled(
+                    pack, state_t, x0[:, None], cfg, interpret=interpret
+                )
+                xo = p_ln(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])
+                new_heads = jnp.swapaxes(
+                    new_t["heads"].reshape(L, H, S, S), -1, -2
+                )
+                new_state = {
+                    "att_xx": new_t["att_xx"][None, ..., 0],
+                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
+                    "heads": new_heads[None],
+                }
+                return logits, new_state
+
+            self._jit_cache[key] = (run, arrs)
+        return self._jit_cache[key]
+
     def _mega6_tiled_pack(self):
         """Retiled v6 pack + (nh, nf) for the v6 phase-tiled kernel."""
         from rwkv_tpu.ops.megakernel import (
@@ -808,7 +891,8 @@ class ServingModel:
 
             pack_full, nh, nf = self._mega_tiled_pack(1)
             meta = {k: pack_full[k]
-                    for k in ("quant", "d_lora", "f_dim", "nh", "nf", "nr", "no")}
+                    for k in ("quant", "w4", "d_lora", "f_dim",
+                              "nh", "nf", "nr", "no")}
             arrs = {k: v for k, v in pack_full.items() if k not in meta}
             L, H, S = cfg.n_layer, cfg.head_count, cfg.head_size
 
@@ -855,7 +939,8 @@ class ServingModel:
 
             pack_full, nh, nf = self._mega_tiled_pack(b)
             meta = {k: pack_full[k]
-                    for k in ("quant", "d_lora", "f_dim", "nh", "nf", "nr", "no")}
+                    for k in ("quant", "w4", "d_lora", "f_dim",
+                              "nh", "nf", "nr", "no")}
             arrs = {k: v for k, v in pack_full.items() if k not in meta}
             L, H = cfg.n_layer, cfg.head_count
             S = cfg.head_size
@@ -950,12 +1035,16 @@ class ServingModel:
         if self._mega is not None:
             b = tokens.shape[0]
             if self.config.version_major in (4, 5, 6):
-                # v4/v5 whole-layer kernels are B=1 only; big v4/v6
+                # whole-layer kernels are B=1 only; big v4/v5/v6
                 # models route to their phase-tiled kernels at B=1;
                 # everything else falls back to the per-op path.
                 if (b == 1 and self._mega_big
                         and self.config.version_major == 6):
                     run, arrs_t = self._mega6_tiled1_fn()
+                    return run(self.params, arrs_t, state, tokens[:, 0])
+                if (b == 1 and self._mega_big
+                        and self.config.version_major == 5):
+                    run, arrs_t = self._mega5_tiled1_fn()
                     return run(self.params, arrs_t, state, tokens[:, 0])
                 if (b == 1 and self._mega_big
                         and self.config.version_major == 4):
@@ -980,7 +1069,7 @@ class ServingModel:
             if b == 1 and not self._mega_big:
                 arrs = {
                     k: v for k, v in self._mega.items()
-                    if k not in ("quant", "d_lora", "f_dim")
+                    if k not in ("quant", "w4", "d_lora", "f_dim")
                 }
                 return self._mega_fn()(self.params, arrs, state, tokens[:, 0])
             if b == 1:

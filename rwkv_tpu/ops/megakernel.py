@@ -85,14 +85,22 @@ _V7_L1 = ("att.w1", "att.a1", "att.g1", "att.v1")
 _V7_L2 = ("att.w2", "att.a2", "att.g2", "att.v2")
 
 
-def build_mega_pack(params: dict, cfg, quant: bool = True) -> dict:
+def build_mega_pack(params: dict, cfg, quant: bool = True,
+                    w4: bool = False) -> dict:
     """Build the megakernel's parameter pack from a LOADED parameter pytree
     (loader.load_params output: per-layer list of dicts with Weight leaves).
 
     Matrices are stored [L, N, K] (int8 with [L, N, 1] row scales if quant,
     else bf16); vectors as [L, C, 1] f32 columns. Stacking and quantization
     happen on host in numpy — the pack is the only thing that lands on
-    device."""
+    device.
+
+    w4=True (requires quant): the four BIG mats (rkv/out/fk/fv) carry
+    per-row INT4 codes (values in [-7, 7], scale amax/7) — stored
+    unpacked int8 here; retile_mega_pack packs nibble pairs along K in
+    the split-half layout the tiled kernel consumes. LoRA mats stay
+    int8 (bandwidth-negligible). Mirrors the reference's Q4 family
+    being its best-latency formats (README.md:35-43)."""
     c = cfg.n_embed
     h, s = cfg.head_count, cfg.head_size
     blocks = [dict(b) for b in params["blocks"]]
@@ -122,13 +130,16 @@ def build_mega_pack(params: dict, cfg, quant: bool = True) -> dict:
         "fk": stack("ffn.key.weight"),
         "fv": stack("ffn.value.weight"),
     }
-    pack = {"quant": quant, "d_lora": d_lora, "f_dim": f_dim}
+    pack = {"quant": quant, "w4": bool(quant and w4),
+            "d_lora": d_lora, "f_dim": f_dim}
     for name, w in mats.items():
         if quant:
+            four = pack["w4"] and name not in ("lora1", "lora2")
+            qmax = 7.0 if four else 127.0
             amax = np.abs(w).max(axis=-1, keepdims=True)  # [L, N, 1]
-            d = amax / 127.0
+            d = amax / qmax
             inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
-            q = np.clip(np.rint(w * inv), -127, 127).astype(np.int8)
+            q = np.clip(np.rint(w * inv), -qmax, qmax).astype(np.int8)
             pack[name] = jnp.asarray(q)
             pack[name + "_d"] = jnp.asarray(d.astype(np.float32))
         else:
@@ -821,11 +832,24 @@ def retile_mega_pack(pack: dict, cfg, nh: int = 1, nf: int = 1,
     for key in _TILED_ROW_VECS:
         out[key] = jnp.swapaxes(pack[key], 1, 2)
     out["coeff"] = jnp.swapaxes(pack["coeff"], 1, 2)
+    if pack.get("w4"):
+        # split-half nibble packing along K: byte s of a row holds
+        # code[s] (low nibble) and code[s + K/2] (high nibble), so the
+        # kernel's two half-K dots consume contiguous activation slices
+        # (no strided sublane gathers).
+        def pk(a):
+            kh = a.shape[-1] // 2
+            lo = a[..., :kh].astype(jnp.int32)
+            hi = a[..., kh:].astype(jnp.int32)
+            return (((hi & 0xF) << 4) | (lo & 0xF)).astype(jnp.int8)
+
+        for name in ("rkv", "out", "fk", "fv"):
+            out[name] = pk(out[name])
     return out
 
 
 def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
-                       nh, nf, nr, no):
+                       nh, nf, nr, no, w4=False):
     h4 = h // nh
     f4 = f_dim // nf
     m = nr // 3                  # rkv tiles per projection
@@ -914,6 +938,22 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
                 return acc.astype(jnp.float32) * dx * d
             return mm(w, xcol.astype(jnp.bfloat16))
 
+        def matv4(w, d, xcol):
+            """w [N, K/2] split-half-packed int4 pairs (see
+            retile_mega_pack), d [N, 1] row scales. Nibble math runs in
+            int32 (Mosaic cannot legalize int8 vector shifts); the two
+            half-K s8 dots consume contiguous activation slices."""
+            kh = w.shape[1]
+            x8, dx = qx(xcol)
+            q32 = w.astype(jnp.int32)
+            lo_u = q32 & 0xF
+            lo = (lo_u - ((lo_u & 0x8) << 1)).astype(jnp.int8)
+            hi = (q32 >> 4).astype(jnp.int8)  # sign-extending shift
+            acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
+            return acc.astype(jnp.float32) * dx * d
+
+        mv_big = matv4 if w4 else matv
+
         def _post_body():
             k = k_s[:]
             v = v_s[:]
@@ -976,15 +1016,14 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             ag_s[:] = jax.nn.sigmoid(a_l + cv(a0))
 
             if fused:
-                rd = rkv_d if quant else None
-                r_s[:] = matv(
+                r_s[:] = mv_big(
                     rkv[0, 0], rkv_d[0, 0].T if quant else None, xr_s[:]
                 )
-                k_s[:] = matv(
+                k_s[:] = mv_big(
                     rkv[0, 1], rkv_d[0, 1].T if quant else None,
                     xk_in_s[:],
                 )
-                v_s[:] = matv(
+                v_s[:] = mv_big(
                     rkv[0, 2], rkv_d[0, 2].T if quant else None,
                     xv_in_s[:],
                 )
@@ -1003,7 +1042,7 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
                     q == 0, xr_s[:],
                     jnp.where(q == 1, xk_in_s[:], xv_in_s[:]),
                 )
-                acc = matv(w, d, xin)
+                acc = mv_big(w, d, xin)
 
                 @pl.when(q == 0)
                 def _():
@@ -1094,7 +1133,7 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             t = p - P_OUT0
             w = out_w[0, 0]                                 # [c_o, C]
             d = out_d[0, 0].T if quant else None
-            ap_s[pl.dslice(t * c_o, c_o)] = matv(w, d, xo_s[:])
+            ap_s[pl.dslice(t * c_o, c_o)] = mv_big(w, d, xo_s[:])
 
         # ---- phase P_FSH: residual + FFN token shift ------------------
         @pl.when(p == P_FSH)
@@ -1111,7 +1150,7 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
         def _fk_tile():
             t = p - P_FK0
-            hk = matv(
+            hk = mv_big(
                 fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
@@ -1122,7 +1161,7 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         def _fv_tile():
             t = p - P_FV0
             hk = h_s[pl.dslice(t * f4, f4)]
-            acc_s[:] += matv(
+            acc_s[:] += mv_big(
                 fv_w[0][0], fv_d[0].T if quant else None, hk
             )
 
@@ -1150,6 +1189,7 @@ def v7_decode_megakernel_tiled(
     n_layer = cfg.n_layer
     d_lora, f_dim = pack["d_lora"], pack["f_dim"]
     quant = pack["quant"]
+    w4 = bool(pack.get("w4"))
     nh, nf = pack["nh"], pack["nf"]
     nr, no = pack["nr"], pack["no"]
     h4 = h // nh
@@ -1164,7 +1204,8 @@ def v7_decode_megakernel_tiled(
     P_FV0 = P_FK0 + 1
 
     kernel, n_phase = _make_kernel_tiled(
-        c, h, s, d_lora, f_dim, n_layer, quant, batch, nh, nf, nr, no
+        c, h, s, d_lora, f_dim, n_layer, quant, batch, nh, nf, nr, no,
+        w4=w4,
     )
 
     def per_layer(shape):
@@ -3211,3 +3252,485 @@ def v4_decode_megakernel_tiled(
     )(*args)
     return y, {"att_xx": att_xx, "ffn_xx": ffn_xx,
                "aa": aa, "bb": bb, "pp": pp}
+
+
+# ---------------------------------------------------------------------------
+# RWKV v5 (5.1 / 5.2) phase-tiled whole-model decode kernel (big, B=1)
+# ---------------------------------------------------------------------------
+#
+# Completes the phase-tiled family across all five architectures
+# (v5 World 7B is a published model class).  Structure = the v6 tiled
+# kernel minus the LoRA chains: static 3/4-way token-shift mixes in
+# phase 0, ng = n_mix*m row-tiled input projections (gate only on 5.2,
+# silu applied at tile write), wkv with STATIC per-head decay/bonus
+# ([L, H, S, 1] columns sliced per head tile), group norm eps 1e-5, and
+# the v4/v5 FFN pipeline (row-tiled fr gate + fk/fv).  B=1 only.
+
+_V5_TILED_ROW_VECS = (
+    "ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+)
+
+
+def retile_mega_pack_v5(pack: dict, cfg, nh: int = 1, nf: int = 1,
+                        ng: int = None, no: int = 1) -> dict:
+    """Re-tile a build_mega_pack_v5 output for the v5 phase-tiled
+    kernel."""
+    c = cfg.n_embed
+    f_dim = pack["f_dim"]
+    n_mix = 4 if pack["has_gate"] else 3
+    if ng is None:
+        ng = n_mix
+    assert f_dim % nf == 0, (f_dim, nf)
+    assert ng % n_mix == 0, (ng, n_mix)
+    m = ng // n_mix
+    assert c % m == 0 and c % no == 0, (c, ng, no)
+    f4 = f_dim // nf
+    c_g = c // m
+    c_o = c // no
+    out = dict(pack)
+    out["nh"], out["nf"] = nh, nf
+    out["ng"], out["no"] = ng, no
+    L = pack["rkvg"].shape[0]
+    out["rkvg"] = pack["rkvg"].reshape(L, ng, c_g, c)
+    out["out"] = pack["out"].reshape(L, no, c_o, c)
+    out["fr"] = pack["fr"].reshape(L, no, c_o, c)
+    out["fk"] = pack["fk"].reshape(L, nf, f4, c)
+    out["fv"] = jnp.swapaxes(pack["fv"].reshape(L, c, nf, f4), 1, 2)
+    if pack["quant"]:
+        for name, nt in (("rkvg", ng), ("out", no), ("fr", no), ("fk", nf)):
+            d = pack[name + "_d"]
+            out[name + "_d"] = jnp.swapaxes(
+                d.reshape(L, nt, d.shape[1] // nt, 1), 2, 3
+            )  # [L, nt, 1, rows]
+        out["fv_d"] = jnp.swapaxes(pack["fv_d"], 1, 2)
+    for key in _V5_TILED_ROW_VECS:
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    for key in ("amix", "fmix"):
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    # ln_x w/b and td/tf stay columns (grid-dependent head-tile slices)
+    return out
+
+
+def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
+                          nh, nf, ng, no):
+    h4 = h // nh
+    f4 = f_dim // nf
+    n_mix = 4 if has_gate else 3
+    m = ng // n_mix
+    c_g = c // m
+    c_o = c // no
+    fused = (m == 1)
+    P_WKV0 = 1 if fused else 1 + ng
+    P_OUT0 = P_WKV0 + nh
+    P_FSH = P_OUT0 + no
+    P_FR0 = P_FSH + 1
+    P_FK0 = P_FR0 + no
+    P_FV0 = P_FK0 + 1
+    n_phase = P_FK0 + nf + 1
+
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        amax = jnp.max(jnp.abs(x))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkvg, rkvg_d, out_w, out_d, fr_w, fr_d,
+             fk_w, fk_d, fv_w, fv_d,
+             ln1w, ln1b, ln2w, ln2b, lnxw, lnxb,
+             amix, fmix, td, tf,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, xo_s, xk2_s, xr2_s, acc_s, h_s,
+             r_s, k_s, v_s, g_s, rg_s, ap_s,
+             xr_in_s, xk_in_s, xv_in_s, xg_in_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkvg, out_w, fr_w, fk_w, fv_w,
+             ln1w, ln1b, ln2w, ln2b, lnxw, lnxb,
+             amix, fmix, td, tf,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, xo_s, xk2_s, xr2_s, acc_s, h_s,
+             r_s, k_s, v_s, g_s, rg_s, ap_s,
+             xr_in_s, xk_in_s, xv_in_s, xg_in_s) = refs
+
+        i = pl.program_id(0)
+        p = pl.program_id(1)
+
+        def cv(ref):
+            return ref[0].T
+
+        def matv(w, d, xcol):
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * d
+            return mm(w, xcol.astype(jnp.bfloat16))
+
+        # ---- phase 0: att token shift + mixes -------------------------
+        @pl.when(p == 0)
+        def _shift():
+            @pl.when(i == 0)
+            def _():
+                x_s[:] = x0_ref[:]
+
+            x = x_s[:]
+            xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
+            prev = att_in[0]
+            att_out[0] = xl
+
+            cf = amix[0].T.reshape(n_mix, c, 1)  # order k, v, r(, g)
+
+            def mix(ci):
+                return xl * cf[ci] + (prev - prev * cf[ci])
+
+            xk_in_s[:] = mix(0)
+            xv_in_s[:] = mix(1)
+            xr_in_s[:] = mix(2)
+            if has_gate:
+                xg_in_s[:] = mix(3)
+
+            if fused:
+                def proj(q, xin):
+                    return matv(
+                        rkvg[0, q], rkvg_d[0, q].T if quant else None, xin
+                    )
+
+                r_s[:] = proj(0, xr_in_s[:])
+                k_s[:] = proj(1, xk_in_s[:])
+                v_s[:] = proj(2, xv_in_s[:])
+                if has_gate:
+                    gg = proj(3, xg_in_s[:])
+                    g_s[:] = gg * jax.nn.sigmoid(gg)  # silu
+
+        if not fused:
+            # ---- phases 1..ng: rkvg row tiles -------------------------
+            @pl.when((p >= 1) & (p < 1 + ng))
+            def _rkvg_tile():
+                t = p - 1
+                q = t // m          # projection: 0=r, 1=k, 2=v(, 3=g)
+                sft = (t % m) * c_g
+                w = rkvg[0, 0]
+                dd = rkvg_d[0, 0].T if quant else None
+                xin = jnp.where(
+                    q == 0, xr_in_s[:],
+                    jnp.where(q == 1, xk_in_s[:],
+                              jnp.where(q == 2, xv_in_s[:], xg_in_s[:])),
+                )
+                acc = matv(w, dd, xin)
+
+                @pl.when(q == 0)
+                def _():
+                    r_s[pl.dslice(sft, c_g)] = acc
+
+                @pl.when(q == 1)
+                def _():
+                    k_s[pl.dslice(sft, c_g)] = acc
+
+                @pl.when(q == 2)
+                def _():
+                    v_s[pl.dslice(sft, c_g)] = acc
+
+                if has_gate:
+                    @pl.when(q == 3)
+                    def _():
+                        g_s[pl.dslice(sft, c_g)] = (
+                            acc * jax.nn.sigmoid(acc)
+                        )
+
+        # ---- phases P_WKV0..: wkv + group norm (+ gate) per tile ------
+        @pl.when((p >= P_WKV0) & (p < P_WKV0 + nh))
+        def _wkv_tile():
+            t = p - P_WKV0
+            rows_lo = t * h4 * s
+
+            def tile(ref):
+                return ref[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, 1)
+
+            r3, k3, v3 = tile(r_s), tile(k_s), tile(v_s)
+            td3 = td[0, pl.dslice(t * h4, h4)]              # [h4, s, 1]
+            tf3 = tf[0, pl.dslice(t * h4, h4)]
+
+            i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            eye = (i_ == j_).astype(jnp.float32)[None]
+            st = heads_in[0, 0]                             # [h4, S_j, S_i]
+            v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
+            dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)
+            out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
+            st = st * td3 + k3 * v_row
+            heads_out[0, 0] = st
+
+            # group norm per head over S_i (lanes), eps 1e-5 (v5)
+            mu = jnp.mean(out_row, axis=2, keepdims=True)
+            yc = out_row - mu
+            var = jnp.mean(yc * yc, axis=2, keepdims=True)
+            y_row = yc * jax.lax.rsqrt(var + jnp.float32(1e-5))
+            y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
+            yn = y_col.reshape(h4 * s, 1)
+
+            lw = lnxw[0, pl.dslice(rows_lo, h4 * s)]
+            lb = lnxb[0, pl.dslice(rows_lo, h4 * s)]
+            xo = yn * lw + lb
+            if has_gate:
+                xo = xo * g_s[pl.dslice(rows_lo, h4 * s)]
+            xo_s[pl.dslice(rows_lo, h4 * s)] = xo
+
+        # ---- phases P_OUT0..: att out-projection row tiles ------------
+        @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
+        def _out_tile():
+            t = p - P_OUT0
+            w = out_w[0, 0]
+            d = out_d[0, 0].T if quant else None
+            ap_s[pl.dslice(t * c_o, c_o)] = matv(w, d, xo_s[:])
+
+        # ---- phase P_FSH: residual + FFN token shift ------------------
+        @pl.when(p == P_FSH)
+        def _ffn_shift():
+            x = x_s[:] + ap_s[:]
+            xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
+            prev2 = ffn_in[0]
+            ffn_out[0] = xl2
+            fcf = fmix[0].T.reshape(2, c, 1)  # order k, r
+            xk2_s[:] = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
+            xr2_s[:] = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
+            x_s[:] = x
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        # ---- phases P_FR0..: FFN receptance-gate row tiles ------------
+        @pl.when((p >= P_FR0) & (p < P_FR0 + no))
+        def _fr_tile():
+            t = p - P_FR0
+            w = fr_w[0, 0]
+            d = fr_d[0, 0].T if quant else None
+            rg_s[pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
+                matv(w, d, xr2_s[:])
+            )
+
+        # ---- phases P_FK0..: fk tiles -> hidden slices ----------------
+        @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
+        def _fk_tile():
+            t = p - P_FK0
+            hk = matv(
+                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
+            )
+            hk = jnp.square(jnp.maximum(hk, 0.0))
+            h_s[pl.dslice(t * f4, f4)] = hk
+
+        # ---- phases P_FV0..: fv tiles consume hidden slices -----------
+        @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
+        def _fv_tile():
+            t = p - P_FV0
+            hk = h_s[pl.dslice(t * f4, f4)]
+            acc_s[:] += matv(
+                fv_w[0][0], fv_d[0].T if quant else None, hk
+            )
+
+        # ---- finalize layer -------------------------------------------
+        @pl.when(p == n_phase - 1)
+        def _finish():
+            x = x_s[:] + rg_s[:] * acc_s[:]
+            x_s[:] = x
+            y_out[:] = x
+
+    return kernel, n_phase
+
+
+def v5_decode_megakernel_tiled(
+    pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+):
+    """Phase-tiled whole-model v5.1/v5.2 decode step (B=1).
+
+    pack: retile_mega_pack_v5(build_mega_pack_v5(...)) output. State:
+    att_xx/ffn_xx [L, C, 1], heads [L, nh, H/nh, S_j, S_i]. x0: [C, 1]."""
+    c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
+    n_layer = cfg.n_layer
+    f_dim = pack["f_dim"]
+    quant = pack["quant"]
+    has_gate = pack["has_gate"]
+    nh, nf = pack["nh"], pack["nf"]
+    ng, no = pack["ng"], pack["no"]
+    h4 = h // nh
+    assert x0.shape[1] == 1, "v5 tiled kernel is B=1 only"
+    n_mix = 4 if has_gate else 3
+    m = ng // n_mix
+    fused = (m == 1)
+    P_WKV0 = 1 if fused else 1 + ng
+    P_OUT0 = P_WKV0 + nh
+    P_FSH = P_OUT0 + no
+    P_FR0 = P_FSH + 1
+    P_FK0 = P_FR0 + no
+    P_FV0 = P_FK0 + 1
+
+    kernel, n_phase = _make_kernel_tiled_v5(
+        c, h, s, f_dim, n_layer, quant, has_gate, nh, nf, ng, no
+    )
+
+    def per_layer(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i, p: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def per_layer_early(shape, last_phase):
+        def imap(i, p):
+            return (
+                jnp.minimum(i + (p > last_phase), n_layer - 1),
+            ) + (0,) * len(shape)
+
+        return pl.BlockSpec((1,) + shape, imap, memory_space=pltpu.VMEM)
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i, p: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def head_spec(shape):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda i, p: (
+                (i, jnp.clip(p - P_WKV0, 0, nh - 1)) + (0,) * len(shape)
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    def ffn_spec(shape, first_p):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda i, p: (i, jnp.clip(p - first_p, 0, nf - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def tiled_rows_spec(shape, first_p, nt):
+        def imap(i, p):
+            done = p > first_p + nt - 1
+            t = jnp.where(done, 0, jnp.clip(p - first_p, 0, nt - 1))
+            return (
+                jnp.minimum(i + done, n_layer - 1), t,
+            ) + (0,) * len(shape)
+
+        return pl.BlockSpec((1, 1) + shape, imap, memory_space=pltpu.VMEM)
+
+    if fused:
+        rkvg_spec = per_layer_early(pack["rkvg"].shape[1:], 0)
+        rkvg_d_spec = (
+            per_layer_early(pack["rkvg_d"].shape[1:], 0) if quant else None
+        )
+    else:
+        rkvg_spec = tiled_rows_spec(pack["rkvg"].shape[2:], 1, ng)
+        rkvg_d_spec = (
+            tiled_rows_spec(pack["rkvg_d"].shape[2:], 1, ng)
+            if quant else None
+        )
+
+    mat_args, mat_specs = [], []
+    for name, spec_pair in (
+        ("rkvg", (rkvg_spec, rkvg_d_spec)),
+        ("out", (
+            tiled_rows_spec(pack["out"].shape[2:], P_OUT0, no),
+            tiled_rows_spec(pack["out_d"].shape[2:], P_OUT0, no)
+            if quant else None,
+        )),
+        ("fr", (
+            tiled_rows_spec(pack["fr"].shape[2:], P_FR0, no),
+            tiled_rows_spec(pack["fr_d"].shape[2:], P_FR0, no)
+            if quant else None,
+        )),
+    ):
+        mat_args.append(pack[name])
+        mat_specs.append(spec_pair[0])
+        if quant:
+            mat_args.append(pack[name + "_d"])
+            mat_specs.append(spec_pair[1])
+    mat_args.append(pack["fk"])
+    mat_specs.append(ffn_spec(pack["fk"].shape[2:], P_FK0))
+    if quant:
+        mat_args.append(pack["fk_d"])
+        mat_specs.append(ffn_spec(pack["fk_d"].shape[2:], P_FK0))
+    mat_args.append(pack["fv"])
+    mat_specs.append(ffn_spec(pack["fv"].shape[2:], P_FV0))
+    if quant:
+        mat_args.append(pack["fv_d"])
+        mat_specs.append(per_layer(pack["fv_d"].shape[1:]))
+
+    vec_args = (
+        [pack[k] for k in _V5_TILED_ROW_VECS]
+        + [pack["att.ln_x.weight"], pack["att.ln_x.bias"]]
+    )
+    vec_specs = (
+        [per_layer(pack[k].shape[1:]) for k in _V5_TILED_ROW_VECS]
+        + [per_layer((c, 1)), per_layer((c, 1))]
+    )
+
+    head_shape = (h4, s, s)
+    args = (
+        [x0.astype(jnp.float32),
+         state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
+        + mat_args + vec_args
+        + [pack["amix"], pack["fmix"], pack["td"], pack["tf"]]
+    )
+    in_specs = (
+        [whole((c, 1)), per_layer((c, 1)), per_layer((c, 1)),
+         head_spec(head_shape)]
+        + mat_specs + vec_specs
+        + [per_layer((1, n_mix * c)), per_layer((1, 2 * c)),
+           per_layer((h, s, 1)), per_layer((h, s, 1))]
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, nh) + head_shape, jnp.float32),
+    )
+    out_specs = (
+        whole((c, 1)), per_layer((c, 1)), per_layer((c, 1)),
+        head_spec(head_shape),
+    )
+
+    y, att_xx, ffn_xx, heads = pl.pallas_call(
+        kernel,
+        grid=(n_layer, n_phase),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, 1), jnp.float32),      # x_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xo_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xk2_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xr2_s
+            pltpu.VMEM((c, 1), jnp.float32),      # acc_s
+            pltpu.VMEM((f_dim, 1), jnp.float32),  # h_s
+            pltpu.VMEM((c, 1), jnp.float32),      # r_s
+            pltpu.VMEM((c, 1), jnp.float32),      # k_s
+            pltpu.VMEM((c, 1), jnp.float32),      # v_s
+            pltpu.VMEM((c, 1), jnp.float32),      # g_s
+            pltpu.VMEM((c, 1), jnp.float32),      # rg_s
+            pltpu.VMEM((c, 1), jnp.float32),      # ap_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xr_in_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xk_in_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xv_in_s
+            pltpu.VMEM((c, 1), jnp.float32),      # xg_in_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}

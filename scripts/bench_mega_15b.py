@@ -76,14 +76,16 @@ def synth_pack_device(cfg, nh, nf, nr, no, seed=0):
     f4 = F // nf
     c_r = 3 * C // nr
     c_o = C // no
-    pack = {"quant": True, "d_lora": LORA, "f_dim": F,
+    w4 = "--w4" in sys.argv
+    pack = {"quant": True, "w4": w4, "d_lora": LORA, "f_dim": F,
             "nh": nh, "nf": nf, "nr": nr, "no": no}
-    pack["rkv"], pack["rkv_d"] = qmat((L, nr, c_r, C), C)
+    kd = 2 if w4 else 1   # big mats store K/2 packed bytes under w4
+    pack["rkv"], pack["rkv_d"] = qmat((L, nr, c_r, C // kd), C)
     pack["lora1"], pack["lora1_d"] = qmat((L, 4 * LORA, C), C)
     pack["lora2"], pack["lora2_d"] = qmat((L, 4 * C, LORA), LORA)
-    pack["out"], pack["out_d"] = qmat((L, no, c_o, C), C)
-    pack["fk"], pack["fk_d"] = qmat((L, nf, f4, C), C)
-    pack["fv"], fv_d = qmat((L, nf, C, f4), F)
+    pack["out"], pack["out_d"] = qmat((L, no, c_o, C // kd), C)
+    pack["fk"], pack["fk_d"] = qmat((L, nf, f4, C // kd), C)
+    pack["fv"], fv_d = qmat((L, nf, C, f4 // kd), F)
     pack["fv_d"] = fv_d[:, 0]  # [L, C, 1] — output-row scales, tile-invariant
     # tiled-kernel row layout (retile_mega_pack contract): scales and
     # most vectors as rows; ln_x + r_k stay columns; rkv/out scales are
@@ -152,7 +154,8 @@ def main():
     )
 
     meta = {k: pack[k]
-            for k in ("quant", "d_lora", "f_dim", "nh", "nf", "nr", "no")}
+            for k in ("quant", "w4", "d_lora", "f_dim",
+                      "nh", "nf", "nr", "no")}
     arrs = {k: v for k, v in pack.items() if k not in meta}
 
     def ln(v, w, b):
@@ -225,8 +228,9 @@ def main():
     wt_gb = nbytes / 1e9
     size = "7B" if "--7b" in sys.argv else (
         "small" if "--small" in sys.argv else "1.5B")
+    fmt = "w4a8" if "--w4" in sys.argv else "w8a8"
     print(
-        f"{size} w8a8 TILED megakernel decode, B={BATCH}: "
+        f"{size} {fmt} TILED megakernel decode, B={BATCH}: "
         f"{per_tok * 1e3:7.3f} ms/tok  {BATCH / per_tok:8.1f} tok/s  "
         f"(weight stream {wt_gb / per_tok:.0f} GB/s; per-op path was "
         f"3.73 ms/tok)",

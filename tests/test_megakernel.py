@@ -406,3 +406,98 @@ def test_megamodel_v4_tiled_big():
             else:
                 top5 = np.argsort(lr[0])[-5:]
                 assert lm[0].argmax() in top5, (c, precision)
+
+
+@pytest.mark.parametrize("minor", ["1", "2"])
+def test_megamodel_v5_tiled_big(minor):
+    """v5 phase-tiled kernel (big-model routing) vs the per-op path for
+    both minor versions (5.1: no gate, 3 projections; 5.2: silu gate,
+    4 projections), covering fused (C=2048 w8a8) and row-tiled
+    (C=2304) configurations."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import choose_tiling
+
+    n_mix = 4 if minor == "2" else 3
+    for c, precision, tol, expect_fused in (
+        (2304, "bf16", 5e-3, False),
+        (2048, "w8a8", 1e-1, True),
+    ):
+        cfg = synth_config(f"5.{minor}", n_layer=2, n_embed=c,
+                           n_vocab=512, head_size=64)
+        quant = precision == "w8a8"
+        _, nf, ng, no = choose_tiling(cfg, quant, 1,
+                                      f_dim=4 * c, n_proj=n_mix)
+        assert (ng == n_mix) == expect_fused, (c, precision, ng)
+        params = synth_params(cfg, seed=13)
+        ref = ServingModel((cfg, params), precision=precision)
+        mega = ServingModel((cfg, params), precision=precision,
+                            megakernel=True)
+        assert mega._mega_big
+
+        state_r = ref.init_state(1)
+        state_m = mega.init_state(1)
+        for tok in (3, 77, 200):
+            lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+            lm, state_m = mega.decode(np.array([tok], np.int32), state_m)
+            lr, lm = np.asarray(lr), np.asarray(lm)
+            scale = max(np.abs(lr).max(), 1e-6)
+            assert np.abs(lm - lr).max() / scale < tol, (minor, c, precision)
+            if precision == "bf16":
+                assert lm.argmax() == lr.argmax(), (minor, c)
+            else:
+                top5 = np.argsort(lr[0])[-5:]
+                assert lm[0].argmax() in top5, (minor, c)
+
+
+def test_megamodel_w4a8_matches_int4_dequant_reference():
+    """w4a8 serving (int4 row-wise weights on the tiled kernel): the
+    kernel must match a bf16 per-op reference whose big mats are
+    replaced by the SAME int4 dequantization — isolating activation
+    quantization noise from the (intended) int4 weight error. Covers
+    fused (C=512 via forced routing) and row-tiled (C=2304) configs."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    BIG = ("att.receptance.weight", "att.key.weight", "att.value.weight",
+           "att.output.weight", "ffn.key.weight", "ffn.value.weight")
+
+    def deq4(w):
+        from rwkv_tpu.ops.megakernel import _np_dense
+
+        w = _np_dense(w).astype(np.float32)
+        amax = np.abs(w).max(axis=-1, keepdims=True)
+        d = amax / 7.0
+        inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
+        q = np.clip(np.rint(w * inv), -7, 7)
+        return (q * d).astype(np.float32)
+
+    for c in (512, 2304):
+        cfg = synth_config("7.0", n_layer=2, n_embed=c, n_vocab=512,
+                           head_size=64)
+        params = synth_params(cfg, seed=17, lora_dim=64)
+        params_ref = dict(params)
+        params_ref["blocks"] = [
+            {k: (deq4(v) if k in BIG else v) for k, v in b.items()}
+            for b in params["blocks"]
+        ]
+        ref = ServingModel((cfg, params_ref), precision="bf16")
+        w4 = ServingModel((cfg, params), precision="w4a8",
+                          megakernel=True)
+        assert w4._mega_big  # w4 always routes through the tiled kernel
+        assert w4._mega["w4"]
+
+        state_r = ref.init_state(1)
+        state_m = w4.init_state(1)
+        for tok in (3, 77, 200):
+            lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+            lm, state_m = w4.decode(np.array([tok], np.int32), state_m)
+            lr, lm = np.asarray(lr), np.asarray(lm)
+            scale = max(np.abs(lr).max(), 1e-6)
+            # residual differences: int8 activations + int8 loras vs
+            # the reference's bf16 — same band as the w8a8 tests
+            assert np.abs(lm - lr).max() / scale < 1.5e-1, c
+            top5 = np.argsort(lr[0])[-5:]
+            assert lm[0].argmax() in top5, c
