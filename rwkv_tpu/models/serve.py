@@ -428,8 +428,6 @@ class ServingModel:
                 )
             quant = precision in ("quant", "q8", "q8r", "w8a8", "w4a8")
             w4 = precision == "w4a8"
-            if w4 and cfg.version_major != 7:
-                raise ValueError("w4a8 serving is v7-only (tiled kernel)")
             if cfg.version_major == 7:
                 from rwkv_tpu.ops.megakernel import build_mega_pack
 
@@ -441,21 +439,24 @@ class ServingModel:
                     _V6_MAT_KEYS, build_mega_pack_v6,
                 )
 
-                self._mega = build_mega_pack_v6(params, cfg, quant=quant)
+                self._mega = build_mega_pack_v6(params, cfg, quant=quant,
+                                                w4=w4)
                 mega_mat_keys = _V6_MAT_KEYS
             elif cfg.version_major == 5:
                 from rwkv_tpu.ops.megakernel import (
                     _V5_MAT_KEYS, build_mega_pack_v5,
                 )
 
-                self._mega = build_mega_pack_v5(params, cfg, quant=quant)
+                self._mega = build_mega_pack_v5(params, cfg, quant=quant,
+                                                w4=w4)
                 mega_mat_keys = _V5_MAT_KEYS
             else:
                 from rwkv_tpu.ops.megakernel import (
                     _V4_MAT_KEYS, build_mega_pack_v4,
                 )
 
-                self._mega = build_mega_pack_v4(params, cfg, quant=quant)
+                self._mega = build_mega_pack_v4(params, cfg, quant=quant,
+                                                w4=w4)
                 mega_mat_keys = _V4_MAT_KEYS
             # Whole-layer weight blocks must double-buffer in VMEM; past
             # ~20MB/layer (e.g. 1.5B C=2048) decode uses the phase-tiled
@@ -466,12 +467,9 @@ class ServingModel:
                 * self._mega[k].dtype.itemsize
                 for k in mega_mat_keys
             )
-            # w4 is implemented on the tiled kernel only — always route
-            # through it regardless of model size.
-            self._mega_big = (
-                per_layer > 20 * 1024 * 1024
-                or (cfg.version_major == 7 and precision == "w4a8")
-            )
+            # w4 is implemented on the tiled kernels only — always route
+            # through them regardless of model size.
+            self._mega_big = per_layer > 20 * 1024 * 1024 or w4
         # Measured crossover at 169M (scripts/bench_mega_batched.py): the
         # batched kernel's flat cost beats the per-op path from B≈64 up.
         # Override per deployment (tests set 2 to force the kernel path).
@@ -564,7 +562,8 @@ class ServingModel:
             from rwkv_tpu.ops.megakernel import v4_decode_megakernel
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
-            meta = {k: self._mega[k] for k in ("quant", "f_dim")}
+            meta = {k: self._mega[k]
+                    for k in ("quant", "w4", "f_dim")}
 
             @jax.jit
             def run(params, pack_arrs, state, token):  # state [1, L, ...]
@@ -599,7 +598,8 @@ class ServingModel:
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
             meta = {
-                k: self._mega[k] for k in ("quant", "f_dim", "has_gate")
+                k: self._mega[k]
+                for k in ("quant", "w4", "f_dim", "has_gate")
             }
 
             @jax.jit
@@ -638,7 +638,7 @@ class ServingModel:
 
             meta = {
                 k: self._mega[k]
-                for k in ("quant", "d_maa", "d_dec", "f_dim")
+                for k in ("quant", "w4", "d_maa", "d_dec", "f_dim")
             }
 
             @jax.jit
@@ -697,7 +697,7 @@ class ServingModel:
 
             pack_full = self._mega4_tiled_pack()
             meta = {k: pack_full[k]
-                    for k in ("quant", "f_dim", "nf", "nr", "no")}
+                    for k in ("quant", "w4", "f_dim", "nf", "nr", "no")}
             arrs = {k: v for k, v in pack_full.items() if k not in meta}
 
             @jax.jit
@@ -758,7 +758,7 @@ class ServingModel:
 
             pack_full, nh, nf = self._mega5_tiled_pack()
             meta = {k: pack_full[k]
-                    for k in ("quant", "f_dim", "has_gate",
+                    for k in ("quant", "w4", "f_dim", "has_gate",
                               "nh", "nf", "ng", "no")}
             arrs = {k: v for k, v in pack_full.items() if k not in meta}
             L, H, S = cfg.n_layer, cfg.head_count, cfg.head_size
@@ -826,7 +826,7 @@ class ServingModel:
 
             pack_full, nh, nf = self._mega6_tiled_pack()
             meta = {k: pack_full[k]
-                    for k in ("quant", "d_maa", "d_dec", "f_dim",
+                    for k in ("quant", "w4", "d_maa", "d_dec", "f_dim",
                               "nh", "nf", "ng", "no")}
             arrs = {k: v for k, v in pack_full.items() if k not in meta}
             L, H, S = cfg.n_layer, cfg.head_count, cfg.head_size
@@ -1052,13 +1052,13 @@ class ServingModel:
                     return run(self.params, arrs_t, state, tokens[:, 0])
                 if b == 1 and not self._mega_big:
                     if self.config.version_major == 6:
-                        meta = ("quant", "d_maa", "d_dec", "f_dim")
+                        meta = ("quant", "w4", "d_maa", "d_dec", "f_dim")
                         fn = self._mega6_fn()
                     elif self.config.version_major == 5:
-                        meta = ("quant", "f_dim", "has_gate")
+                        meta = ("quant", "w4", "f_dim", "has_gate")
                         fn = self._mega5_fn()
                     else:
-                        meta = ("quant", "f_dim")
+                        meta = ("quant", "w4", "f_dim")
                         fn = self._mega4_fn()
                     arrs = {
                         k: v for k, v in self._mega.items()

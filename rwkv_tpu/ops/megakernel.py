@@ -85,6 +85,40 @@ _V7_L1 = ("att.w1", "att.a1", "att.g1", "att.v1")
 _V7_L2 = ("att.w2", "att.a2", "att.g2", "att.v2")
 
 
+def _quantize_rows(w, four: bool):
+    """[L, N, K] f32 -> (int codes [L, N, K] int8, row scales [L, N, 1]).
+    four=True: int4 codes in [-7, 7] (scale amax/7) — stored unpacked
+    here; the retile functions pack nibble pairs along K."""
+    qmax = 7.0 if four else 127.0
+    amax = np.abs(w).max(axis=-1, keepdims=True)
+    d = amax / qmax
+    inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
+    q = np.clip(np.rint(w * inv), -qmax, qmax).astype(np.int8)
+    return jnp.asarray(q), jnp.asarray(d.astype(np.float32))
+
+
+def _pack_nibbles_split_half(a):
+    """Unpacked int4 codes [..., K] -> packed bytes [..., K/2] in the
+    SPLIT-HALF layout: byte s holds code[s] (low nibble) and
+    code[s + K/2] (high nibble), so a matvec is two contiguous half-K
+    dots (see the tiled kernels' matv4)."""
+    kh = a.shape[-1] // 2
+    lo = a[..., :kh].astype(jnp.int32)
+    hi = a[..., kh:].astype(jnp.int32)
+    return (((hi & 0xF) << 4) | (lo & 0xF)).astype(jnp.int8)
+
+
+def _nibble_halves(w):
+    """Packed bytes -> (lo, hi) int8 code planes. Nibble math in int32:
+    Mosaic cannot legalize shifts on int8 vectors; i32 >> sign-extends
+    the high nibble, the low nibble signs via bit 3."""
+    q32 = w.astype(jnp.int32)
+    lo_u = q32 & 0xF
+    lo = (lo_u - ((lo_u & 0x8) << 1)).astype(jnp.int8)
+    hi = (q32 >> 4).astype(jnp.int8)
+    return lo, hi
+
+
 def build_mega_pack(params: dict, cfg, quant: bool = True,
                     w4: bool = False) -> dict:
     """Build the megakernel's parameter pack from a LOADED parameter pytree
@@ -837,14 +871,8 @@ def retile_mega_pack(pack: dict, cfg, nh: int = 1, nf: int = 1,
         # code[s] (low nibble) and code[s + K/2] (high nibble), so the
         # kernel's two half-K dots consume contiguous activation slices
         # (no strided sublane gathers).
-        def pk(a):
-            kh = a.shape[-1] // 2
-            lo = a[..., :kh].astype(jnp.int32)
-            hi = a[..., kh:].astype(jnp.int32)
-            return (((hi & 0xF) << 4) | (lo & 0xF)).astype(jnp.int8)
-
         for name in ("rkv", "out", "fk", "fv"):
-            out[name] = pk(out[name])
+            out[name] = _pack_nibbles_split_half(out[name])
     return out
 
 
@@ -945,10 +973,7 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             half-K s8 dots consume contiguous activation slices."""
             kh = w.shape[1]
             x8, dx = qx(xcol)
-            q32 = w.astype(jnp.int32)
-            lo_u = q32 & 0xF
-            lo = (lo_u - ((lo_u & 0x8) << 1)).astype(jnp.int8)
-            hi = (q32 >> 4).astype(jnp.int8)  # sign-extending shift
+            lo, hi = _nibble_halves(w)
             acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
             return acc.astype(jnp.float32) * dx * d
 
@@ -1423,9 +1448,12 @@ _V6_RKVG = ("att.receptance.weight", "att.key.weight", "att.value.weight",
             "att.gate.weight")
 
 
-def build_mega_pack_v6(params: dict, cfg, quant: bool = True) -> dict:
+def build_mega_pack_v6(params: dict, cfg, quant: bool = True,
+                       w4: bool = False) -> dict:
     """v6 analogue of build_mega_pack: stack per-layer weights into
-    [L, N, K] int8+row-scale (or bf16) mats and [L, ., 1] f32 columns."""
+    [L, N, K] int8+row-scale (or bf16) mats and [L, ., 1] f32 columns.
+    w4: int4 codes for the big mats (rkvg/out/fr/fk/fv); the LoRA mats
+    (maa1/dw1/dw2) stay int8 and maa2 stays f32."""
     c = cfg.n_embed
     h, s = cfg.head_count, cfg.head_size
     blocks = [dict(b) for b in params["blocks"]]
@@ -1460,16 +1488,13 @@ def build_mega_pack_v6(params: dict, cfg, quant: bool = True) -> dict:
         "fv": stack("ffn.value.weight"),
         "fr": stack("ffn.receptance.weight"),
     }
-    pack = {"quant": quant, "d_maa": d_maa, "d_dec": d_dec, "f_dim": f_dim}
+    pack = {"quant": quant, "w4": bool(quant and w4),
+            "d_maa": d_maa, "d_dec": d_dec, "f_dim": f_dim}
     pack["maa2"] = jnp.asarray(maa2, jnp.float32)  # see _V6_MAT_KEYS note
     for name, w in mats.items():
         if quant:
-            amax = np.abs(w).max(axis=-1, keepdims=True)  # [L, N, 1]
-            dq = amax / 127.0
-            inv = np.where(dq > 0, 1.0 / np.maximum(dq, 1e-30), 0.0)
-            q = np.clip(np.rint(w * inv), -127, 127).astype(np.int8)
-            pack[name] = jnp.asarray(q)
-            pack[name + "_d"] = jnp.asarray(dq.astype(np.float32))
+            four = pack["w4"] and name not in ("maa1", "dw1", "dw2")
+            pack[name], pack[name + "_d"] = _quantize_rows(w, four)
         else:
             pack[name] = jnp.asarray(w, jnp.bfloat16)
 
@@ -1812,11 +1837,14 @@ def retile_mega_pack_v6(pack: dict, cfg, nh: int = 1, nf: int = 1,
         out[key] = jnp.swapaxes(pack[key], 1, 2)
     out["maa5"] = jnp.swapaxes(pack["maa5"], 1, 2)
     out["tdecay"] = jnp.swapaxes(pack["tdecay"], 1, 2)
+    if pack.get("w4"):
+        for name in ("rkvg", "out", "fr", "fk", "fv"):
+            out[name] = _pack_nibbles_split_half(out[name])
     return out
 
 
 def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
-                          nh, nf, ng, no):
+                          nh, nf, ng, no, w4=False):
     h4 = h // nh
     f4 = f_dim // nf
     m = ng // 4                  # rkvg tiles per projection
@@ -1893,6 +1921,16 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
                 return acc.astype(jnp.float32) * dx * d
             return mm(w, xcol.astype(jnp.bfloat16))
 
+        def matv4(w, d, xcol):
+            """split-half-packed int4 (see _pack_nibbles_split_half)."""
+            kh = w.shape[1]
+            x8, dx = qx(xcol)
+            lo, hi = _nibble_halves(w)
+            acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
+            return acc.astype(jnp.float32) * dx * d
+
+        mv_big = matv4 if w4 else matv
+
         # ---- phase 0: token shift + maa/decay LoRA chains -------------
         @pl.when(p == 0)
         def _shift_loras():
@@ -1935,7 +1973,7 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
 
             if fused:
                 def proj(q, xin):
-                    return matv(
+                    return mv_big(
                         rkvg[0, q], rkvg_d[0, q].T if quant else None, xin
                     )
 
@@ -1959,7 +1997,7 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
                     jnp.where(q == 1, xk_in_s[:],
                               jnp.where(q == 2, xv_in_s[:], xg_in_s[:])),
                 )
-                acc = matv(w, dd, xin)
+                acc = mv_big(w, dd, xin)
 
                 @pl.when(q == 0)
                 def _():
@@ -2018,7 +2056,7 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
             t = p - P_OUT0
             w = out_w[0, 0]                                 # [c_o, C]
             d = out_d[0, 0].T if quant else None
-            ap_s[pl.dslice(t * c_o, c_o)] = matv(w, d, xo_s[:])
+            ap_s[pl.dslice(t * c_o, c_o)] = mv_big(w, d, xo_s[:])
 
         # ---- phase P_FSH: residual + FFN token shift ------------------
         @pl.when(p == P_FSH)
@@ -2039,14 +2077,14 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
             w = fr_w[0, 0]                                  # [c_o, C]
             d = fr_d[0, 0].T if quant else None
             rg_s[pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
-                matv(w, d, xr2_s[:])
+                mv_big(w, d, xr2_s[:])
             )
 
         # ---- phases P_FK0..: fk tiles -> hidden slices ----------------
         @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
         def _fk_tile():
             t = p - P_FK0
-            hk = matv(
+            hk = mv_big(
                 fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
@@ -2057,7 +2095,7 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         def _fv_tile():
             t = p - P_FV0
             hk = h_s[pl.dslice(t * f4, f4)]
-            acc_s[:] += matv(
+            acc_s[:] += mv_big(
                 fv_w[0][0], fv_d[0].T if quant else None, hk
             )
 
@@ -2098,7 +2136,8 @@ def v6_decode_megakernel_tiled(
     P_FV0 = P_FK0 + 1
 
     kernel, n_phase = _make_kernel_tiled_v6(
-        c, h, s, d_maa, d_dec, f_dim, n_layer, quant, nh, nf, ng, no
+        c, h, s, d_maa, d_dec, f_dim, n_layer, quant, nh, nf, ng, no,
+        w4=bool(pack.get("w4")),
     )
 
     def per_layer(shape):
@@ -2288,8 +2327,10 @@ _V5_VEC_KEYS = (
 )
 
 
-def build_mega_pack_v5(params: dict, cfg, quant: bool = True) -> dict:
-    """v5 analogue of build_mega_pack. has_gate selects 5.2."""
+def build_mega_pack_v5(params: dict, cfg, quant: bool = True,
+                       w4: bool = False) -> dict:
+    """v5 analogue of build_mega_pack. has_gate selects 5.2. w4: int4
+    codes for all five big mats."""
     c = cfg.n_embed
     h, s = cfg.head_count, cfg.head_size
     blocks = [dict(b) for b in params["blocks"]]
@@ -2317,15 +2358,11 @@ def build_mega_pack_v5(params: dict, cfg, quant: bool = True) -> dict:
         "fv": stack("ffn.value.weight"),
         "fr": stack("ffn.receptance.weight"),
     }
-    pack = {"quant": quant, "f_dim": f_dim, "has_gate": has_gate}
+    pack = {"quant": quant, "w4": bool(quant and w4),
+            "f_dim": f_dim, "has_gate": has_gate}
     for name, w in mats.items():
         if quant:
-            amax = np.abs(w).max(axis=-1, keepdims=True)
-            dq = amax / 127.0
-            inv = np.where(dq > 0, 1.0 / np.maximum(dq, 1e-30), 0.0)
-            q = np.clip(np.rint(w * inv), -127, 127).astype(np.int8)
-            pack[name] = jnp.asarray(q)
-            pack[name + "_d"] = jnp.asarray(dq.astype(np.float32))
+            pack[name], pack[name + "_d"] = _quantize_rows(w, pack["w4"])
         else:
             pack[name] = jnp.asarray(w, jnp.bfloat16)
 
@@ -2586,8 +2623,10 @@ _V4_MAT_KEYS = ("rkv", "out", "fk", "fv", "fr")
 _V4_VEC_KEYS = ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias")
 
 
-def build_mega_pack_v4(params: dict, cfg, quant: bool = True) -> dict:
-    """v4 analogue of build_mega_pack."""
+def build_mega_pack_v4(params: dict, cfg, quant: bool = True,
+                       w4: bool = False) -> dict:
+    """v4 analogue of build_mega_pack. w4: int4 codes for all five big
+    mats (v4 has no small matmuls)."""
     c = cfg.n_embed
     blocks = [dict(b) for b in params["blocks"]]
     n_layer = len(blocks)
@@ -2610,15 +2649,10 @@ def build_mega_pack_v4(params: dict, cfg, quant: bool = True) -> dict:
         "fv": stack("ffn.value.weight"),
         "fr": stack("ffn.receptance.weight"),
     }
-    pack = {"quant": quant, "f_dim": f_dim}
+    pack = {"quant": quant, "w4": bool(quant and w4), "f_dim": f_dim}
     for name, w in mats.items():
         if quant:
-            amax = np.abs(w).max(axis=-1, keepdims=True)
-            dq = amax / 127.0
-            inv = np.where(dq > 0, 1.0 / np.maximum(dq, 1e-30), 0.0)
-            q = np.clip(np.rint(w * inv), -127, 127).astype(np.int8)
-            pack[name] = jnp.asarray(q)
-            pack[name + "_d"] = jnp.asarray(dq.astype(np.float32))
+            pack[name], pack[name + "_d"] = _quantize_rows(w, pack["w4"])
         else:
             pack[name] = jnp.asarray(w, jnp.bfloat16)
 
@@ -2882,10 +2916,14 @@ def retile_mega_pack_v4(pack: dict, cfg, nf: int = 1, nr: int = 3,
         out[key] = jnp.swapaxes(pack[key], 1, 2)
     for key in ("amix", "fmix", "tf", "td"):
         out[key] = jnp.swapaxes(pack[key], 1, 2)
+    if pack.get("w4"):
+        for name in ("rkv", "out", "fr", "fk", "fv"):
+            out[name] = _pack_nibbles_split_half(out[name])
     return out
 
 
-def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no):
+def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
+                          w4=False):
     f4 = f_dim // nf
     m = nr // 3
     c_r = c // m
@@ -2951,6 +2989,16 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no):
                 return acc.astype(jnp.float32) * dx * d
             return mm(w, xcol.astype(jnp.bfloat16))
 
+        def matv4(w, d, xcol):
+            """split-half-packed int4 (see _pack_nibbles_split_half)."""
+            kh = w.shape[1]
+            x8, dx = qx(xcol)
+            lo, hi = _nibble_halves(w)
+            acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
+            return acc.astype(jnp.float32) * dx * d
+
+        mv_big = matv4 if w4 else matv
+
         def _wkv_body():
             """max-trick wkv4 (rwkv_graph.inc:119-161) on [C, 1] columns;
             consumes r_s/k_s/v_s, produces wr_s (= sigmoid(r)*wkv) and
@@ -2992,7 +3040,7 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no):
 
             if fused:
                 def proj(q, xin):
-                    return matv(
+                    return mv_big(
                         rkv[0, q], rkv_d[0, q].T if quant else None, xin
                     )
 
@@ -3014,7 +3062,7 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no):
                     q == 0, xr_s[:],
                     jnp.where(q == 1, xk_s[:], xv_s[:]),
                 )
-                acc = matv(w, dd, xin)
+                acc = mv_big(w, dd, xin)
 
                 @pl.when(q == 0)
                 def _():
@@ -3039,7 +3087,7 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no):
             t = p - P_OUT0
             w = out_w[0, 0]
             d = out_d[0, 0].T if quant else None
-            ap_s[pl.dslice(t * c_o, c_o)] = matv(w, d, wr_s[:])
+            ap_s[pl.dslice(t * c_o, c_o)] = mv_big(w, d, wr_s[:])
 
         # ---- phase P_FSH: residual + FFN token shift ------------------
         @pl.when(p == P_FSH)
@@ -3061,14 +3109,14 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no):
             w = fr_w[0, 0]
             d = fr_d[0, 0].T if quant else None
             rg_s[pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
-                matv(w, d, xr2_s[:])
+                mv_big(w, d, xr2_s[:])
             )
 
         # ---- phases P_FK0..: fk tiles -> hidden slices ----------------
         @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
         def _fk_tile():
             t = p - P_FK0
-            hk = matv(
+            hk = mv_big(
                 fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
@@ -3079,7 +3127,7 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no):
         def _fv_tile():
             t = p - P_FV0
             hk = h_s[pl.dslice(t * f4, f4)]
-            acc_s[:] += matv(
+            acc_s[:] += mv_big(
                 fv_w[0][0], fv_d[0].T if quant else None, hk
             )
 
@@ -3117,7 +3165,7 @@ def v4_decode_megakernel_tiled(
     P_FV0 = P_FK0 + 1
 
     kernel, n_phase = _make_kernel_tiled_v4(
-        c, f_dim, n_layer, quant, nf, nr, no
+        c, f_dim, n_layer, quant, nf, nr, no, w4=bool(pack.get("w4")),
     )
 
     def per_layer(shape):
@@ -3308,11 +3356,14 @@ def retile_mega_pack_v5(pack: dict, cfg, nh: int = 1, nf: int = 1,
     for key in ("amix", "fmix"):
         out[key] = jnp.swapaxes(pack[key], 1, 2)
     # ln_x w/b and td/tf stay columns (grid-dependent head-tile slices)
+    if pack.get("w4"):
+        for name in ("rkvg", "out", "fr", "fk", "fv"):
+            out[name] = _pack_nibbles_split_half(out[name])
     return out
 
 
 def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
-                          nh, nf, ng, no):
+                          nh, nf, ng, no, w4=False):
     h4 = h // nh
     f4 = f_dim // nf
     n_mix = 4 if has_gate else 3
@@ -3382,6 +3433,16 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
                 return acc.astype(jnp.float32) * dx * d
             return mm(w, xcol.astype(jnp.bfloat16))
 
+        def matv4(w, d, xcol):
+            """split-half-packed int4 (see _pack_nibbles_split_half)."""
+            kh = w.shape[1]
+            x8, dx = qx(xcol)
+            lo, hi = _nibble_halves(w)
+            acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
+            return acc.astype(jnp.float32) * dx * d
+
+        mv_big = matv4 if w4 else matv
+
         # ---- phase 0: att token shift + mixes -------------------------
         @pl.when(p == 0)
         def _shift():
@@ -3407,7 +3468,7 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
 
             if fused:
                 def proj(q, xin):
-                    return matv(
+                    return mv_big(
                         rkvg[0, q], rkvg_d[0, q].T if quant else None, xin
                     )
 
@@ -3432,7 +3493,7 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
                     jnp.where(q == 1, xk_in_s[:],
                               jnp.where(q == 2, xv_in_s[:], xg_in_s[:])),
                 )
-                acc = matv(w, dd, xin)
+                acc = mv_big(w, dd, xin)
 
                 @pl.when(q == 0)
                 def _():
@@ -3497,7 +3558,7 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
             t = p - P_OUT0
             w = out_w[0, 0]
             d = out_d[0, 0].T if quant else None
-            ap_s[pl.dslice(t * c_o, c_o)] = matv(w, d, xo_s[:])
+            ap_s[pl.dslice(t * c_o, c_o)] = mv_big(w, d, xo_s[:])
 
         # ---- phase P_FSH: residual + FFN token shift ------------------
         @pl.when(p == P_FSH)
@@ -3519,14 +3580,14 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
             w = fr_w[0, 0]
             d = fr_d[0, 0].T if quant else None
             rg_s[pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
-                matv(w, d, xr2_s[:])
+                mv_big(w, d, xr2_s[:])
             )
 
         # ---- phases P_FK0..: fk tiles -> hidden slices ----------------
         @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
         def _fk_tile():
             t = p - P_FK0
-            hk = matv(
+            hk = mv_big(
                 fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
@@ -3537,7 +3598,7 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
         def _fv_tile():
             t = p - P_FV0
             hk = h_s[pl.dslice(t * f4, f4)]
-            acc_s[:] += matv(
+            acc_s[:] += mv_big(
                 fv_w[0][0], fv_d[0].T if quant else None, hk
             )
 
@@ -3578,7 +3639,8 @@ def v5_decode_megakernel_tiled(
     P_FV0 = P_FK0 + 1
 
     kernel, n_phase = _make_kernel_tiled_v5(
-        c, h, s, f_dim, n_layer, quant, has_gate, nh, nf, ng, no
+        c, h, s, f_dim, n_layer, quant, has_gate, nh, nf, ng, no,
+        w4=bool(pack.get("w4")),
     )
 
     def per_layer(shape):

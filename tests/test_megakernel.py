@@ -501,3 +501,58 @@ def test_megamodel_w4a8_matches_int4_dequant_reference():
             assert np.abs(lm - lr).max() / scale < 1.5e-1, c
             top5 = np.argsort(lr[0])[-5:]
             assert lm[0].argmax() in top5, c
+
+
+@pytest.mark.parametrize("version", ["4.0", "5.2", "6.0"])
+def test_megamodel_w4a8_other_archs(version):
+    """w4a8 on the v4/v5/v6 tiled kernels (C=512, fused config — the
+    row-tiled mv_big sites are shared with the v7 C=2304 case) vs a
+    bf16 per-op reference carrying the same int4 dequantization."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import _np_dense
+
+    BIG = {
+        "4.0": ("att.receptance.weight", "att.key.weight",
+                "att.value.weight", "att.output.weight",
+                "ffn.key.weight", "ffn.value.weight",
+                "ffn.receptance.weight"),
+        "5.2": ("att.receptance.weight", "att.key.weight",
+                "att.value.weight", "att.gate.weight",
+                "att.output.weight", "ffn.key.weight",
+                "ffn.value.weight", "ffn.receptance.weight"),
+        "6.0": ("att.receptance.weight", "att.key.weight",
+                "att.value.weight", "att.gate.weight",
+                "att.output.weight", "ffn.key.weight",
+                "ffn.value.weight", "ffn.receptance.weight"),
+    }[version]
+
+    def deq4(w):
+        w = _np_dense(w).astype(np.float32)
+        amax = np.abs(w).max(axis=-1, keepdims=True)
+        d = amax / 7.0
+        inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
+        return (np.clip(np.rint(w * inv), -7, 7) * d).astype(np.float32)
+
+    cfg = synth_config(version, n_layer=2, n_embed=512, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=19)
+    params_ref = dict(params)
+    params_ref["blocks"] = [
+        {k: (deq4(v) if k in BIG else v) for k, v in b.items()}
+        for b in params["blocks"]
+    ]
+    ref = ServingModel((cfg, params_ref), precision="bf16")
+    w4 = ServingModel((cfg, params), precision="w4a8", megakernel=True)
+    assert w4._mega_big and w4._mega["w4"]
+
+    state_r = ref.init_state(1)
+    state_m = w4.init_state(1)
+    for tok in (3, 77, 200):
+        lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+        lm, state_m = w4.decode(np.array([tok], np.int32), state_m)
+        lr, lm = np.asarray(lr), np.asarray(lm)
+        scale = max(np.abs(lr).max(), 1e-6)
+        assert np.abs(lm - lr).max() / scale < 1.5e-1, version
+        top5 = np.argsort(lr[0])[-5:]
+        assert lm[0].argmax() in top5, version
