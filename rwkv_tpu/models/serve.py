@@ -421,10 +421,28 @@ class ServingModel:
         # Whole-model Pallas decode kernel (B=1, v7, single chip): one
         # pallas_call for all layers, weights double-buffered per layer.
         self._mega = None
+        self._mega_tp = None
+        if megakernel and mesh is not None:
+            # Multi-chip decode: per-layer TP Pallas kernels + psum under
+            # shard_map (ops/megakernel_tp.py). v7, B=1, w8a8/bf16.
+            if cfg.version_major != 7:
+                raise ValueError("TP megakernel decode is v7-only")
+            if precision == "w4a8":
+                raise ValueError("TP megakernel: w8a8/bf16 only")
+            from rwkv_tpu.ops.megakernel import build_mega_pack
+            from rwkv_tpu.ops.megakernel_tp import build_mega_pack_tp
+
+            quant = precision in ("quant", "q8", "q8r", "w8a8")
+            base = build_mega_pack(params, cfg, quant=quant)
+            tp_n = mesh.shape["model"]
+            self._mega_tp = build_mega_pack_tp(base, cfg, tp_n, mesh)
+            self.mega_min_batch = 64
+            self._jit_cache = {}
+            return
         if megakernel:
-            if cfg.version_major not in (4, 5, 6, 7) or mesh is not None:
+            if cfg.version_major not in (4, 5, 6, 7):
                 raise ValueError(
-                    "megakernel supports single-chip RWKV decode only"
+                    "megakernel supports RWKV v4-v7 decode only"
                 )
             quant = precision in ("quant", "q8", "q8r", "w8a8", "w4a8")
             w4 = precision == "w4a8"
@@ -1024,6 +1042,50 @@ class ServingModel:
             self._jit_cache[key] = run
         return self._jit_cache[key](self.params, state, tokens)
 
+    def _megatp_fn(self):
+        """B=1 decode through the TP megakernel (per-layer Pallas kernels
+        + psum under shard_map; ops/megakernel_tp.py)."""
+        key = ("megatp",)
+        if key not in self._jit_cache:
+            cfg = self.config
+            mesh = self.mesh
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel_tp import tp_decode_step
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            meta = {k: self._mega_tp[k]
+                    for k in ("quant", "d_lora", "f_dim", "tp")}
+
+            @jax.jit
+            def run(params, pack_arrs, state, token):  # state [1, L, ...]
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][token[0]].astype(jnp.float32),
+                    *params["ln0"],
+                )
+                state_t = {
+                    "att_xx": state["att_xx"][0][..., None],
+                    "ffn_xx": state["ffn_xx"][0][..., None],
+                    "heads": jnp.swapaxes(state["heads"][0], -1, -2),
+                }
+                y, new_t = tp_decode_step(
+                    pack, state_t, x0[:, None], cfg, mesh,
+                    interpret=interpret,
+                )
+                xo = p_ln(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])
+                new_state = {
+                    "att_xx": new_t["att_xx"][None, ..., 0],
+                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
+                    "heads": jnp.swapaxes(new_t["heads"], -1, -2)[None],
+                }
+                return logits, new_state
+
+            arrs = {k: v for k, v in self._mega_tp.items()
+                    if k not in meta}
+            self._jit_cache[key] = (run, arrs)
+        return self._jit_cache[key]
+
     def decode(self, tokens, state):
         """One decode step for a batch: tokens [B] -> (logits [B, V], state).
         With megakernel=True, B=1 runs the whole-model Pallas kernel and
@@ -1032,6 +1094,9 @@ class ServingModel:
         state stream pads the batch lane dim to 128, so its step cost is
         flat in B while the per-op path scales down)."""
         tokens = jnp.asarray(tokens, jnp.int32).reshape(-1, 1)
+        if self._mega_tp is not None and tokens.shape[0] == 1:
+            run, arrs_tp = self._megatp_fn()
+            return run(self.params, arrs_tp, state, tokens[:, 0])
         if self._mega is not None:
             b = tokens.shape[0]
             if self.config.version_major in (4, 5, 6):

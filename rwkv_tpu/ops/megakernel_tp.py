@@ -1,0 +1,597 @@
+"""Tensor-parallel Pallas decode kernels (v7, B=1, multi-chip).
+
+The whole-model megakernel (ops/megakernel.py) is single-chip: GSPMD
+cannot partition a pallas_call, and the layer recurrence needs an
+all-reduce after the attention out-projection and after the FFN — points
+that live INSIDE the whole-model grid. This module restructures decode
+for TP the TPU way: under `shard_map` over a `model` mesh axis, each
+chip runs per-layer Pallas kernels on its OWN weight shard, and the two
+[C, 1] partial outputs per layer are `lax.psum`-ed over ICI between the
+kernels (2 collectives of ~8-16 KB per layer — latency-bound, they
+overlap poorly with nothing, but replace ~30 per-op launches per layer
+with 2).
+
+Sharding (Megatron-style, head-aligned — replaces the reference's
+single-GPU layer offload, rwkv.cpp:82-115):
+  - activations x, ln/mix vectors, lora1 (down-projections): REPLICATED;
+  - rkv rows, lora2 rows (per gate), per-channel gate vectors
+    (w0/a0/v0/k_k/k_a/ln_x/r_k) and the wkv head state: sharded by
+    head block (c_loc = C/tp channels per chip);
+  - att.out and ffn.value: sharded along the CONTRACTION dim (each chip
+    multiplies its c_loc/f_loc slice -> full-C partial, then psum);
+  - ffn.key rows: sharded (f_loc = F/tp).
+
+B=1 and v7 only; quant = w8a8 (int8 + per-row scales) or bf16.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rwkv_tpu.ops.megakernel import _nibble_halves  # noqa: F401 (future w4)
+
+# Vectors stored as [L, 1, N] rows (lane-padding rule — an [N, 1] f32
+# column window lane-pads 1 -> 128; see ops/megakernel.py).
+_TP_REPL_VECS = ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+                 "ffn.x_k", "coeff")
+_TP_SHARD_VECS = ("att.w0", "att.a0", "att.v0", "att.k_k", "att.k_a")
+# ln_x w/b and r_k stay columns (grid-dependent head-tile slices).
+
+
+def build_mega_pack_tp(pack: dict, cfg, tp: int, mesh) -> dict:
+    """Re-layout a build_mega_pack (v7) output for TP execution and
+    attach NamedShardings over mesh axis 'model'.
+
+    Returns a dict of jax.Arrays placed with their TP shardings; meta
+    keys: quant, d_lora, f_dim, tp."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    c = cfg.n_embed
+    h, s = cfg.head_count, cfg.head_size
+    L = cfg.n_layer
+    f_dim = pack["f_dim"]
+    d = pack["d_lora"]
+    quant = pack["quant"]
+    assert not pack.get("w4"), "TP megakernel: w8a8/bf16 only for now"
+    assert c % tp == 0 and h % tp == 0 and f_dim % tp == 0
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    out = {"quant": quant, "d_lora": d, "f_dim": f_dim, "tp": tp}
+    # rkv [L, 3C, C] -> [L, 3, C, C], rows (dim 2) sharded
+    out["rkv"] = put(pack["rkv"].reshape(L, 3, c, c),
+                     (None, None, "model", None))
+    # lora1 [L, 4d, C] replicated
+    out["lora1"] = put(pack["lora1"], (None, None, None))
+    # lora2 [L, 4C, d] -> [L, 4, C, d], rows (dim 2) sharded
+    out["lora2"] = put(pack["lora2"].reshape(L, 4, c, d),
+                       (None, None, "model", None))
+    # out [L, C, C]: contraction dim (2) sharded
+    out["out"] = put(pack["out"], (None, None, "model"))
+    # fk [L, F, C]: rows (1) sharded; fv [L, C, F]: contraction (2)
+    out["fk"] = put(pack["fk"], (None, "model", None))
+    out["fv"] = put(pack["fv"], (None, None, "model"))
+    if quant:
+        out["rkv_d"] = put(pack["rkv_d"].reshape(L, 3, c, 1),
+                           (None, None, "model", None))
+        out["lora1_d"] = put(pack["lora1_d"], (None, None, None))
+        out["lora2_d"] = put(pack["lora2_d"].reshape(L, 4, c, 1),
+                             (None, None, "model", None))
+        out["out_d"] = put(pack["out_d"], (None, None, None))  # full rows
+        out["fk_d"] = put(pack["fk_d"], (None, "model", None))
+        out["fv_d"] = put(pack["fv_d"], (None, None, None))    # full rows
+
+    # replicated row vectors
+    for key in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+                "ffn.x_k"):
+        out[key] = put(jnp.swapaxes(pack[key], 1, 2), (None, None, None))
+    out["coeff"] = put(jnp.swapaxes(pack["coeff"], 1, 2),
+                       (None, None, None))
+    # head-sharded row vectors
+    for key in _TP_SHARD_VECS:
+        out[key] = put(jnp.swapaxes(pack[key], 1, 2),
+                       (None, None, "model"))
+    # columns, head-sharded on their channel/head dim
+    out["att.ln_x.weight"] = put(pack["att.ln_x.weight"],
+                                 (None, "model", None))
+    out["att.ln_x.bias"] = put(pack["att.ln_x.bias"],
+                               (None, "model", None))
+    out["r_k"] = put(pack["r_k"], (None, "model", None, None))
+    return out
+
+
+def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no):
+    """Single-layer attention kernel on one chip's head shard.
+    Grid (1 + nh + no,): [shift+loras+rkv | nh wkv tiles | no out tiles].
+    Emits the FULL-C partial att output (pre-psum) plus the local state
+    updates."""
+    h4 = h_loc // nh
+    c_o = c // no
+    P_WKV0 = 1
+    P_OUT0 = P_WKV0 + nh
+
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        amax = jnp.max(jnp.abs(x))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x_ref, att_in, heads_in, vf_in, first_ref,
+             rkv, rkv_d, lora1, lora1_d, lora2, lora2_d, out_w, out_d,
+             ln1w, ln1b, w0, a0, v0, kkw, kaw, lnxw, lnxb,
+             coeff, rk,
+             part_out, att_out, heads_out, vf_out,
+             r_s, k_s, v_s, wd_s, ag_s, kk_s, g_s, xo_s) = refs
+        else:
+            (x_ref, att_in, heads_in, vf_in, first_ref,
+             rkv, lora1, lora2, out_w,
+             ln1w, ln1b, w0, a0, v0, kkw, kaw, lnxw, lnxb,
+             coeff, rk,
+             part_out, att_out, heads_out, vf_out,
+             r_s, k_s, v_s, wd_s, ag_s, kk_s, g_s, xo_s) = refs
+
+        p = pl.program_id(0)
+
+        def cv(ref):
+            """Row window [1, N] -> column [N, 1] (exact natively —
+            probe_row_layout.py pA)."""
+            return ref[:].T
+
+        def matv(w, dd, xcol):
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * dd
+            return mm(w, xcol.astype(jnp.bfloat16))
+
+        @pl.when(p == 0)
+        def _shift_loras():
+            x = x_ref[:]
+            xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
+            sx = att_in[:] - xl
+            att_out[:] = xl
+
+            cf = coeff[:].T.reshape(6, c, 1)
+            xr = xl + sx * cf[0]
+            xw = xl + sx * cf[1]
+            xk = xl + sx * cf[2]
+            xv = xl + sx * cf[3]
+            xa = xl + sx * cf[4]
+            xg = xl + sx * cf[5]
+
+            d = d_lora
+
+            def l1_slice(lo):
+                w = lora1[lo:lo + d]
+                return w, (lora1_d[lo:lo + d] if quant else None)
+
+            w_dn = jnp.tanh(matv(*l1_slice(0 * d), xw))
+            a_dn = matv(*l1_slice(1 * d), xa)
+            g_dn = jax.nn.sigmoid(matv(*l1_slice(2 * d), xg))
+            v_dn = matv(*l1_slice(3 * d), xv)
+
+            def l2(q, xin):
+                return matv(
+                    lora2[q], lora2_d[q] if quant else None, xin
+                )
+
+            w_l = l2(0, w_dn)
+            a_l = l2(1, a_dn)
+            g_s[:] = l2(2, g_dn)
+            vm = l2(3, v_dn)
+
+            wd_s[:] = jnp.exp(
+                jax.nn.sigmoid(w_l + cv(w0)) * jnp.float32(-0.606531)
+            )
+            a_gate = jax.nn.sigmoid(a_l + cv(a0))
+            ag_s[:] = a_gate
+
+            def proj(q, xin):
+                return matv(
+                    rkv[q], rkv_d[q] if quant else None, xin
+                )
+
+            r_s[:] = proj(0, xr)
+            k = proj(1, xk)
+            v = proj(2, xv)
+
+            kkv = (k * cv(kkw)).reshape(h_loc, s, 1)
+            nrm = jnp.sqrt(jnp.sum(kkv * kkv, axis=1, keepdims=True))
+            kkv = kkv / jnp.maximum(nrm, jnp.float32(1e-12))
+            kk_s[:] = kkv.reshape(c_loc, 1)
+
+            ka = k * cv(kaw)
+            k_s[:] = k + (a_gate * ka - ka)
+
+            first = first_ref[0, 0] > 0
+            vf = vf_in[:]
+            v_mixed = v + (vf - v) * jax.nn.sigmoid(vm + cv(v0))
+            v_sel = jnp.where(first, v, v_mixed)
+            v_s[:] = v_sel
+            vf_out[:] = jnp.where(first, v, vf)
+
+        @pl.when((p >= P_WKV0) & (p < P_WKV0 + nh))
+        def _wkv_tile():
+            t = p - P_WKV0
+            rows_lo = t * h4 * s
+
+            def tile(ref):
+                return ref[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, 1)
+
+            r3, k3, v3, w3 = tile(r_s), tile(k_s), tile(v_s), tile(wd_s)
+            a3 = -tile(kk_s)
+            b3 = tile(kk_s) * tile(ag_s)
+
+            i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            eye = (i_ == j_).astype(jnp.float32)[None]
+            st = heads_in[pl.dslice(t * h4, h4)]
+            sa_row = jnp.sum(st * a3, axis=1, keepdims=True)
+            v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
+            st = st * w3 + k3 * v_row + b3 * sa_row
+            out_row = jnp.sum(st * r3, axis=1, keepdims=True)
+            heads_out[pl.dslice(t * h4, h4)] = st
+
+            mu = jnp.mean(out_row, axis=2, keepdims=True)
+            yc = out_row - mu
+            var = jnp.mean(yc * yc, axis=2, keepdims=True)
+            y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+            y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
+            yn = y_col.reshape(h4 * s, 1)
+
+            lw = lnxw[pl.dslice(rows_lo, h4 * s)]
+            lb = lnxb[pl.dslice(rows_lo, h4 * s)]
+            xo = yn * lw + lb
+
+            rkt = rk[pl.dslice(t * h4, h4)]
+            dots = jnp.sum(k3 * r3 * rkt, axis=1, keepdims=True)
+            bonus = (v3 * dots).reshape(h4 * s, 1)
+            gt = g_s[pl.dslice(rows_lo, h4 * s)]
+            xo_s[pl.dslice(rows_lo, h4 * s)] = (xo + bonus) * gt
+
+        @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
+        def _out_tile():
+            t = p - P_OUT0
+            w = out_w[pl.dslice(t * c_o, c_o)]        # [c_o, c_loc]
+            dd = (out_d[pl.dslice(t * c_o, c_o)]      # [c_o, 1] full rows
+                  if quant else None)
+            part_out[pl.dslice(t * c_o, c_o)] = matv(w, dd, xo_s[:])
+
+    return kernel, 1 + nh + no, P_OUT0
+
+
+def _make_ffn_kernel(c, f_loc, quant, nf):
+    """Single-layer v7 FFN kernel on one chip's F shard.
+    Grid (1 + nf + 1,): [shift | nf fk tiles // nf fv tiles | last fv].
+    Emits the FULL-C partial FFN output (pre-psum)."""
+    f4 = f_loc // nf
+    P_FK0 = 1
+    P_FV0 = P_FK0 + 1
+
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def qx(x):
+        amax = jnp.max(jnp.abs(x))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x_ref, ffn_in,
+             fk_w, fk_d, fv_w, fv_d,
+             ln2w, ln2b, xkw,
+             part_out, ffn_out,
+             xk2_s, h_s, acc_s) = refs
+        else:
+            (x_ref, ffn_in,
+             fk_w, fv_w,
+             ln2w, ln2b, xkw,
+             part_out, ffn_out,
+             xk2_s, h_s, acc_s) = refs
+
+        p = pl.program_id(0)
+
+        def cv(ref):
+            return ref[:].T
+
+        def matv(w, dd, xcol):
+            if quant:
+                x8, dx = qx(xcol)
+                acc = mm(w, x8)
+                return acc.astype(jnp.float32) * dx * dd
+            return mm(w, xcol.astype(jnp.bfloat16))
+
+        @pl.when(p == 0)
+        def _shift():
+            x = x_ref[:]
+            xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
+            sx2 = ffn_in[:] - xl2
+            ffn_out[:] = xl2
+            xk2_s[:] = xl2 + sx2 * cv(xkw)
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
+        def _fk_tile():
+            t = p - P_FK0
+            hk = matv(
+                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
+            )
+            hk = jnp.square(jnp.maximum(hk, 0.0))
+            h_s[pl.dslice(t * f4, f4)] = hk
+
+        @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
+        def _fv_tile():
+            t = p - P_FV0
+            hk = h_s[pl.dslice(t * f4, f4)]
+            acc_s[:] += matv(
+                fv_w[0][0], fv_d[0].T if quant else None, hk
+            )
+
+        @pl.when(p == P_FK0 + nf)
+        def _finish():
+            part_out[:] = acc_s[:]
+
+    return kernel, 1 + nf + 1
+
+
+def _whole(shape):
+    return pl.BlockSpec(shape, lambda p: (0,) * len(shape),
+                        memory_space=pltpu.VMEM)
+
+
+def _att_layer_call(lyr, x, att_xx, heads, v_first, first, cfg, tp,
+                    quant, interpret):
+    """One chip's attention partial for one layer. All arrays LOCAL."""
+    c = cfg.n_embed
+    h_loc = cfg.head_count // tp
+    s = cfg.head_size
+    c_loc = c // tp
+    d_lora = lyr["lora1"].shape[-2] // 4
+    # head tiles: keep each state block <= ~1MB (B=1, lanes pad to 128)
+    nh = 1
+    while (h_loc // nh) * s * 128 * 4 > 1024 * 1024 or h_loc % nh:
+        nh += 1
+        if nh > h_loc:
+            nh = h_loc
+            break
+    no = 1  # out rows [C, c_loc] — small K, keep one tile
+
+    kernel, n_phase, _ = _make_att_kernel(
+        c, c_loc, h_loc, s, d_lora, quant, nh, no
+    )
+
+    mat_names = ["rkv", "lora1", "lora2", "out"]
+    mat_args, mat_specs = [], []
+    for name in mat_names:
+        w = lyr[name]
+        mat_args.append(w)
+        mat_specs.append(_whole(w.shape))
+        if quant:
+            dd = lyr[name + "_d"]
+            mat_args.append(dd)
+            mat_specs.append(_whole(dd.shape))
+
+    vec_names = ["ln1.weight", "ln1.bias", "att.w0", "att.a0", "att.v0",
+                 "att.k_k", "att.k_a", "att.ln_x.weight", "att.ln_x.bias"]
+    vec_args = [lyr[k] for k in vec_names]
+    vec_specs = [_whole(lyr[k].shape) for k in vec_names]
+
+    args = (
+        [x, att_xx, heads, v_first, first]
+        + mat_args + vec_args + [lyr["coeff"], lyr["r_k"]]
+    )
+    in_specs = (
+        [_whole((c, 1)), _whole((c, 1)), _whole((h_loc, s, s)),
+         _whole((c_loc, 1)), _whole((1, 1))]
+        + mat_specs + vec_specs
+        + [_whole(lyr["coeff"].shape), _whole(lyr["r_k"].shape)]
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),       # partial out
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),       # new att_xx
+        jax.ShapeDtypeStruct((h_loc, s, s), jnp.float32),
+        jax.ShapeDtypeStruct((c_loc, 1), jnp.float32),   # new v_first
+    )
+    out_specs = (
+        _whole((c, 1)), _whole((c, 1)), _whole((h_loc, s, s)),
+        _whole((c_loc, 1)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_phase,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c_loc, 1), jnp.float32) for _ in range(7)
+        ] + [pltpu.VMEM((c_loc, 1), jnp.float32)],  # xo_s
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _ffn_layer_call(lyr, x, ffn_xx, cfg, tp, quant, interpret):
+    c = cfg.n_embed
+    f_loc = lyr["fk"].shape[-2]
+    nf = 1
+    while (f_loc // nf) * c > 4 * 1024 * 1024 or f_loc % nf:
+        nf += 1
+        if nf > f_loc:
+            nf = f_loc
+            break
+    kernel, n_phase = _make_ffn_kernel(c, f_loc, quant, nf)
+    f4 = f_loc // nf
+
+    fk = lyr["fk"].reshape(1, nf, f4, c)
+    fv = jnp.swapaxes(lyr["fv"].reshape(c, nf, f4), 0, 1)[None]
+
+    def fk_spec(shape, first_p):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda p: (0, jnp.clip(p - first_p, 0, nf - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    mat_args = [fk]
+    mat_specs = [fk_spec((f4, c), 1)]
+    if quant:
+        fk_d = lyr["fk_d"].reshape(1, nf, f4, 1)
+        fk_d = jnp.swapaxes(fk_d, 2, 3)
+        mat_args.append(fk_d)
+        mat_specs.append(fk_spec((1, f4), 1))
+    mat_args.append(fv)
+    mat_specs.append(fk_spec((c, f4), 2))
+    if quant:
+        fv_d = jnp.swapaxes(lyr["fv_d"], 0, 1)[None]  # [1, 1, C] rows
+        mat_args.append(fv_d)
+        mat_specs.append(_whole(fv_d.shape))
+
+    vec_names = ["ln2.weight", "ln2.bias", "ffn.x_k"]
+    vec_args = [lyr[k] for k in vec_names]
+    vec_specs = [_whole(lyr[k].shape) for k in vec_names]
+
+    args = [x, ffn_xx] + mat_args + vec_args
+    in_specs = [_whole((c, 1)), _whole((c, 1))] + mat_specs + vec_specs
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),   # partial out
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),   # new ffn_xx
+    )
+    out_specs = (_whole((c, 1)), _whole((c, 1)))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_phase,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, 1), jnp.float32),       # xk2_s
+            pltpu.VMEM((f_loc, 1), jnp.float32),   # h_s
+            pltpu.VMEM((c, 1), jnp.float32),       # acc_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def tp_decode_step(pack, state_t, x0, cfg, mesh, interpret=False):
+    """One v7 decode step TP-sharded over mesh axis 'model'.
+
+    pack: build_mega_pack_tp output. state_t (global, sharded):
+      att_xx/ffn_xx [L, C, 1] replicated, heads [L, H, S_j, S_i] sharded
+      on H, v_first unused (recomputed per step). x0 [C, 1] f32
+      replicated. Returns (x [C, 1], new state_t)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    tp = pack["tp"]
+    quant = pack["quant"]
+    L = cfg.n_layer
+
+    meta = ("quant", "d_lora", "f_dim", "tp")
+    arrs = {k: v for k, v in pack.items() if k not in meta}
+
+    specs_in = {
+        "rkv": P(None, None, "model", None),
+        "lora1": P(None, None, None),
+        "lora2": P(None, None, "model", None),
+        "out": P(None, None, "model"),
+        "fk": P(None, "model", None),
+        "fv": P(None, None, "model"),
+        "rkv_d": P(None, None, "model", None),
+        "lora1_d": P(None, None, None),
+        "lora2_d": P(None, None, "model", None),
+        "out_d": P(None, None, None),
+        "fk_d": P(None, "model", None),
+        "fv_d": P(None, None, None),
+        "att.ln_x.weight": P(None, "model", None),
+        "att.ln_x.bias": P(None, "model", None),
+        "r_k": P(None, "model", None, None),
+    }
+    for key in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+                "ffn.x_k", "coeff"):
+        specs_in[key] = P(None, None, None)
+    for key in _TP_SHARD_VECS:
+        specs_in[key] = P(None, None, "model")
+    arr_specs = {k: specs_in[k] for k in arrs}
+
+    state_specs = {
+        "att_xx": P(None, None, None),
+        "ffn_xx": P(None, None, None),
+        "heads": P(None, "model", None, None),
+    }
+
+    def local_step(arrs, state, x0):
+        def body(carry, inp):
+            x, v_first, idx = carry
+            lyr, att_xx, ffn_xx, heads = inp
+            first = (idx == 0).astype(jnp.float32).reshape(1, 1)
+            att_p, new_axx, new_heads, v_first = _att_layer_call(
+                lyr, x, att_xx, heads, v_first, first, cfg, tp, quant,
+                interpret,
+            )
+            att_full = jax.lax.psum(att_p, "model")
+            x = x + att_full
+            ffn_p, new_fxx = _ffn_layer_call(
+                lyr, x, ffn_xx, cfg, tp, quant, interpret
+            )
+            x = x + jax.lax.psum(ffn_p, "model")
+            return (x, v_first, idx + 1), (new_axx, new_fxx, new_heads)
+
+        c_loc = cfg.n_embed // tp
+        v0 = jnp.zeros((c_loc, 1), jnp.float32)
+        (x, _, _), (axx, fxx, heads) = jax.lax.scan(
+            body, (x0, v0, jnp.int32(0)),
+            (arrs, state["att_xx"], state["ffn_xx"], state["heads"]),
+        )
+        return x, {"att_xx": axx, "ffn_xx": fxx, "heads": heads}
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(arr_specs, state_specs, P(None, None)),
+        out_specs=(P(None, None), state_specs),
+        check_vma=False,
+    )
+    return fn(arrs, state_t, x0.astype(jnp.float32))
