@@ -416,7 +416,9 @@ class ServingModel:
             from rwkv_tpu.parallel.sharding import shard_serving_params
 
             self.params = shard_serving_params(self.params, cfg, mesh)
-            if precision in ("quant", "q8", "q8r", "w8a8"):
+            if precision in ("quant", "q8", "q8r", "w8a8", "w4a8"):
+                # GSPMD cannot partition the quantized pallas matmul
+                # (w4a8 params are stacked in w8a8 mode)
                 self._mm_force = "xla"
         # Whole-model Pallas decode kernel (B=1, v7, single chip): one
         # pallas_call for all layers, weights double-buffered per layer.

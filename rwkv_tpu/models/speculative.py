@@ -111,7 +111,14 @@ def speculative_generate(
 # Fully on-device speculative loop
 # ---------------------------------------------------------------------------
 
-_DEVICE_JIT_CACHE: dict = {}
+def _model_sig(m: ServingModel) -> tuple:
+    """Semantic cache signature: everything the jitted closure captures
+    from a model besides its (passed-as-argument) params. id()-keying
+    would break on id reuse after GC."""
+    cfg = m.config
+    return (cfg.version_major, cfg.version_minor, cfg.n_layer,
+            cfg.n_embed, cfg.n_vocab, cfg.head_size, m.precision,
+            m._mm_force)
 
 
 def speculative_generate_device(
@@ -155,9 +162,10 @@ def speculative_generate_device(
     t_cfg, d_cfg = target.config, draft.config
     t_force, d_force = target._mm_force, draft._mm_force
     n_cap = n_tokens + k + 2
-    key = (id(target), id(draft), n_tokens, k)
+    # cached on the TARGET model (bounded lifetime), keyed semantically
+    key = ("specdev", _model_sig(target), _model_sig(draft), n_tokens, k)
 
-    if key not in _DEVICE_JIT_CACHE:
+    if key not in target._jit_cache:
 
         @jax.jit
         def run(t_params, d_params, state_t, state_d, pred):
@@ -210,9 +218,9 @@ def speculative_generate_device(
             _, _, _, buf, count, rounds, acc = out
             return buf, count, rounds, acc
 
-        _DEVICE_JIT_CACHE[key] = run
+        target._jit_cache[key] = run
 
-    buf, count, rounds, acc = _DEVICE_JIT_CACHE[key](
+    buf, count, rounds, acc = target._jit_cache[key](
         target.params, draft.params, state_t, state_d, pred0
     )
     buf = np.asarray(buf)

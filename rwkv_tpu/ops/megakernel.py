@@ -169,13 +169,7 @@ def build_mega_pack(params: dict, cfg, quant: bool = True,
     for name, w in mats.items():
         if quant:
             four = pack["w4"] and name not in ("lora1", "lora2")
-            qmax = 7.0 if four else 127.0
-            amax = np.abs(w).max(axis=-1, keepdims=True)  # [L, N, 1]
-            d = amax / qmax
-            inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
-            q = np.clip(np.rint(w * inv), -qmax, qmax).astype(np.int8)
-            pack[name] = jnp.asarray(q)
-            pack[name + "_d"] = jnp.asarray(d.astype(np.float32))
+            pack[name], pack[name + "_d"] = _quantize_rows(w, four)
         else:
             pack[name] = jnp.asarray(w, jnp.bfloat16)
 
@@ -1197,7 +1191,9 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             x_s[:] = x
             y_out[:] = x
 
-    return kernel, n_phase
+    phases = {"P_WKV0": P_WKV0, "P_OUT0": P_OUT0, "P_FSH": P_FSH,
+              "P_FK0": P_FK0, "P_FV0": P_FV0}
+    return kernel, n_phase, phases
 
 
 def v7_decode_megakernel_tiled(
@@ -1219,19 +1215,18 @@ def v7_decode_megakernel_tiled(
     nr, no = pack["nr"], pack["no"]
     h4 = h // nh
     batch = x0.shape[1]
-    # phase layout: [shift+loras | nr rkv tiles | post | nh wkv tiles |
-    # no out tiles | ffn-shift | nf fk tiles // nf fv tiles | finish]
-    P_POST = 1 + nr
-    P_WKV0 = P_POST + 1
-    P_OUT0 = P_WKV0 + nh
-    P_FSH = P_OUT0 + no
-    P_FK0 = P_FSH + 1
-    P_FV0 = P_FK0 + 1
 
-    kernel, n_phase = _make_kernel_tiled(
+    # phase layout: [shift+loras | (nr rkv tiles | post, non-fused only)
+    # | nh wkv tiles | no out tiles | ffn-shift | nf fk tiles // nf fv
+    # tiles | finish]. The kernel factory is the single source of truth
+    # for the P_* constants — the BlockSpec index maps below MUST use
+    # the same layout the kernel consumes tiles in.
+    kernel, n_phase, ph = _make_kernel_tiled(
         c, h, s, d_lora, f_dim, n_layer, quant, batch, nh, nf, nr, no,
         w4=w4,
     )
+    P_WKV0, P_OUT0 = ph["P_WKV0"], ph["P_OUT0"]
+    P_FK0, P_FV0 = ph["P_FK0"], ph["P_FV0"]
 
     def per_layer(shape):
         return pl.BlockSpec(
@@ -2106,7 +2101,9 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
             x_s[:] = x
             y_out[:] = x
 
-    return kernel, n_phase
+    phases = {"P_WKV0": P_WKV0, "P_OUT0": P_OUT0, "P_FSH": P_FSH,
+              "P_FR0": P_FR0, "P_FK0": P_FK0, "P_FV0": P_FV0}
+    return kernel, n_phase, phases
 
 
 def v6_decode_megakernel_tiled(
@@ -2128,17 +2125,15 @@ def v6_decode_megakernel_tiled(
     assert x0.shape[1] == 1, "v6 tiled kernel is B=1 only"
     m = ng // 4
     fused = (m == 1)
-    P_WKV0 = 1 if fused else 1 + ng
-    P_OUT0 = P_WKV0 + nh
-    P_FSH = P_OUT0 + no
-    P_FR0 = P_FSH + 1
-    P_FK0 = P_FR0 + no
-    P_FV0 = P_FK0 + 1
 
-    kernel, n_phase = _make_kernel_tiled_v6(
+    # the kernel factory is the single source of truth for the phase
+    # layout — specs below must use ITS constants
+    kernel, n_phase, ph = _make_kernel_tiled_v6(
         c, h, s, d_maa, d_dec, f_dim, n_layer, quant, nh, nf, ng, no,
         w4=bool(pack.get("w4")),
     )
+    P_WKV0, P_OUT0 = ph["P_WKV0"], ph["P_OUT0"]
+    P_FR0, P_FK0, P_FV0 = ph["P_FR0"], ph["P_FK0"], ph["P_FV0"]
 
     def per_layer(shape):
         return pl.BlockSpec(
@@ -3138,7 +3133,9 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
             x_s[:] = x
             y_out[:] = x
 
-    return kernel, n_phase
+    phases = {"P_WKV": P_WKV, "P_OUT0": P_OUT0, "P_FSH": P_FSH,
+              "P_FR0": P_FR0, "P_FK0": P_FK0, "P_FV0": P_FV0}
+    return kernel, n_phase, phases
 
 
 def v4_decode_megakernel_tiled(
@@ -3157,16 +3154,13 @@ def v4_decode_megakernel_tiled(
     assert x0.shape[1] == 1, "v4 tiled kernel is B=1 only"
     m = nr // 3
     fused = (m == 1)
-    P_WKV = 0 if fused else 1 + nr
-    P_OUT0 = P_WKV + 1
-    P_FSH = P_OUT0 + no
-    P_FR0 = P_FSH + 1
-    P_FK0 = P_FR0 + no
-    P_FV0 = P_FK0 + 1
 
-    kernel, n_phase = _make_kernel_tiled_v4(
+    # phase constants come from the kernel factory (single source)
+    kernel, n_phase, ph = _make_kernel_tiled_v4(
         c, f_dim, n_layer, quant, nf, nr, no, w4=bool(pack.get("w4")),
     )
+    P_OUT0, P_FR0 = ph["P_OUT0"], ph["P_FR0"]
+    P_FK0, P_FV0 = ph["P_FK0"], ph["P_FV0"]
 
     def per_layer(shape):
         return pl.BlockSpec(
@@ -3609,7 +3603,9 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
             x_s[:] = x
             y_out[:] = x
 
-    return kernel, n_phase
+    phases = {"P_WKV0": P_WKV0, "P_OUT0": P_OUT0, "P_FSH": P_FSH,
+              "P_FR0": P_FR0, "P_FK0": P_FK0, "P_FV0": P_FV0}
+    return kernel, n_phase, phases
 
 
 def v5_decode_megakernel_tiled(
@@ -3631,17 +3627,14 @@ def v5_decode_megakernel_tiled(
     n_mix = 4 if has_gate else 3
     m = ng // n_mix
     fused = (m == 1)
-    P_WKV0 = 1 if fused else 1 + ng
-    P_OUT0 = P_WKV0 + nh
-    P_FSH = P_OUT0 + no
-    P_FR0 = P_FSH + 1
-    P_FK0 = P_FR0 + no
-    P_FV0 = P_FK0 + 1
 
-    kernel, n_phase = _make_kernel_tiled_v5(
+    # phase constants come from the kernel factory (single source)
+    kernel, n_phase, ph = _make_kernel_tiled_v5(
         c, h, s, f_dim, n_layer, quant, has_gate, nh, nf, ng, no,
         w4=bool(pack.get("w4")),
     )
+    P_WKV0, P_OUT0 = ph["P_WKV0"], ph["P_OUT0"]
+    P_FR0, P_FK0, P_FV0 = ph["P_FR0"], ph["P_FK0"], ph["P_FV0"]
 
     def per_layer(shape):
         return pl.BlockSpec(

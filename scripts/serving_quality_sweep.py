@@ -34,7 +34,11 @@ TESTS = "/root/reference/tests"
 VERSIONS = ["4v0-660K", "5v1-730K", "5v2-730K", "6v0-3m", "7v0-834K"]
 # Serving precisions. 'quant' (keep file blocks) reads the committed Q5_1
 # requant fixture; everything else loads the FP32 file.
-PRECISIONS = ["f32", "bf16", "q8", "q8r", "w8a8", "quant"]
+# 'w4' measures the w4a8 kernel's WEIGHT error (per-row int4 on the big
+# mats, the dominant quality effect) by dequant-emulation on the bf16
+# engine — the reference's perplexity-per-format methodology
+# (README.md:33-43) likewise quantifies format error.
+PRECISIONS = ["f32", "bf16", "q8", "q8r", "w8a8", "w4", "quant"]
 
 # Fixed byte-level evaluation text (tiny models are byte-tokenized).
 TEXT = (
@@ -46,6 +50,40 @@ TEXT = (
 )
 
 
+_W4_SKIP = ("att.w1", "att.w2", "att.a1", "att.a2", "att.g1", "att.g2",
+            "att.v1", "att.v2", "att.time_maa_w1", "att.time_maa_w2",
+            "att.time_decay_w1", "att.time_decay_w2")
+
+
+def _deq4_params(params):
+    """Per-row int4 dequantization of every big 2-D mat (the w4a8
+    kernels' weight treatment: LoRA/maa mats stay int8-or-better, so
+    they are left exact here)."""
+    from rwkv_tpu.ops.megakernel import _np_dense
+
+    def deq(w):
+        w = _np_dense(w).astype(np.float32)
+        amax = np.abs(w).max(axis=-1, keepdims=True)
+        d = amax / 7.0
+        inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
+        return (np.clip(np.rint(w * inv), -7, 7) * d).astype(np.float32)
+
+    out = dict(params)
+    out["blocks"] = [
+        {
+            k: (deq(v)
+                if (k.endswith(".weight") and k != "ln1.weight"
+                    and k != "ln2.weight" and "ln_x" not in k
+                    and k not in _W4_SKIP
+                    and getattr(_np_dense(v), "ndim", 1) == 2)
+                else v)
+            for k, v in b.items()
+        }
+        for b in params["blocks"]
+    ]
+    return out
+
+
 def load(version: str, precision: str) -> ServingModel:
     if precision == "quant":
         path = f"{TESTS}/tiny-rwkv-{version}-FP32-to-Q5_1.bin"
@@ -53,6 +91,11 @@ def load(version: str, precision: str) -> ServingModel:
         path = f"{TESTS}/tiny-rwkv-{version}-FP32.bin"
     if not os.path.exists(path):
         raise FileNotFoundError(path)
+    if precision == "w4":
+        from rwkv_tpu.models.loader import load_params
+
+        cfg, params = load_params(path)
+        return ServingModel((cfg, _deq4_params(params)), precision="bf16")
     return ServingModel(path, precision=precision)
 
 

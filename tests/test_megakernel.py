@@ -556,3 +556,34 @@ def test_megamodel_w4a8_other_archs(version):
         assert np.abs(lm - lr).max() / scale < 1.5e-1, version
         top5 = np.argsort(lr[0])[-5:]
         assert lm[0].argmax() in top5, version
+
+
+def test_megamodel_tiled_fused_multi_ffn_tiles():
+    """REGRESSION (round-2 review finding): in the fused (m=1) layout
+    with nf > 1 — the 1.5B-class flagship configuration — the caller's
+    BlockSpec phase constants once used the non-fused layout while the
+    kernel used the fused one, so every fk/fv phase consumed tile 0's
+    weights. C=1280 bf16 gives m=1, nf=4 and routes through the tiled
+    kernel."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import choose_tiling
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=1280, n_vocab=512,
+                       head_size=64)
+    nh, nf, nr, no = choose_tiling(cfg, False, 1)
+    assert nr == 3 and nf > 1, (nr, nf)  # the configuration under test
+    params = synth_params(cfg, seed=31, lora_dim=64)
+    ref = ServingModel((cfg, params), precision="bf16")
+    mega = ServingModel((cfg, params), precision="bf16", megakernel=True)
+    assert mega._mega_big
+
+    state_r = ref.init_state(1)
+    state_m = mega.init_state(1)
+    for tok in (3, 77, 200):
+        lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+        lm, state_m = mega.decode(np.array([tok], np.int32), state_m)
+        lr, lm = np.asarray(lr), np.asarray(lm)
+        scale = max(np.abs(lr).max(), 1e-6)
+        assert np.abs(lm - lr).max() / scale < 5e-3
+        assert lm.argmax() == lr.argmax()
