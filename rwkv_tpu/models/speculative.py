@@ -22,7 +22,7 @@ deterministic temperature-0 sampling semantics (sampling.py:48-50).
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -28,16 +28,11 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from rwkv_tpu.ops.megakernel import _nibble_halves  # noqa: F401 (future w4)
-
 # Vectors stored as [L, 1, N] rows (lane-padding rule — an [N, 1] f32
 # column window lane-pads 1 -> 128; see ops/megakernel.py).
-_TP_REPL_VECS = ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
-                 "ffn.x_k", "coeff")
 _TP_SHARD_VECS = ("att.w0", "att.a0", "att.v0", "att.k_k", "att.k_a")
 # ln_x w/b and r_k stay columns (grid-dependent head-tile slices).
 

@@ -587,3 +587,34 @@ def test_megamodel_tiled_fused_multi_ffn_tiles():
         scale = max(np.abs(lr).max(), 1e-6)
         assert np.abs(lm - lr).max() / scale < 5e-3
         assert lm.argmax() == lr.argmax()
+
+
+def test_megamodel_w4a8_batched_tiled():
+    """w4a8 through the BATCHED tiled kernel (batch on lanes) must match
+    the B=1 tiled kernel per sequence — identical int4 codes, and the
+    per-column activation scales equal the B=1 scalar scales (comparing
+    against w8a8 instead would only measure int4 weight error, which is
+    large on tiny random models)."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=256, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=37, lora_dim=32)
+    one = ServingModel((cfg, params), precision="w4a8", megakernel=True)
+    bat = ServingModel((cfg, params), precision="w4a8", megakernel=True)
+    bat.mega_min_batch = 2  # force the batched kernel at tiny B
+
+    toks = np.array([3, 77, 200, 11], np.int32)
+    refs = []
+    for t in toks:
+        st = one.init_state(1)
+        lg, st = one.decode(np.array([t], np.int32), st)
+        refs.append(np.asarray(lg)[0])
+    refs = np.stack(refs)
+
+    stb = bat.init_state(4)
+    lgb, stb = bat.decode(toks, stb)
+    lgb = np.asarray(lgb)
+    scale = max(np.abs(refs).max(), 1e-6)
+    assert np.abs(lgb - refs).max() / scale < 1e-5
