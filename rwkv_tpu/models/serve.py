@@ -1056,10 +1056,13 @@ class ServingModel:
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
             meta = {k: self._mega_tp[k]
-                    for k in ("quant", "d_lora", "f_dim", "tp")}
+                    for k in ("quant", "d_lora", "f_dim", "tp", "nf")}
+            mm_force = self._mm_force
 
             @jax.jit
             def run(params, pack_arrs, state, token):  # state [1, L, ...]
+                from rwkv_tpu.ops.kernels import force_mode
+
                 pack = {**pack_arrs, **meta}
                 x0 = p_ln(
                     params["emb"][token[0]].astype(jnp.float32),
@@ -1075,7 +1078,11 @@ class ServingModel:
                     interpret=interpret,
                 )
                 xo = p_ln(y[:, 0], *params["ln_out"])
-                logits = G.mm(xo[None, :], params["head"])
+                # head weight is TP-sharded — GSPMD cannot partition the
+                # pallas quant matmul, force the XLA path like every
+                # other mesh-capable compiled fn
+                with force_mode(mm_force):
+                    logits = G.mm(xo[None, :], params["head"])
                 new_state = {
                     "att_xx": new_t["att_xx"][None, ..., 0],
                     "ffn_xx": new_t["ffn_xx"][None, ..., 0],

@@ -58,6 +58,7 @@ def build_mega_pack_tp(pack: dict, cfg, tp: int, mesh) -> dict:
         return jax.device_put(a, NamedSharding(mesh, P(*spec)))
 
     out = {"quant": quant, "d_lora": d, "f_dim": f_dim, "tp": tp}
+    # (out["nf"] is added below with the FFN tiling)
     # rkv [L, 3C, C] -> [L, 3, C, C], rows (dim 2) sharded
     out["rkv"] = put(pack["rkv"].reshape(L, 3, c, c),
                      (None, None, "model", None))
@@ -68,9 +69,26 @@ def build_mega_pack_tp(pack: dict, cfg, tp: int, mesh) -> dict:
                        (None, None, "model", None))
     # out [L, C, C]: contraction dim (2) sharded
     out["out"] = put(pack["out"], (None, None, "model"))
-    # fk [L, F, C]: rows (1) sharded; fv [L, C, F]: contraction (2)
-    out["fk"] = put(pack["fk"], (None, "model", None))
-    out["fv"] = put(pack["fv"], (None, None, "model"))
+    # FFN mats are pre-tiled HERE (nf tiles over the hidden dim) so the
+    # per-layer kernel consumes them directly — re-laying fv out inside
+    # the lax.scan body would re-materialize ~MBs per layer per token.
+    f_loc = f_dim // tp
+    nf = 1
+    while (f_loc // nf) * c > 4 * 1024 * 1024 or f_loc % nf:
+        nf += 1
+        if nf > f_loc:
+            nf = f_loc
+            break
+    out["nf"] = nf
+    f4 = f_dim // nf
+    # fk [L, F, C] -> [L, nf, F/nf, C], tile rows (2) sharded;
+    # fv [L, C, F] -> [L, nf, C, F/nf], contraction (3) sharded
+    out["fk"] = put(pack["fk"].reshape(L, nf, f4, c),
+                    (None, None, "model", None))
+    out["fv"] = put(
+        jnp.swapaxes(pack["fv"].reshape(L, c, nf, f4), 1, 2),
+        (None, None, None, "model"),
+    )
     if quant:
         out["rkv_d"] = put(pack["rkv_d"].reshape(L, 3, c, 1),
                            (None, None, "model", None))
@@ -78,8 +96,12 @@ def build_mega_pack_tp(pack: dict, cfg, tp: int, mesh) -> dict:
         out["lora2_d"] = put(pack["lora2_d"].reshape(L, 4, c, 1),
                              (None, None, "model", None))
         out["out_d"] = put(pack["out_d"], (None, None, None))  # full rows
-        out["fk_d"] = put(pack["fk_d"], (None, "model", None))
-        out["fv_d"] = put(pack["fv_d"], (None, None, None))    # full rows
+        out["fk_d"] = put(
+            jnp.swapaxes(pack["fk_d"].reshape(L, nf, f4, 1), 2, 3),
+            (None, None, None, "model"),
+        )  # [L, nf, 1, F/nf]
+        out["fv_d"] = put(jnp.swapaxes(pack["fv_d"], 1, 2),
+                          (None, None, None))  # [L, 1, C] full rows
 
     # replicated row vectors
     for key in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
@@ -100,15 +122,9 @@ def build_mega_pack_tp(pack: dict, cfg, tp: int, mesh) -> dict:
     return out
 
 
-def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no):
-    """Single-layer attention kernel on one chip's head shard.
-    Grid (1 + nh + no,): [shift+loras+rkv | nh wkv tiles | no out tiles].
-    Emits the FULL-C partial att output (pre-psum) plus the local state
-    updates."""
-    h4 = h_loc // nh
-    c_o = c // no
-    P_WKV0 = 1
-    P_OUT0 = P_WKV0 + nh
+def _math_helpers(quant):
+    """Shared mm/qx/ln closures for the per-layer kernels (one source —
+    a qx tweak must reach both the att and ffn factories)."""
 
     def mm(w, x):
         return jax.lax.dot_general(
@@ -128,6 +144,27 @@ def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no):
         vc = v - mu
         var = jnp.mean(vc * vc, axis=0, keepdims=True)
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def matv(w, dd, xcol):
+        if quant:
+            x8, dx = qx(xcol)
+            acc = mm(w, x8)
+            return acc.astype(jnp.float32) * dx * dd
+        return mm(w, xcol.astype(jnp.bfloat16))
+
+    return mm, qx, ln, matv
+
+
+def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no):
+    """Single-layer attention kernel on one chip's head shard.
+    Grid (1 + nh + no,): [shift+loras+rkv | nh wkv tiles | no out tiles].
+    Emits the FULL-C partial att output (pre-psum) plus the local state
+    updates."""
+    h4 = h_loc // nh
+    c_o = c // no
+    P_WKV0 = 1
+    P_OUT0 = P_WKV0 + nh
+    mm, qx, ln, matv = _math_helpers(quant)
 
     def kernel(*refs):
         if quant:
@@ -151,13 +188,6 @@ def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no):
             """Row window [1, N] -> column [N, 1] (exact natively —
             probe_row_layout.py pA)."""
             return ref[:].T
-
-        def matv(w, dd, xcol):
-            if quant:
-                x8, dx = qx(xcol)
-                acc = mm(w, x8)
-                return acc.astype(jnp.float32) * dx * dd
-            return mm(w, xcol.astype(jnp.bfloat16))
 
         @pl.when(p == 0)
         def _shift_loras():
@@ -282,25 +312,7 @@ def _make_ffn_kernel(c, f_loc, quant, nf):
     f4 = f_loc // nf
     P_FK0 = 1
     P_FV0 = P_FK0 + 1
-
-    def mm(w, x):
-        return jax.lax.dot_general(
-            w, x, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32 if quant else jnp.float32,
-        )
-
-    def qx(x):
-        amax = jnp.max(jnp.abs(x))
-        dx = amax / 127.0
-        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
-        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
-        return x8, dx
-
-    def ln(v, w, b, eps):
-        mu = jnp.mean(v, axis=0, keepdims=True)
-        vc = v - mu
-        var = jnp.mean(vc * vc, axis=0, keepdims=True)
-        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+    mm, qx, ln, matv = _math_helpers(quant)
 
     def kernel(*refs):
         if quant:
@@ -320,13 +332,6 @@ def _make_ffn_kernel(c, f_loc, quant, nf):
 
         def cv(ref):
             return ref[:].T
-
-        def matv(w, dd, xcol):
-            if quant:
-                x8, dx = qx(xcol)
-                acc = mm(w, x8)
-                return acc.astype(jnp.float32) * dx * dd
-            return mm(w, xcol.astype(jnp.bfloat16))
 
         @pl.when(p == 0)
         def _shift():
@@ -441,19 +446,17 @@ def _att_layer_call(lyr, x, att_xx, heads, v_first, first, cfg, tp,
 
 
 def _ffn_layer_call(lyr, x, ffn_xx, cfg, tp, quant, interpret):
+    """One chip's FFN partial for one layer. All arrays LOCAL and
+    PRE-TILED by build_mega_pack_tp (fk [nf, f4, C], fv [nf, C, f4],
+    fk_d [nf, 1, f4], fv_d [1, C]) — only free [None] reshapes here."""
     c = cfg.n_embed
-    f_loc = lyr["fk"].shape[-2]
-    nf = 1
-    while (f_loc // nf) * c > 4 * 1024 * 1024 or f_loc % nf:
-        nf += 1
-        if nf > f_loc:
-            nf = f_loc
-            break
+    nf = lyr["fk"].shape[0]
+    f4 = lyr["fk"].shape[1]
+    f_loc = nf * f4
     kernel, n_phase = _make_ffn_kernel(c, f_loc, quant, nf)
-    f4 = f_loc // nf
 
-    fk = lyr["fk"].reshape(1, nf, f4, c)
-    fv = jnp.swapaxes(lyr["fv"].reshape(c, nf, f4), 0, 1)[None]
+    fk = lyr["fk"][None]
+    fv = lyr["fv"][None]
 
     def fk_spec(shape, first_p):
         return pl.BlockSpec(
@@ -465,14 +468,13 @@ def _ffn_layer_call(lyr, x, ffn_xx, cfg, tp, quant, interpret):
     mat_args = [fk]
     mat_specs = [fk_spec((f4, c), 1)]
     if quant:
-        fk_d = lyr["fk_d"].reshape(1, nf, f4, 1)
-        fk_d = jnp.swapaxes(fk_d, 2, 3)
+        fk_d = lyr["fk_d"][None]
         mat_args.append(fk_d)
         mat_specs.append(fk_spec((1, f4), 1))
     mat_args.append(fv)
     mat_specs.append(fk_spec((c, f4), 2))
     if quant:
-        fv_d = jnp.swapaxes(lyr["fv_d"], 0, 1)[None]  # [1, 1, C] rows
+        fv_d = lyr["fv_d"][None]               # [1, 1, C] rows
         mat_args.append(fv_d)
         mat_specs.append(_whole(fv_d.shape))
 
@@ -524,7 +526,7 @@ def tp_decode_step(pack, state_t, x0, cfg, mesh, interpret=False):
     quant = pack["quant"]
     L = cfg.n_layer
 
-    meta = ("quant", "d_lora", "f_dim", "tp")
+    meta = ("quant", "d_lora", "f_dim", "tp", "nf")
     arrs = {k: v for k, v in pack.items() if k not in meta}
 
     specs_in = {
@@ -532,13 +534,13 @@ def tp_decode_step(pack, state_t, x0, cfg, mesh, interpret=False):
         "lora1": P(None, None, None),
         "lora2": P(None, None, "model", None),
         "out": P(None, None, "model"),
-        "fk": P(None, "model", None),
-        "fv": P(None, None, "model"),
+        "fk": P(None, None, "model", None),
+        "fv": P(None, None, None, "model"),
         "rkv_d": P(None, None, "model", None),
         "lora1_d": P(None, None, None),
         "lora2_d": P(None, None, "model", None),
         "out_d": P(None, None, None),
-        "fk_d": P(None, "model", None),
+        "fk_d": P(None, None, None, "model"),
         "fv_d": P(None, None, None),
         "att.ln_x.weight": P(None, "model", None),
         "att.ln_x.bias": P(None, "model", None),

@@ -50,11 +50,6 @@ TEXT = (
 )
 
 
-_W4_SKIP = ("att.w1", "att.w2", "att.a1", "att.a2", "att.g1", "att.g2",
-            "att.v1", "att.v2", "att.time_maa_w1", "att.time_maa_w2",
-            "att.time_decay_w1", "att.time_decay_w2")
-
-
 def _deq4_params(params):
     """Per-row int4 dequantization of every big 2-D mat (the w4a8
     kernels' weight treatment: LoRA/maa mats stay int8-or-better, so
@@ -71,10 +66,11 @@ def _deq4_params(params):
     out = dict(params)
     out["blocks"] = [
         {
+            # the '.weight' suffix structurally excludes the LoRA/maa
+            # mats (they are named 'att.w1', 'att.time_maa_w1', ...)
             k: (deq(v)
                 if (k.endswith(".weight") and k != "ln1.weight"
                     and k != "ln2.weight" and "ln_x" not in k
-                    and k not in _W4_SKIP
                     and getattr(_np_dense(v), "ndim", 1) == 2)
                 else v)
             for k, v in b.items()
