@@ -109,7 +109,74 @@ def synth_pack_device(cfg, nh, nf, nr, no, seed=0):
     return pack
 
 
+def gate():
+    """Native-vs-interpret gates for the v7 tiled kernel at a small
+    width with FORCED tiling: (fused, row-tiled) x (w8a8, w4). Run
+    before trusting any new matv path natively (silent-miscompute
+    hazard — see ops/megakernel.py header)."""
+    import numpy as np
+
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import (
+        build_mega_pack, retile_mega_pack, v7_decode_megakernel_tiled,
+    )
+
+    cfg = synth_config("7.0", n_layer=3, n_embed=512, n_vocab=1024,
+                       head_size=64)
+    params = synth_params(cfg, seed=3, lora_dim=64)
+    h, s = cfg.head_count, cfg.head_size
+    c = cfg.n_embed
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(c, 1)) * 0.3, jnp.float32)
+
+    ok_all = True
+    for w4 in (False, True):
+        base = build_mega_pack(params, cfg, quant=True, w4=w4)
+        for label, (nh, nf, nr, no) in (
+            ("fused", (2, 2, 3, 1)),
+            ("row-tiled", (2, 2, 6, 2)),
+        ):
+            pack = retile_mega_pack(base, cfg, nh, nf, nr, no)
+            state = {
+                "att_xx": jnp.zeros((cfg.n_layer, c, 1), jnp.float32),
+                "ffn_xx": jnp.zeros((cfg.n_layer, c, 1), jnp.float32),
+                "heads": jnp.asarray(
+                    rng.normal(
+                        size=(cfg.n_layer, nh, h // nh, s, s)
+                    ) * 0.05,
+                    jnp.float32,
+                ),
+            }
+            meta_keys = ("quant", "w4", "d_lora", "f_dim",
+                         "nh", "nf", "nr", "no")
+            meta = {k: pack[k] for k in meta_keys}
+            arrs = {k: v for k, v in pack.items() if k not in meta}
+
+            def step(arrs, state, x0, interpret):
+                return v7_decode_megakernel_tiled(
+                    {**arrs, **meta}, state, x0, cfg, interpret=interpret
+                )
+
+            # off-TPU this degenerates to interpret-vs-interpret (a
+            # plumbing smoke); the real gate needs the chip
+            native = jax.default_backend() != "tpu"
+            y_n, _ = jax.jit(
+                lambda a, st, x: step(a, st, x, native)
+            )(arrs, state, x0)
+            y_i, _ = step(arrs, state, x0, True)
+            y_n, y_i = np.asarray(y_n), np.asarray(y_i)
+            rel = np.abs(y_n - y_i).max() / max(np.abs(y_i).max(), 1e-6)
+            mode = "w4a8" if w4 else "w8a8"
+            ok = rel < 2e-2
+            ok_all = ok_all and ok
+            print(f"gate {mode} {label:9s}: y rel {rel:.2e}  "
+                  f"{'OK' if ok else 'FAIL'}", flush=True)
+    return ok_all
+
+
 def main():
+    if "--gate" in sys.argv:
+        return 0 if gate() else 1
     cfg = synth_config(
         "7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD
     )

@@ -51,8 +51,8 @@ def null_overhead():
 
 
 def run_pack(pack, cfg, state, x0, interpret):
-    meta_keys = ("quant", "f_dim", "nf", "nr", "no")
-    meta = {k: pack[k] for k in meta_keys}
+    meta_keys = ("quant", "w4", "f_dim", "nf", "nr", "no")
+    meta = {k: pack[k] for k in meta_keys if k in pack}
     arrs = {k: v for k, v in pack.items() if k not in meta}
 
     @jax.jit
@@ -72,8 +72,8 @@ def gate():
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(c, 1)) * 0.3, jnp.float32)
 
-    for quant in (False, True):
-        base = build_mega_pack_v4(params, cfg, quant=quant)
+    for quant, w4 in ((False, False), (True, False), (True, True)):
+        base = build_mega_pack_v4(params, cfg, quant=quant, w4=w4)
         for label, (nf, nr, no) in (
             ("fused", (2, 3, 1)),
             ("row-tiled", (2, 6, 2)),
@@ -94,7 +94,7 @@ def gate():
                 np.abs(np.asarray(st_n["aa"]) - np.asarray(st_i["aa"]))
                 .max() / max(np.abs(np.asarray(st_i["aa"])).max(), 1e-6)
             )
-            mode = "w8a8" if quant else "bf16"
+            mode = ("w4a8" if w4 else "w8a8") if quant else "bf16"
             tol = 2e-2 if quant else 5e-3
             ok = rel < tol and arel < tol
             print(f"gate {mode:5s} {label:9s}: y rel {rel:.2e} "

@@ -56,8 +56,9 @@ def null_overhead():
 
 
 def run_pack(pack, cfg, state, x0, interpret):
-    meta_keys = ("quant", "d_maa", "d_dec", "f_dim", "nh", "nf", "ng", "no")
-    meta = {k: pack[k] for k in meta_keys}
+    meta_keys = ("quant", "w4", "d_maa", "d_dec", "f_dim",
+                 "nh", "nf", "ng", "no")
+    meta = {k: pack[k] for k in meta_keys if k in pack}
     arrs = {k: v for k, v in pack.items() if k not in meta}
 
     @jax.jit
@@ -77,8 +78,8 @@ def gate():
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.normal(size=(cfg.n_embed, 1)) * 0.3, jnp.float32)
 
-    for quant in (False, True):
-        base = build_mega_pack_v6(params, cfg, quant=quant)
+    for quant, w4 in ((False, False), (True, False), (True, True)):
+        base = build_mega_pack_v6(params, cfg, quant=quant, w4=w4)
         for label, (nh, nf, ng, no) in (
             ("fused", (2, 2, 4, 1)),
             ("row-tiled", (2, 2, 8, 2)),
@@ -102,7 +103,7 @@ def gate():
                 np.abs(np.asarray(st_n["heads"]) - np.asarray(st_i["heads"]))
                 .max() / max(np.abs(np.asarray(st_i["heads"])).max(), 1e-6)
             )
-            mode = "w8a8" if quant else "bf16"
+            mode = ("w4a8" if w4 else "w8a8") if quant else "bf16"
             tol = 2e-2 if quant else 5e-3
             ok = rel < tol and hrel < tol
             print(f"gate {mode:5s} {label:9s}: y rel {rel:.2e} "
@@ -201,8 +202,9 @@ def timing():
     print(f"weights streamed/step incl. head: {nbytes / 1e9:.2f} GB",
           flush=True)
 
-    meta_keys = ("quant", "d_maa", "d_dec", "f_dim", "nh", "nf", "ng", "no")
-    meta = {k: pack[k] for k in meta_keys}
+    meta_keys = ("quant", "w4", "d_maa", "d_dec", "f_dim",
+                 "nh", "nf", "ng", "no")
+    meta = {k: pack[k] for k in meta_keys if k in pack}
     arrs = {k: v for k, v in pack.items() if k not in meta}
 
     def ln(v, w, b):
