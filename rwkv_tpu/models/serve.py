@@ -429,13 +429,12 @@ class ServingModel:
             # shard_map (ops/megakernel_tp.py). v7, B=1, w8a8/bf16.
             if cfg.version_major != 7:
                 raise ValueError("TP megakernel decode is v7-only")
-            if precision == "w4a8":
-                raise ValueError("TP megakernel: w8a8/bf16 only")
             from rwkv_tpu.ops.megakernel import build_mega_pack
             from rwkv_tpu.ops.megakernel_tp import build_mega_pack_tp
 
-            quant = precision in ("quant", "q8", "q8r", "w8a8")
-            base = build_mega_pack(params, cfg, quant=quant)
+            quant = precision in ("quant", "q8", "q8r", "w8a8", "w4a8")
+            base = build_mega_pack(params, cfg, quant=quant,
+                                   w4=(precision == "w4a8"))
             tp_n = mesh.shape["model"]
             self._mega_tp = build_mega_pack_tp(base, cfg, tp_n, mesh)
             self.mega_min_batch = 64
@@ -1056,7 +1055,8 @@ class ServingModel:
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
             meta = {k: self._mega_tp[k]
-                    for k in ("quant", "d_lora", "f_dim", "tp", "nf")}
+                    for k in ("quant", "w4", "d_lora", "f_dim",
+                              "tp", "nf")}
             mm_force = self._mm_force
 
             @jax.jit

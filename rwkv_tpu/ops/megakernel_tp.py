@@ -31,6 +31,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rwkv_tpu.ops.megakernel import (
+    _nibble_halves, _pack_nibbles_split_half,
+)
+
 # Vectors stored as [L, 1, N] rows (lane-padding rule — an [N, 1] f32
 # column window lane-pads 1 -> 128; see ops/megakernel.py).
 _TP_SHARD_VECS = ("att.w0", "att.a0", "att.v0", "att.k_k", "att.k_a")
@@ -51,24 +55,40 @@ def build_mega_pack_tp(pack: dict, cfg, tp: int, mesh) -> dict:
     f_dim = pack["f_dim"]
     d = pack["d_lora"]
     quant = pack["quant"]
-    assert not pack.get("w4"), "TP megakernel: w8a8/bf16 only for now"
+    w4 = bool(pack.get("w4"))
     assert c % tp == 0 and h % tp == 0 and f_dim % tp == 0
 
     def put(a, spec):
         return jax.device_put(a, NamedSharding(mesh, P(*spec)))
 
-    out = {"quant": quant, "d_lora": d, "f_dim": f_dim, "tp": tp}
+    out = {"quant": quant, "w4": w4, "d_lora": d, "f_dim": f_dim,
+           "tp": tp}
     # (out["nf"] is added below with the FFN tiling)
-    # rkv [L, 3C, C] -> [L, 3, C, C], rows (dim 2) sharded
-    out["rkv"] = put(pack["rkv"].reshape(L, 3, c, c),
+
+    def pk_repl_k(a):
+        """Pack nibbles along a REPLICATED K (last axis, whole)."""
+        return _pack_nibbles_split_half(a) if w4 else a
+
+    def pk_shard_k(a):
+        """Pack nibbles along a SHARDED K: split-half WITHIN each
+        chip's contiguous K block, so the per-chip matv4 halves line
+        up with its local activation slice."""
+        if not w4:
+            return a
+        k = a.shape[-1]
+        blk = a.reshape(*a.shape[:-1], tp, k // tp)
+        return _pack_nibbles_split_half(blk).reshape(*a.shape[:-1], k // 2)
+
+    # rkv [L, 3C, C] -> [L, 3, C, C(/2)], rows (dim 2) sharded
+    out["rkv"] = put(pk_repl_k(pack["rkv"].reshape(L, 3, c, c)),
                      (None, None, "model", None))
     # lora1 [L, 4d, C] replicated
     out["lora1"] = put(pack["lora1"], (None, None, None))
     # lora2 [L, 4C, d] -> [L, 4, C, d], rows (dim 2) sharded
     out["lora2"] = put(pack["lora2"].reshape(L, 4, c, d),
                        (None, None, "model", None))
-    # out [L, C, C]: contraction dim (2) sharded
-    out["out"] = put(pack["out"], (None, None, "model"))
+    # out [L, C, C(/2)]: contraction dim (2) sharded
+    out["out"] = put(pk_shard_k(pack["out"]), (None, None, "model"))
     # FFN mats are pre-tiled HERE (nf tiles over the hidden dim) so the
     # per-layer kernel consumes them directly — re-laying fv out inside
     # the lax.scan body would re-materialize ~MBs per layer per token.
@@ -81,12 +101,12 @@ def build_mega_pack_tp(pack: dict, cfg, tp: int, mesh) -> dict:
             break
     out["nf"] = nf
     f4 = f_dim // nf
-    # fk [L, F, C] -> [L, nf, F/nf, C], tile rows (2) sharded;
-    # fv [L, C, F] -> [L, nf, C, F/nf], contraction (3) sharded
-    out["fk"] = put(pack["fk"].reshape(L, nf, f4, c),
+    # fk [L, F, C] -> [L, nf, F/nf, C(/2)], tile rows (2) sharded;
+    # fv [L, C, F] -> [L, nf, C, F/nf(/2)], contraction (3) sharded
+    out["fk"] = put(pk_repl_k(pack["fk"].reshape(L, nf, f4, c)),
                     (None, None, "model", None))
     out["fv"] = put(
-        jnp.swapaxes(pack["fv"].reshape(L, c, nf, f4), 1, 2),
+        pk_shard_k(jnp.swapaxes(pack["fv"].reshape(L, c, nf, f4), 1, 2)),
         (None, None, None, "model"),
     )
     if quant:
@@ -152,10 +172,19 @@ def _math_helpers(quant):
             return acc.astype(jnp.float32) * dx * dd
         return mm(w, xcol.astype(jnp.bfloat16))
 
-    return mm, qx, ln, matv
+    def matv4(w, dd, xcol):
+        """split-half-packed int4 (see megakernel._pack_nibbles_...)."""
+        kh = w.shape[1]
+        x8, dx = qx(xcol)
+        lo, hi = _nibble_halves(w)
+        acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
+        return acc.astype(jnp.float32) * dx * dd
+
+    return mm, qx, ln, matv, matv4
 
 
-def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no):
+def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no,
+                     w4=False):
     """Single-layer attention kernel on one chip's head shard.
     Grid (1 + nh + no,): [shift+loras+rkv | nh wkv tiles | no out tiles].
     Emits the FULL-C partial att output (pre-psum) plus the local state
@@ -164,7 +193,8 @@ def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no):
     c_o = c // no
     P_WKV0 = 1
     P_OUT0 = P_WKV0 + nh
-    mm, qx, ln, matv = _math_helpers(quant)
+    mm, qx, ln, matv, matv4 = _math_helpers(quant)
+    mv_big = matv4 if w4 else matv
 
     def kernel(*refs):
         if quant:
@@ -232,7 +262,7 @@ def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no):
             ag_s[:] = a_gate
 
             def proj(q, xin):
-                return matv(
+                return mv_big(
                     rkv[q], rkv_d[q] if quant else None, xin
                 )
 
@@ -297,22 +327,23 @@ def _make_att_kernel(c, c_loc, h_loc, s, d_lora, quant, nh, no):
         @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
         def _out_tile():
             t = p - P_OUT0
-            w = out_w[pl.dslice(t * c_o, c_o)]        # [c_o, c_loc]
+            w = out_w[pl.dslice(t * c_o, c_o)]        # [c_o, c_loc(/2)]
             dd = (out_d[pl.dslice(t * c_o, c_o)]      # [c_o, 1] full rows
                   if quant else None)
-            part_out[pl.dslice(t * c_o, c_o)] = matv(w, dd, xo_s[:])
+            part_out[pl.dslice(t * c_o, c_o)] = mv_big(w, dd, xo_s[:])
 
     return kernel, 1 + nh + no, P_OUT0
 
 
-def _make_ffn_kernel(c, f_loc, quant, nf):
+def _make_ffn_kernel(c, f_loc, quant, nf, w4=False):
     """Single-layer v7 FFN kernel on one chip's F shard.
     Grid (1 + nf + 1,): [shift | nf fk tiles // nf fv tiles | last fv].
     Emits the FULL-C partial FFN output (pre-psum)."""
     f4 = f_loc // nf
     P_FK0 = 1
     P_FV0 = P_FK0 + 1
-    mm, qx, ln, matv = _math_helpers(quant)
+    mm, qx, ln, matv, matv4 = _math_helpers(quant)
+    mv_big = matv4 if w4 else matv
 
     def kernel(*refs):
         if quant:
@@ -345,7 +376,7 @@ def _make_ffn_kernel(c, f_loc, quant, nf):
         @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
         def _fk_tile():
             t = p - P_FK0
-            hk = matv(
+            hk = mv_big(
                 fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
@@ -355,7 +386,7 @@ def _make_ffn_kernel(c, f_loc, quant, nf):
         def _fv_tile():
             t = p - P_FV0
             hk = h_s[pl.dslice(t * f4, f4)]
-            acc_s[:] += matv(
+            acc_s[:] += mv_big(
                 fv_w[0][0], fv_d[0].T if quant else None, hk
             )
 
@@ -372,7 +403,7 @@ def _whole(shape):
 
 
 def _att_layer_call(lyr, x, att_xx, heads, v_first, first, cfg, tp,
-                    quant, interpret):
+                    quant, interpret, w4=False):
     """One chip's attention partial for one layer. All arrays LOCAL."""
     c = cfg.n_embed
     h_loc = cfg.head_count // tp
@@ -389,7 +420,7 @@ def _att_layer_call(lyr, x, att_xx, heads, v_first, first, cfg, tp,
     no = 1  # out rows [C, c_loc] — small K, keep one tile
 
     kernel, n_phase, _ = _make_att_kernel(
-        c, c_loc, h_loc, s, d_lora, quant, nh, no
+        c, c_loc, h_loc, s, d_lora, quant, nh, no, w4=w4
     )
 
     mat_names = ["rkv", "lora1", "lora2", "out"]
@@ -445,15 +476,16 @@ def _att_layer_call(lyr, x, att_xx, heads, v_first, first, cfg, tp,
     )(*args)
 
 
-def _ffn_layer_call(lyr, x, ffn_xx, cfg, tp, quant, interpret):
+def _ffn_layer_call(lyr, x, ffn_xx, cfg, tp, quant, interpret,
+                    w4=False):
     """One chip's FFN partial for one layer. All arrays LOCAL and
     PRE-TILED by build_mega_pack_tp (fk [nf, f4, C], fv [nf, C, f4],
     fk_d [nf, 1, f4], fv_d [1, C]) — only free [None] reshapes here."""
     c = cfg.n_embed
     nf = lyr["fk"].shape[0]
-    f4 = lyr["fk"].shape[1]
+    f4 = lyr["fk"].shape[1]        # hidden rows per tile (unpacked)
     f_loc = nf * f4
-    kernel, n_phase = _make_ffn_kernel(c, f_loc, quant, nf)
+    kernel, n_phase = _make_ffn_kernel(c, f_loc, quant, nf, w4=w4)
 
     fk = lyr["fk"][None]
     fv = lyr["fv"][None]
@@ -466,13 +498,13 @@ def _ffn_layer_call(lyr, x, ffn_xx, cfg, tp, quant, interpret):
         )
 
     mat_args = [fk]
-    mat_specs = [fk_spec((f4, c), 1)]
+    mat_specs = [fk_spec(lyr["fk"].shape[1:], 1)]  # K may be packed
     if quant:
         fk_d = lyr["fk_d"][None]
         mat_args.append(fk_d)
         mat_specs.append(fk_spec((1, f4), 1))
     mat_args.append(fv)
-    mat_specs.append(fk_spec((c, f4), 2))
+    mat_specs.append(fk_spec(lyr["fv"].shape[1:], 2))
     if quant:
         fv_d = lyr["fv_d"][None]               # [1, 1, C] rows
         mat_args.append(fv_d)
@@ -524,9 +556,10 @@ def tp_decode_step(pack, state_t, x0, cfg, mesh, interpret=False):
 
     tp = pack["tp"]
     quant = pack["quant"]
+    w4 = bool(pack.get("w4"))
     L = cfg.n_layer
 
-    meta = ("quant", "d_lora", "f_dim", "tp", "nf")
+    meta = ("quant", "w4", "d_lora", "f_dim", "tp", "nf")
     arrs = {k: v for k, v in pack.items() if k not in meta}
 
     specs_in = {
@@ -566,12 +599,12 @@ def tp_decode_step(pack, state_t, x0, cfg, mesh, interpret=False):
             first = (idx == 0).astype(jnp.float32).reshape(1, 1)
             att_p, new_axx, new_heads, v_first = _att_layer_call(
                 lyr, x, att_xx, heads, v_first, first, cfg, tp, quant,
-                interpret,
+                interpret, w4=w4,
             )
             att_full = jax.lax.psum(att_p, "model")
             x = x + att_full
             ffn_p, new_fxx = _ffn_layer_call(
-                lyr, x, ffn_xx, cfg, tp, quant, interpret
+                lyr, x, ffn_xx, cfg, tp, quant, interpret, w4=w4
             )
             x = x + jax.lax.psum(ffn_p, "model")
             return (x, v_first, idx + 1), (new_axx, new_fxx, new_heads)

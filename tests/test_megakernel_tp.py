@@ -116,3 +116,51 @@ def test_serving_tp_megakernel_decode(eight_devices):
         assert np.abs(lt - lr).max() / scale < 1.5e-1
         top5 = np.argsort(lr[0])[-5:]
         assert lt[0].argmax() in top5
+
+
+def test_tp_megakernel_w4_matches_single_chip(eight_devices):
+    """w4a8 TP decode (per-shard split-half nibble packing on the
+    sharded-K mats) vs the single-chip w4 tiled kernel — identical int4
+    codes, drift only from per-shard activation scales."""
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import (
+        build_mega_pack, retile_mega_pack, v7_decode_megakernel_tiled,
+    )
+    from rwkv_tpu.ops.megakernel_tp import (
+        build_mega_pack_tp, tp_decode_step,
+    )
+    from rwkv_tpu.parallel.sharding import make_mesh
+
+    tp = 4
+    mesh = make_mesh(1, tp, devices=eight_devices[:tp])
+    cfg = synth_config("7.0", n_layer=2, n_embed=512, n_vocab=512,
+                      head_size=64)
+    params = synth_params(cfg, seed=41, lora_dim=64)
+    base = build_mega_pack(params, cfg, quant=True, w4=True)
+
+    L, c = cfg.n_layer, cfg.n_embed
+    h, s = cfg.head_count, cfg.head_size
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(c, 1)) * 0.3, jnp.float32)
+    heads0 = jnp.asarray(rng.normal(size=(L, h, s, s)) * 0.05, jnp.float32)
+    axx0 = jnp.zeros((L, c, 1), jnp.float32)
+    fxx0 = jnp.zeros((L, c, 1), jnp.float32)
+
+    ref_pack = retile_mega_pack(base, cfg, 1, 1, 3, 1)
+    y_ref, _ = v7_decode_megakernel_tiled(
+        ref_pack,
+        {"att_xx": axx0, "ffn_xx": fxx0,
+         "heads": heads0.reshape(L, 1, h, s, s)},
+        x0, cfg, interpret=True,
+    )
+
+    tp_pack = build_mega_pack_tp(base, cfg, tp, mesh)
+    y_tp, _ = tp_decode_step(
+        tp_pack, {"att_xx": axx0, "ffn_xx": fxx0, "heads": heads0},
+        x0, cfg, mesh, interpret=True,
+    )
+    y_ref, y_tp = np.asarray(y_ref), np.asarray(y_tp)
+    scale = max(np.abs(y_ref).max(), 1e-6)
+    assert np.abs(y_tp - y_ref).max() / scale < 1e-1, (
+        np.abs(y_tp - y_ref).max() / scale
+    )
