@@ -89,6 +89,24 @@ def wkv6_scan(s, r, k, v, w, tf):
     return y, s
 
 
+def wkv6_scan_trace(s, r, k, v, w, tf):
+    """wkv6_scan that also emits the state AFTER every step (the
+    speculative-commit primitive; cf. wkv7_scan_trace)."""
+    if w.ndim == 2:
+        w = jnp.broadcast_to(w, r.shape)
+
+    def step(s, inp):
+        rt, kt, vt, wt = inp
+        y = jnp.einsum("...hij,...hj->...hi", s, rt) + vt * jnp.sum(
+            rt * tf * kt, axis=-1, keepdims=True
+        )
+        s = s * wt[..., None, :] + vt[..., :, None] * kt[..., None, :]
+        return s, (y, s)
+
+    _, (y, s_all) = jax.lax.scan(step, s, (r, k, v, w))
+    return y, s_all
+
+
 def wkv7_scan(s, r, w, k, v, a, b):
     """RWKV v7 generalized delta rule (rwkv_operators_wkv_v7.inc:61-101):
       sa[h,i]   = sum_j a[h,j] * S[h,i,j]
@@ -193,9 +211,13 @@ def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None):
     return mm(xo, layer["att.output.weight"]), new_xx, heads
 
 
-def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None):
+def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None,
+           trace=False):
     """rwkv_att_v6 (rwkv_graph.inc:294-385): LoRA-style dynamic five-way
-    token-shift mix and dynamic decay. `wkv_fn` as in att_v5."""
+    token-shift mix and dynamic decay. `wkv_fn` as in att_v5.
+
+    trace=True (single-sequence [T, C] x): additionally returns
+    (xl, heads_all) — the per-position recurrent state."""
     h, s = cfg.head_count, cfg.head_size
     lead, c = x.shape[:-1], x.shape[-1]
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
@@ -226,12 +248,23 @@ def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None):
     w = w + layer["att.time_decay"].reshape(-1)
     w = jnp.exp(-jnp.exp(w)).reshape(*lead, h, s)
 
-    y, heads = (wkv_fn or wkv6_scan)(heads, r, k, v, w, layer["att.time_faaaa"])
+    if trace:
+        y, heads_all = wkv6_scan_trace(
+            heads, r, k, v, w, layer["att.time_faaaa"]
+        )
+        heads = heads_all[-1]
+    else:
+        y, heads = (wkv_fn or wkv6_scan)(
+            heads, r, k, v, w, layer["att.time_faaaa"]
+        )
     xo = group_norm(
         y.reshape(*lead, c), layer["att.ln_x.weight"], layer["att.ln_x.bias"], h, eps=64e-5
     )
     xo = xo * g
-    return mm(xo, layer["att.output.weight"]), new_xx, heads
+    out = mm(xo, layer["att.output.weight"])
+    if trace:
+        return out, new_xx, heads, (xl, heads_all)
+    return out, new_xx, heads
 
 
 def att_v7(

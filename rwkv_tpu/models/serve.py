@@ -343,8 +343,9 @@ def forward_stacked_trace(params, state, tokens, cfg):
     trace) with trace arrays [L, T, ...]: indexing position j gives the
     exact state after consuming tokens[:j+1] — the speculative-commit
     primitive (no prefix-replay pass; cf. rwkv_eval.inc:158-221's scratch
-    chunk loop, which re-evaluates to advance state)."""
-    assert cfg.version_major == 7, "trace path is v7-only"
+    chunk loop, which re-evaluates to advance state). v7 and v6."""
+    major = cfg.version_major
+    assert major in (6, 7), "trace path is v6/v7-only"
     emb = params["emb"][tokens]
     x = layer_norm(emb.astype(jnp.float32), *params["ln0"])
     xs = (params["blocks"], state["att_xx"], state["ffn_xx"],
@@ -353,7 +354,11 @@ def forward_stacked_trace(params, state, tokens, cfg):
     def body(carry, inp):
         x, v_first = carry
         layer, att_xx, ffn_xx, heads, idx = inp
-        if "att.rkv.weight" in layer:
+        if major == 6:
+            dx, _, heads, (xl, heads_all) = G.att_v6(
+                layer, x, att_xx, heads, cfg, trace=True
+            )
+        elif "att.rkv.weight" in layer:
             dx, _, heads, v_first, (xl, heads_all) = _att_v7_fused(
                 layer, x, att_xx, heads, v_first, cfg, (idx == 0), None,
                 trace=True,
@@ -364,10 +369,13 @@ def forward_stacked_trace(params, state, tokens, cfg):
                 trace=True,
             )
         x = x + dx
-        # ffn_xx state after position t is ln2(x)[t] (ffn_v7 recomputes
+        # ffn_xx state after position t is ln2(x)[t] (the ffn recomputes
         # this internally for its token shift)
         xl2 = layer_norm(x, layer["ln2.weight"], layer["ln2.bias"])
-        dx, _ = G.ffn_v7(layer, x, ffn_xx)
+        if major == 6:
+            dx, _ = G.ffn_v6(layer, x, ffn_xx)
+        else:
+            dx, _ = G.ffn_v7(layer, x, ffn_xx)
         x = x + dx
         return (x, v_first), (xl, xl2, heads_all)
 

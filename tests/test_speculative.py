@@ -135,3 +135,26 @@ def test_speculative_device_perfect_draft_accepts_all():
     got, stats = speculative_generate_device(target, target, PROMPT, n, k=4)
     assert got.tolist() == want, (got.tolist(), want, stats)
     assert stats["acceptance_rate"] == 1.0
+
+
+def test_speculative_device_v6_target():
+    """v6 target through the trace path: exact greedy equality on a
+    synth Finch-style model with a smaller v6 draft."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.speculative import speculative_generate_device
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    cfg_t = synth_config("6.0", n_layer=3, n_embed=256, n_vocab=512,
+                         head_size=64)
+    cfg_d = synth_config("6.0", n_layer=1, n_embed=128, n_vocab=512,
+                         head_size=32)
+    target = ServingModel((cfg_t, synth_params(cfg_t, seed=5)),
+                          precision="f32")
+    draft = ServingModel((cfg_d, synth_params(cfg_d, seed=6)),
+                         precision="f32")
+
+    prompt = [1, 2, 3, 4]
+    n = 10
+    want = _greedy_reference(target, prompt, n)
+    got, stats = speculative_generate_device(target, draft, prompt, n, k=3)
+    assert got.tolist() == want, (got.tolist(), want, stats)
