@@ -233,3 +233,160 @@ def speculative_generate_device(
         "acceptance_rate": (n_acc / (n_rounds * k)) if n_rounds else 1.0,
     }
     return buf[:n_tokens].astype(np.int32), stats
+
+
+# ---------------------------------------------------------------------------
+# Speculative SAMPLING (temperature > 0): Leviathan-style rejection
+# ---------------------------------------------------------------------------
+
+
+def _spec_accept(probs_t, probs_d, draft_toks, key):
+    """One round of speculative rejection sampling (device math).
+
+    probs_t [k+1, V]: target probs at positions 0..k (position i is the
+    distribution of token i+1 given the committed prefix + d_1..d_i);
+    probs_d [k, V]: draft probs the k proposals were drawn from;
+    draft_toks [k]. Returns (j, next_token): j = accepted proposal count
+    in [0, k]; next_token is drawn from the residual max(0, p_t - p_d)
+    at the rejection position, or from probs_t[k] when all k accepted —
+    the emitted stream is distributed EXACTLY as target-only sampling
+    (Leviathan et al., arXiv:2211.17192)."""
+    import jax
+    import jax.numpy as jnp
+
+    k = draft_toks.shape[0]
+    ku, kr = jax.random.split(key)
+    u = jax.random.uniform(ku, (k,))
+    pt_tok = jnp.take_along_axis(
+        probs_t[:k], draft_toks[:, None], axis=-1
+    )[:, 0]
+    pd_tok = jnp.take_along_axis(
+        probs_d, draft_toks[:, None], axis=-1
+    )[:, 0]
+    ratio = pt_tok / jnp.maximum(pd_tok, 1e-30)
+    accept = (u < ratio).astype(jnp.int32)
+    j = jnp.sum(jnp.cumprod(accept))
+
+    # residual distribution at the rejection position (row j; when all
+    # accepted, j == k and the "residual" is just probs_t[k])
+    p_t_j = probs_t[j]
+    p_d_j = jnp.where(
+        j < k,
+        probs_d[jnp.minimum(j, k - 1)],
+        jnp.zeros_like(p_t_j),
+    )
+    resid = jnp.maximum(p_t_j - p_d_j, 0.0)
+    resid = resid / jnp.maximum(jnp.sum(resid), 1e-30)
+    next_tok = jax.random.categorical(kr, jnp.log(resid + 1e-38))
+    return j, next_tok.astype(jnp.int32)
+
+
+def speculative_sample_generate_device(
+    target: ServingModel,
+    draft: ServingModel,
+    prompt_tokens: Sequence[int],
+    n_tokens: int,
+    k: int = 4,
+    temperature: float = 1.0,
+    seed: int = 0,
+) -> Tuple[np.ndarray, dict]:
+    """Temperature>0 speculative generation, fully on device: the
+    emitted stream follows the TARGET's sampling distribution exactly
+    (rejection sampling over draft proposals; _spec_accept). Same
+    single-sync round structure as speculative_generate_device."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkv_tpu.models.serve import forward_stacked, forward_stacked_trace
+    from rwkv_tpu.ops.kernels import force_mode
+
+    assert temperature > 0.0, "use speculative_generate_device for greedy"
+    logits_t, state_t = target.prefill(list(prompt_tokens))
+    _, state_d = draft.prefill(list(prompt_tokens))
+
+    t_cfg, d_cfg = target.config, draft.config
+    t_force, d_force = target._mm_force, draft._mm_force
+    inv_t = 1.0 / float(temperature)
+    n_cap = n_tokens + k + 2
+    key = ("specdev_sample", _model_sig(target), _model_sig(draft),
+           n_tokens, k, float(temperature))
+
+    if key not in target._jit_cache:
+
+        @jax.jit
+        def run(t_params, d_params, state_t, state_d, logits0, rng):
+            state_t = jax.tree.map(lambda a: a[0], state_t)
+            state_d = jax.tree.map(lambda a: a[0], state_d)
+            rng, k0 = jax.random.split(rng)
+            pred0 = jax.random.categorical(
+                k0, logits0 * inv_t
+            ).astype(jnp.int32)
+
+            def cond(carry):
+                return carry[4] < n_tokens
+
+            def body(carry):
+                state_t, state_d, pred, buf, count, rounds, acc, rng = carry
+                rng, k_d, k_a = jax.random.split(rng, 3)
+
+                def dstep(c, kk):
+                    st, tok = c
+                    with force_mode(d_force):
+                        logits, st2 = forward_stacked(
+                            d_params, st, tok[None], d_cfg
+                        )
+                    probs = jax.nn.softmax(logits * inv_t)
+                    nxt = jax.random.categorical(
+                        kk, logits * inv_t
+                    ).astype(jnp.int32)
+                    return (st2, nxt), (nxt, probs, st2)
+
+                (_, _), (draft_toks, probs_d, d_states) = jax.lax.scan(
+                    dstep, (state_d, pred),
+                    jax.random.split(k_d, k + 1),
+                )
+                seq = jnp.concatenate([pred[None], draft_toks[:k]])
+
+                with force_mode(t_force):
+                    logits_all, trace = forward_stacked_trace(
+                        t_params, state_t, seq, t_cfg
+                    )
+                probs_t = jax.nn.softmax(logits_all * inv_t)
+
+                j, nxt = _spec_accept(
+                    probs_t, probs_d[:k], draft_toks[:k], k_a
+                )
+
+                state_t = jax.tree.map(lambda a: a[:, j], trace)
+                state_d = jax.tree.map(lambda a: a[j], d_states)
+
+                buf = jax.lax.dynamic_update_slice(buf, seq, (count,))
+                return (state_t, state_d, nxt, buf, count + j + 1,
+                        rounds + 1, acc + j, rng)
+
+            buf0 = jnp.zeros((n_cap,), jnp.int32)
+            out = jax.lax.while_loop(
+                cond,
+                body,
+                (state_t, state_d, pred0,
+                 buf0, jnp.int32(0), jnp.int32(0), jnp.int32(0), rng),
+            )
+            _, _, _, buf, count, rounds, acc, _ = out
+            return buf, count, rounds, acc
+
+        target._jit_cache[key] = run
+
+    buf, count, rounds, acc = target._jit_cache[key](
+        target.params, draft.params, state_t, state_d,
+        jnp.asarray(logits_t), jax.random.PRNGKey(seed),
+    )
+    buf = np.asarray(buf)
+    n_rounds = int(rounds)
+    n_acc = int(acc)
+    stats = {
+        "rounds": n_rounds,
+        "drafted": n_rounds * k,
+        "accepted": n_acc,
+        "acceptance_rate": (n_acc / (n_rounds * k)) if n_rounds else 1.0,
+    }
+    return buf[:n_tokens].astype(np.int32), stats

@@ -158,3 +158,60 @@ def test_speculative_device_v6_target():
     want = _greedy_reference(target, prompt, n)
     got, stats = speculative_generate_device(target, draft, prompt, n, k=3)
     assert got.tolist() == want, (got.tolist(), want, stats)
+
+
+def test_spec_accept_preserves_target_distribution():
+    """The rejection-sampling primitive must make the first emitted
+    token exactly target-distributed regardless of the draft: empirical
+    distribution over 50k independent rounds vs p_t (TV < 0.02)."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkv_tpu.models.speculative import _spec_accept
+
+    V, k = 16, 1
+    rs = np.random.RandomState(0)
+    p_t = rs.dirichlet(np.ones(V), size=k + 1).astype(np.float32)
+    p_d = rs.dirichlet(np.ones(V), size=k).astype(np.float32)
+    p_t_j, p_d_j = jnp.asarray(p_t), jnp.asarray(p_d)
+
+    def one(keyseed):
+        kd, ka = jax.random.split(keyseed)
+        d1 = jax.random.categorical(
+            kd, jnp.log(p_d_j[0] + 1e-38)
+        ).astype(jnp.int32)
+        j, nxt = _spec_accept(p_t_j, p_d_j, d1[None], ka)
+        return jnp.where(j > 0, d1, nxt)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), 50000)
+    toks = np.asarray(jax.jit(jax.vmap(one))(keys))
+    emp = np.bincount(toks, minlength=V) / len(toks)
+    tv = 0.5 * np.abs(emp - p_t[0]).sum()
+    assert tv < 0.02, tv
+
+
+def test_speculative_sampling_device_runs_and_books():
+    """End-to-end sampling round loop: valid tokens, coherent stats, and
+    a perfect draft at sharp temperature accepts nearly everything."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.speculative import (
+        speculative_sample_generate_device,
+    )
+
+    target = _target()
+    n = 12
+    toks, stats = speculative_sample_generate_device(
+        target, target, PROMPT, n, k=3, temperature=0.05, seed=0
+    )
+    assert len(toks) == n
+    assert all(0 <= t < 256 for t in toks.tolist())
+    assert stats["acceptance_rate"] > 0.9, stats
+
+    draft = ServingModel(
+        str(require_fixture("tiny-rwkv-5v2-730K-FP32.bin")), precision="f32"
+    )
+    toks2, stats2 = speculative_sample_generate_device(
+        target, draft, PROMPT, n, k=3, temperature=0.9, seed=1
+    )
+    assert len(toks2) == n
+    assert stats2["rounds"] >= 1
