@@ -3789,3 +3789,47 @@ def v5_decode_megakernel_tiled(
         interpret=interpret,
     )(*args)
     return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+
+
+# ---------------------------------------------------------------------------
+# Mega-pack persistence (cold-start cache)
+# ---------------------------------------------------------------------------
+#
+# Building a pack quantizes every big mat on the host (minutes at 7B).
+# save/load round-trips the finished pack through one .npz so a serving
+# process cold-starts from disk instead — the TPU analogue of the
+# reference shipping pre-quantized .bin files (rwkv_quantize.inc:16).
+
+_PACK_META_KEYS = ("quant", "w4", "d_lora", "d_maa", "d_dec", "f_dim",
+                   "has_gate", "nh", "nf", "nr", "ng", "no")
+
+
+def save_mega_pack(path: str, pack: dict) -> None:
+    """Write a (built or retiled) mega pack to one .npz file."""
+    arrays = {}
+    meta = {}
+    for k, v in pack.items():
+        if k in _PACK_META_KEYS:
+            meta[k] = v
+        else:
+            arrays["arr::" + k] = np.asarray(v)
+    import json
+
+    arrays["__meta__"] = np.frombuffer(
+        json.dumps(meta).encode(), dtype=np.uint8
+    )
+    np.savez(path, **arrays)
+
+
+def load_mega_pack(path: str) -> dict:
+    """Load a pack written by save_mega_pack (arrays land on the default
+    device as jnp arrays; meta values restored as python scalars)."""
+    import json
+
+    with np.load(path) as z:
+        meta = json.loads(bytes(z["__meta__"]).decode())
+        pack = dict(meta)
+        for k in z.files:
+            if k.startswith("arr::"):
+                pack[k[len("arr::"):]] = jnp.asarray(z[k])
+    return pack

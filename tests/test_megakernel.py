@@ -618,3 +618,43 @@ def test_megamodel_w4a8_batched_tiled():
     lgb = np.asarray(lgb)
     scale = max(np.abs(refs).max(), 1e-6)
     assert np.abs(lgb - refs).max() / scale < 1e-5
+
+
+def test_mega_pack_save_load_roundtrip(tmp_path):
+    """save/load of a retiled pack is bit-exact and produces identical
+    kernel output."""
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import (
+        build_mega_pack, load_mega_pack, retile_mega_pack,
+        save_mega_pack, v7_decode_megakernel_tiled,
+    )
+    import jax.numpy as jnp
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=256, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=43, lora_dim=32)
+    pack = retile_mega_pack(
+        build_mega_pack(params, cfg, quant=True, w4=True), cfg, 1, 1, 3, 1
+    )
+    path = str(tmp_path / "pack.npz")
+    save_mega_pack(path, pack)
+    pack2 = load_mega_pack(path)
+
+    assert set(pack2) == set(pack)
+    for k in pack:
+        if hasattr(pack[k], "shape"):
+            np.testing.assert_array_equal(
+                np.asarray(pack[k]), np.asarray(pack2[k]), err_msg=k
+            )
+        else:
+            assert pack[k] == pack2[k], k
+
+    state = {
+        "att_xx": jnp.zeros((2, 256, 1), jnp.float32),
+        "ffn_xx": jnp.zeros((2, 256, 1), jnp.float32),
+        "heads": jnp.zeros((2, 1, 4, 64, 64), jnp.float32),
+    }
+    x0 = jnp.ones((256, 1), jnp.float32) * 0.1
+    y1, _ = v7_decode_megakernel_tiled(pack, state, x0, cfg, interpret=True)
+    y2, _ = v7_decode_megakernel_tiled(pack2, state, x0, cfg, interpret=True)
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
