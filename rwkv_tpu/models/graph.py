@@ -69,6 +69,32 @@ def wkv4_scan(tf, td, k, v, aa, bb, pp):
     return wkv, aa, bb, pp
 
 
+def wkv4_scan_trace(tf, td, k, v, aa, bb, pp):
+    """wkv4_scan that also emits aa/bb/pp AFTER every step (the
+    speculative-commit primitive; cf. wkv7_scan_trace)."""
+
+    def step(carry, inp):
+        aa, bb, pp = carry
+        kt, vt = inp
+        ww = tf + kt
+        qq = jnp.maximum(pp, ww)
+        e1 = jnp.exp(pp - qq)
+        e2 = jnp.exp(ww - qq)
+        a = e1 * aa + e2 * vt
+        b = e1 * bb + e2
+        ww2 = pp + td
+        qq2 = jnp.maximum(ww2, kt)
+        e1b = jnp.exp(ww2 - qq2)
+        e2b = jnp.exp(kt - qq2)
+        nxt = (e1b * aa + e2b * vt, e1b * bb + e2b, qq2)
+        return nxt, (a / b,) + nxt
+
+    _, (wkv, aa_all, bb_all, pp_all) = jax.lax.scan(
+        step, (aa, bb, pp), (k, v)
+    )
+    return wkv, aa_all, bb_all, pp_all
+
+
 def wkv6_scan(s, r, k, v, w, tf):
     """RWKV v5/v6 multi-head linear attention (ggml_rwkv_wkv6 semantics):
       out[h,i] = sum_j r[h,j] * (tf[h,j]*k[h,j]*v[h,i] + S[h,i,j])
@@ -151,8 +177,10 @@ def wkv7_scan_trace(s, r, w, k, v, a, b):
 # ---------------------------------------------------------------------------
 
 
-def att_v4(layer: Params, x: jnp.ndarray, att_xx, aa, bb, pp):
-    """rwkv_att_v4 (rwkv_graph.inc:84-197)."""
+def att_v4(layer: Params, x: jnp.ndarray, att_xx, aa, bb, pp,
+           trace=False):
+    """rwkv_att_v4 (rwkv_graph.inc:84-197). trace=True additionally
+    returns (xl, aa_all, bb_all, pp_all) — per-position states."""
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
     x_prev, new_xx = _token_shift(xl, att_xx)
 
@@ -164,16 +192,26 @@ def att_v4(layer: Params, x: jnp.ndarray, att_xx, aa, bb, pp):
     k = mm(xk, layer["att.key.weight"])
     v = mm(xv, layer["att.value.weight"])
 
+    if trace:
+        wkv, aa_all, bb_all, pp_all = wkv4_scan_trace(
+            layer["att.time_first"], layer["att.time_decay"], k, v,
+            aa, bb, pp,
+        )
+        out = mm(r * wkv, layer["att.output.weight"])
+        return (out, new_xx, aa_all[-1], bb_all[-1], pp_all[-1],
+                (xl, aa_all, bb_all, pp_all))
     wkv, aa, bb, pp = wkv4_scan(
         layer["att.time_first"], layer["att.time_decay"], k, v, aa, bb, pp
     )
     return mm(r * wkv, layer["att.output.weight"]), new_xx, aa, bb, pp
 
 
-def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None):
+def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None,
+           trace=False):
     """rwkv_att_v5 (rwkv_graph.inc:199-292); covers v5.1 and v5.2.
     `wkv_fn` overrides the wkv recurrence (e.g. the chunked matmul form for
-    serving prefill, rwkv_tpu/ops/chunked.py); default is the exact scan."""
+    serving prefill, rwkv_tpu/ops/chunked.py); default is the exact scan.
+    trace=True additionally returns (xl, heads_all)."""
     h, s = cfg.head_count, cfg.head_size
     lead = x.shape[:-1]  # (T,) or (T, B)
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
@@ -198,7 +236,11 @@ def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None):
         tf = jnp.broadcast_to(layer["att.time_first"][:, None], (h, s))
         td = jnp.broadcast_to(layer["att.time_decay"][:, None], (h, s))
 
-    y, heads = (wkv_fn or wkv6_scan)(heads, r, k, v, td, tf)
+    if trace:
+        y, heads_all = wkv6_scan_trace(heads, r, k, v, td, tf)
+        heads = heads_all[-1]
+    else:
+        y, heads = (wkv_fn or wkv6_scan)(heads, r, k, v, td, tf)
     xo = group_norm(
         y.reshape(*lead, cfg.n_embed),
         layer["att.ln_x.weight"],
@@ -208,7 +250,10 @@ def att_v5(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None):
     )
     if g is not None:
         xo = xo * g
-    return mm(xo, layer["att.output.weight"]), new_xx, heads
+    out = mm(xo, layer["att.output.weight"])
+    if trace:
+        return out, new_xx, heads, (xl, heads_all)
+    return out, new_xx, heads
 
 
 def att_v6(layer: Params, x, att_xx, heads, cfg: ModelConfig, wkv_fn=None,

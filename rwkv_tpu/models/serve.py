@@ -343,18 +343,44 @@ def forward_stacked_trace(params, state, tokens, cfg):
     trace) with trace arrays [L, T, ...]: indexing position j gives the
     exact state after consuming tokens[:j+1] — the speculative-commit
     primitive (no prefix-replay pass; cf. rwkv_eval.inc:158-221's scratch
-    chunk loop, which re-evaluates to advance state). v7 and v6."""
+    chunk loop, which re-evaluates to advance state). All five archs."""
     major = cfg.version_major
-    assert major in (6, 7), "trace path is v6/v7-only"
     emb = params["emb"][tokens]
     x = layer_norm(emb.astype(jnp.float32), *params["ln0"])
+
+    if major == 4:
+        xs = (params["blocks"], state["att_xx"], state["ffn_xx"],
+              state["aa"], state["bb"], state["pp"])
+
+        def body4(x, inp):
+            layer, att_xx, ffn_xx, aa, bb, pp = inp
+            dx, _, aa, bb, pp, (xl, aa_a, bb_a, pp_a) = G.att_v4(
+                layer, x, att_xx, aa, bb, pp, trace=True
+            )
+            x = x + dx
+            xl2 = layer_norm(x, layer["ln2.weight"], layer["ln2.bias"])
+            dx, _ = G.ffn_v4_v5(layer, x, ffn_xx)
+            x = x + dx
+            return x, (xl, xl2, aa_a, bb_a, pp_a)
+
+        x, (xl_all, xl2_all, aa_all, bb_all, pp_all) = jax.lax.scan(
+            body4, x, xs
+        )
+        logits = G.mm(layer_norm(x, *params["ln_out"]), params["head"])
+        return logits, {"att_xx": xl_all, "ffn_xx": xl2_all,
+                        "aa": aa_all, "bb": bb_all, "pp": pp_all}
+
     xs = (params["blocks"], state["att_xx"], state["ffn_xx"],
           state["heads"], jnp.arange(cfg.n_layer))
 
     def body(carry, inp):
         x, v_first = carry
         layer, att_xx, ffn_xx, heads, idx = inp
-        if major == 6:
+        if major == 5:
+            dx, _, heads, (xl, heads_all) = G.att_v5(
+                layer, x, att_xx, heads, cfg, trace=True
+            )
+        elif major == 6:
             dx, _, heads, (xl, heads_all) = G.att_v6(
                 layer, x, att_xx, heads, cfg, trace=True
             )
@@ -372,7 +398,9 @@ def forward_stacked_trace(params, state, tokens, cfg):
         # ffn_xx state after position t is ln2(x)[t] (the ffn recomputes
         # this internally for its token shift)
         xl2 = layer_norm(x, layer["ln2.weight"], layer["ln2.bias"])
-        if major == 6:
+        if major == 5:
+            dx, _ = G.ffn_v4_v5(layer, x, ffn_xx)
+        elif major == 6:
             dx, _ = G.ffn_v6(layer, x, ffn_xx)
         else:
             dx, _ = G.ffn_v7(layer, x, ffn_xx)

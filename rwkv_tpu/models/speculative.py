@@ -147,8 +147,8 @@ def speculative_generate_device(
          accepted prefix are overwritten by the next round's window).
 
     Output is identical to `target`'s greedy decode (tests assert this).
-    Target must be a v6/v7 ServingModel (the trace path); the draft can
-    be any architecture forward_stacked supports."""
+    Works for every architecture (the trace path covers v4-v7); the
+    draft can likewise be any architecture."""
     import jax
     import jax.numpy as jnp
 

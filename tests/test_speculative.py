@@ -215,3 +215,24 @@ def test_speculative_sampling_device_runs_and_books():
     )
     assert len(toks2) == n
     assert stats2["rounds"] >= 1
+
+
+@pytest.mark.parametrize("version", ["4v0-660K", "5v2-730K"])
+def test_speculative_device_v4_v5_targets(version):
+    """v4/v5 targets through the trace path: exact greedy equality on
+    the tiny fixtures."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.speculative import speculative_generate_device
+
+    target = ServingModel(
+        str(require_fixture(f"tiny-rwkv-{version}-FP32.bin")),
+        precision="f32",
+    )
+    draft = ServingModel(
+        str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin")),
+        precision="f32",
+    )
+    n = 10
+    want = _greedy_reference(target, PROMPT, n)
+    got, stats = speculative_generate_device(target, draft, PROMPT, n, k=3)
+    assert got.tolist() == want, (version, got.tolist(), want, stats)
