@@ -424,7 +424,13 @@ class ServingModel:
         params_cfg: Optional[tuple] = None,
         mesh=None,
         megakernel: bool = False,
+        mega_pack_cache: Optional[str] = None,
     ):
+        """mega_pack_cache: path to a .npz pack cache (see
+        ops.megakernel.save_mega_pack). With megakernel=True, an
+        existing cache is loaded instead of re-quantizing the big mats
+        on the host (minutes at 7B); a missing cache is written after
+        the first build."""
         if isinstance(source, str):
             cfg, params = load_params(source)
         else:
@@ -483,35 +489,46 @@ class ServingModel:
                 )
             quant = precision in ("quant", "q8", "q8r", "w8a8", "w4a8")
             w4 = precision == "w4a8"
+            import os as _os
+
+            if mega_pack_cache and _os.path.exists(mega_pack_cache):
+                from rwkv_tpu.ops.megakernel import load_mega_pack
+
+                self._mega = load_mega_pack(mega_pack_cache)
+                mega_pack_cache = None  # loaded — don't rewrite
             if cfg.version_major == 7:
                 from rwkv_tpu.ops.megakernel import build_mega_pack
 
-                self._mega = build_mega_pack(params, cfg, quant=quant,
-                                             w4=w4)
+                if self._mega is None:
+                    self._mega = build_mega_pack(params, cfg, quant=quant,
+                                                 w4=w4)
                 mega_mat_keys = ("rkv", "lora1", "lora2", "out", "fk", "fv")
             elif cfg.version_major == 6:
                 from rwkv_tpu.ops.megakernel import (
                     _V6_MAT_KEYS, build_mega_pack_v6,
                 )
 
-                self._mega = build_mega_pack_v6(params, cfg, quant=quant,
-                                                w4=w4)
+                if self._mega is None:
+                    self._mega = build_mega_pack_v6(params, cfg, quant=quant,
+                                                    w4=w4)
                 mega_mat_keys = _V6_MAT_KEYS
             elif cfg.version_major == 5:
                 from rwkv_tpu.ops.megakernel import (
                     _V5_MAT_KEYS, build_mega_pack_v5,
                 )
 
-                self._mega = build_mega_pack_v5(params, cfg, quant=quant,
-                                                w4=w4)
+                if self._mega is None:
+                    self._mega = build_mega_pack_v5(params, cfg, quant=quant,
+                                                    w4=w4)
                 mega_mat_keys = _V5_MAT_KEYS
             else:
                 from rwkv_tpu.ops.megakernel import (
                     _V4_MAT_KEYS, build_mega_pack_v4,
                 )
 
-                self._mega = build_mega_pack_v4(params, cfg, quant=quant,
-                                                w4=w4)
+                if self._mega is None:
+                    self._mega = build_mega_pack_v4(params, cfg, quant=quant,
+                                                    w4=w4)
                 mega_mat_keys = _V4_MAT_KEYS
             # Whole-layer weight blocks must double-buffer in VMEM; past
             # ~20MB/layer (e.g. 1.5B C=2048) decode uses the phase-tiled
@@ -522,6 +539,10 @@ class ServingModel:
                 * self._mega[k].dtype.itemsize
                 for k in mega_mat_keys
             )
+            if mega_pack_cache:
+                from rwkv_tpu.ops.megakernel import save_mega_pack
+
+                save_mega_pack(mega_pack_cache, self._mega)
             # w4 is implemented on the tiled kernels only — always route
             # through them regardless of model size.
             self._mega_big = per_layer > 20 * 1024 * 1024 or w4

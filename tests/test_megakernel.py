@@ -658,3 +658,28 @@ def test_mega_pack_save_load_roundtrip(tmp_path):
     y1, _ = v7_decode_megakernel_tiled(pack, state, x0, cfg, interpret=True)
     y2, _ = v7_decode_megakernel_tiled(pack2, state, x0, cfg, interpret=True)
     np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_serving_mega_pack_cache(tmp_path):
+    """ServingModel(mega_pack_cache=...) writes the pack on first build
+    and loads it on the next construction with identical decode."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=128, n_vocab=256,
+                       head_size=32)
+    params = synth_params(cfg, seed=47, lora_dim=32)
+    cache = str(tmp_path / "mega.npz")
+
+    a = ServingModel((cfg, params), precision="w8a8", megakernel=True,
+                     mega_pack_cache=cache)
+    import os
+    assert os.path.exists(cache)
+    b = ServingModel((cfg, params), precision="w8a8", megakernel=True,
+                     mega_pack_cache=cache)
+
+    sa, sb = a.init_state(1), b.init_state(1)
+    for tok in (3, 77):
+        la, sa = a.decode(np.array([tok], np.int32), sa)
+        lb, sb = b.decode(np.array([tok], np.int32), sb)
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
