@@ -78,6 +78,9 @@ class _ServeAdapter:
         self._srv = srv
         self.n_vocab = srv.config.n_vocab
 
+    def init_state(self):
+        return self._srv.init_state(1)
+
     def eval_sequence_in_chunks(self, tokens, state=None):
         logits, st = self._srv.prefill(list(tokens), state)
         return np.asarray(logits), st

@@ -50,9 +50,27 @@ def main():
     p.add_argument("text_path")
     add_tokenizer_argument(p)
     p.add_argument("--ignore-first-n-tokens", type=int, default=0)
+    p.add_argument(
+        "--serve", default=None, metavar="PRECISION",
+        help="measure the THROUGHPUT engine at this serving precision "
+             "(bf16/q8/q8r/w8a8/w4a8/quant) instead of the parity engine",
+    )
+    p.add_argument(
+        "--megakernel", action="store_true",
+        help="with --serve: route decode through the whole-model kernel",
+    )
     args = p.parse_args()
 
-    model = RWKVModel(args.model_path)
+    if args.serve:
+        from rwkv_tpu.tools.generate_completions import _ServeAdapter
+        from rwkv_tpu.models.serve import ServingModel
+
+        model = _ServeAdapter(ServingModel(
+            args.model_path, precision=args.serve,
+            megakernel=args.megakernel,
+        ))
+    else:
+        model = RWKVModel(args.model_path)
     _, encode = get_tokenizer(args.tokenizer, model.n_vocab)
     with open(args.text_path, "r", encoding="utf-8") as f:
         tokens = encode(f.read())
