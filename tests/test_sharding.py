@@ -184,3 +184,22 @@ def test_dryrun_multichip_entrypoint(eight_devices):
     import __graft_entry__
 
     __graft_entry__.dryrun_multichip(8)
+
+
+def test_w4a8_mesh_falls_back_to_xla(eight_devices):
+    """precision='w4a8' under a mesh without the megakernel serves as
+    w8a8 with the XLA matmul forced (GSPMD cannot partition the pallas
+    quant kernel) — review regression."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(1, 4, devices=eight_devices[:4])
+    cfg = synth_config("7.0", n_layer=2, n_embed=256, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=53, lora_dim=32)
+    srv = ServingModel((cfg, params), precision="w4a8", mesh=mesh)
+    assert srv._mm_force == "xla"
+    state = srv.init_state(1)
+    logits, state = srv.decode(np.array([3], np.int32), state)
+    assert np.isfinite(np.asarray(logits)).all()
