@@ -178,9 +178,11 @@ def wkv7_scan_trace(s, r, w, k, v, a, b):
 
 
 def att_v4(layer: Params, x: jnp.ndarray, att_xx, aa, bb, pp,
-           trace=False):
+           trace=False, wkv_fn=None):
     """rwkv_att_v4 (rwkv_graph.inc:84-197). trace=True additionally
-    returns (xl, aa_all, bb_all, pp_all) — per-position states."""
+    returns (xl, aa_all, bb_all, pp_all) — per-position states.
+    `wkv_fn` overrides the recurrence (e.g. the associative-scan
+    parallel form for prefill, ops/chunked.py::wkv4_auto)."""
     xl = layer_norm(x, layer["ln1.weight"], layer["ln1.bias"])
     x_prev, new_xx = _token_shift(xl, att_xx)
 
@@ -200,7 +202,7 @@ def att_v4(layer: Params, x: jnp.ndarray, att_xx, aa, bb, pp,
         out = mm(r * wkv, layer["att.output.weight"])
         return (out, new_xx, aa_all[-1], bb_all[-1], pp_all[-1],
                 (xl, aa_all, bb_all, pp_all))
-    wkv, aa, bb, pp = wkv4_scan(
+    wkv, aa, bb, pp = (wkv_fn or wkv4_scan)(
         layer["att.time_first"], layer["att.time_decay"], k, v, aa, bb, pp
     )
     return mm(r * wkv, layer["att.output.weight"]), new_xx, aa, bb, pp

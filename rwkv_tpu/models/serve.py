@@ -308,11 +308,19 @@ def forward_stacked(
     else:
         xs = (params["blocks"], state["att_xx"], state["ffn_xx"],
               state["aa"], state["bb"], state["pp"])
+        wkv4_fn = None
+        if tokens.shape[0] > 1:
+            # prefill: associative-scan wkv4 (O(log T) recurrence depth)
+            from rwkv_tpu.ops.chunked import wkv4_auto
+
+            wkv4_fn = wkv4_auto
 
         def body(carry, inp):
             x = carry
             layer, att_xx, ffn_xx, aa, bb, pp = inp
-            dx, att_xx, aa, bb, pp = G.att_v4(layer, x, att_xx, aa, bb, pp)
+            dx, att_xx, aa, bb, pp = G.att_v4(
+                layer, x, att_xx, aa, bb, pp, wkv_fn=wkv4_fn
+            )
             x = x + dx
             dx, ffn_xx = G.ffn_v4_v5(layer, x, ffn_xx)
             x = x + dx

@@ -617,3 +617,89 @@ def wkv6_chunked_pallas(s0, r, k, v, w, tf, chunk_size: int = 16,
     )
     out = jnp.swapaxes(out, 1, 2).reshape(t, h, s_dim)
     return out, s_next
+
+
+# ---------------------------------------------------------------------------
+# wkv4: parallel prefill via associative scan
+# ---------------------------------------------------------------------------
+
+
+def wkv4_parallel(tf, td, k, v, aa, bb, pp):
+    """wkv4 with the time recurrence parallelized by associative scan
+    (O(log T) depth instead of T sequential steps — the v4 analogue of
+    the chunked matmul wkv for v5-v7).
+
+    Same signature/semantics as graph.wkv4_scan (rwkv_graph.inc:119-161):
+    k/v [T, C] (or [T, B, C]); tf/td [C]; aa/bb/pp the incoming scalar
+    state. Math: the running numerator/denominator pair with max-trick
+    normalizer is a monoid over (P, A, B, n):
+      segment value = (A e^P, B e^P), decayed td per covered step;
+      combine(s1, s2): shift s1 by n2*td, renormalize at max(P1', P2).
+    The per-position output mixes the EXCLUSIVE prefix state with the
+    (tf + k_t, v_t) bonus term exactly as the serial step does."""
+    t = k.shape[0]
+    lead_td = td
+    lead_tf = tf
+
+    # element monoid values: one token covers 1 step: P=k_t, A=v_t, B=1
+    P0 = k
+    A0 = v
+    B0 = jnp.ones_like(k)
+    n0 = jnp.ones_like(k)
+
+    def combine(s1, s2):
+        P1, A1, B1, n1 = s1
+        P2, A2, B2, n2 = s2
+        P1s = P1 + n2 * lead_td
+        P = jnp.maximum(P1s, P2)
+        e1 = jnp.exp(P1s - P)
+        e2 = jnp.exp(P2 - P)
+        return (P, e1 * A1 + e2 * A2, e1 * B1 + e2 * B2, n1 + n2)
+
+    Pc, Ac, Bc, _ = jax.lax.associative_scan(combine, (P0, A0, B0, n0))
+
+    # fold the incoming state in front: state covers "minus infinity"
+    # history already decayed to position -1; before position t it decays
+    # t more steps
+    steps = jnp.arange(t, dtype=k.dtype).reshape((t,) + (1,) * (k.ndim - 1))
+    pp_t = pp + steps * lead_td  # state normalizer before each position
+
+    # exclusive prefix: position t consumes scan[t-1] AS IS — the serial
+    # loop applies decay inside the NEXT state update, not between the
+    # state and the output (rwkv_graph.inc:119-161 order)
+    Pe = jnp.concatenate([jnp.full_like(Pc[:1], -1e38), Pc[:-1]])
+    Ae = jnp.concatenate([jnp.zeros_like(Ac[:1]), Ac[:-1]])
+    Be = jnp.concatenate([jnp.zeros_like(Bc[:1]), Bc[:-1]])
+
+    # total prefix state at t = init-state (pp_t, aa, bb) ++ Pe
+    Pm = jnp.maximum(pp_t, Pe)
+    eS = jnp.exp(pp_t - Pm)
+    eP = jnp.exp(Pe - Pm)
+    At = eS * aa + eP * Ae
+    Bt = eS * bb + eP * Be
+
+    # output at t: combine with the (tf + k_t, v_t) bonus
+    ww = lead_tf + k
+    qq = jnp.maximum(Pm, ww)
+    e1 = jnp.exp(Pm - qq)
+    e2 = jnp.exp(ww - qq)
+    wkv = (e1 * At + e2 * v) / (e1 * Bt + e2)
+
+    # final state: full-T scan result combined with the decayed init
+    # (after T serial steps the init has decayed T times)
+    pp_T = pp + t * lead_td
+    P_all = jnp.maximum(pp_T, Pc[-1])
+    eS2 = jnp.exp(pp_T - P_all)
+    eP2 = jnp.exp(Pc[-1] - P_all)
+    aa_out = eS2 * aa + eP2 * Ac[-1]
+    bb_out = eS2 * bb + eP2 * Bc[-1]
+    return wkv, aa_out, bb_out, P_all
+
+
+def wkv4_auto(tf, td, k, v, aa, bb, pp):
+    """Dispatch: associative-scan form for T > 1, serial step otherwise."""
+    from rwkv_tpu.models.graph import wkv4_scan
+
+    if k.shape[0] == 1:
+        return wkv4_scan(tf, td, k, v, aa, bb, pp)
+    return wkv4_parallel(tf, td, k, v, aa, bb, pp)

@@ -301,3 +301,44 @@ def test_wkv6_pallas_static_decay_v5():
     np.testing.assert_allclose(
         np.asarray(s_pl), np.asarray(s_ref)[0], rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("t", [2, 7, 64])
+def test_wkv4_parallel_matches_scan(t):
+    """Associative-scan wkv4 == serial max-trick scan, including the
+    v4 init state pp = -1e30 and a warm state."""
+    import jax.numpy as jnp
+
+    from rwkv_tpu.models.graph import wkv4_scan
+    from rwkv_tpu.ops.chunked import wkv4_parallel
+
+    rs = np.random.RandomState(4)
+    c = 96
+    tf = rs.randn(c).astype(np.float32) * 0.3
+    td = (-np.exp(rs.randn(c))).astype(np.float32)
+    k = rs.randn(t, c).astype(np.float32)
+    v = rs.randn(t, c).astype(np.float32)
+
+    for aa, bb, pp in (
+        (np.zeros(c, np.float32), np.zeros(c, np.float32),
+         np.full(c, -1e30, np.float32)),
+        (rs.randn(c).astype(np.float32), np.abs(rs.randn(c)).astype(np.float32) + 1.0,
+         rs.randn(c).astype(np.float32)),
+    ):
+        args = [jnp.asarray(x) for x in (tf, td, k, v, aa, bb, pp)]
+        y_s, aa_s, bb_s, pp_s = wkv4_scan(*args)
+        y_p, aa_p, bb_p, pp_p = wkv4_parallel(*args)
+        np.testing.assert_allclose(
+            np.asarray(y_p), np.asarray(y_s), rtol=1e-5, atol=1e-5
+        )
+        # states are equal up to the (P, A, B) normalization gauge —
+        # compare the physical quantities A e^P / B e^P via a probe step
+        probe_k = jnp.asarray(rs.randn(1, c).astype(np.float32))
+        probe_v = jnp.asarray(rs.randn(1, c).astype(np.float32))
+        o_s, *_ = wkv4_scan(args[0], args[1], probe_k, probe_v,
+                            aa_s, bb_s, pp_s)
+        o_p, *_ = wkv4_scan(args[0], args[1], probe_k, probe_v,
+                            aa_p, bb_p, pp_p)
+        np.testing.assert_allclose(
+            np.asarray(o_p), np.asarray(o_s), rtol=1e-5, atol=1e-5
+        )
