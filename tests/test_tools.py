@@ -146,3 +146,29 @@ def test_measure_perplexity_tiny():
     tokens = list(b"hello world, this is a test of the perplexity harness")
     ppl, ms = measure_perplexity(m, tokens, ignore_first_n=4)
     assert np.isfinite(ppl) and ppl > 1.0
+
+
+def test_serve_adapter_matches_parity_engine():
+    """The --serve adapter (generate_completions/measure_perplexity)
+    exposes the RWKVModel eval surface over ServingModel; its outputs
+    must track the parity engine on the tiny fixture."""
+    from rwkv_tpu.models.model import RWKVModel
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.tools.generate_completions import _ServeAdapter
+
+    path = str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin"))
+    ref = RWKVModel(path)
+    srv = _ServeAdapter(ServingModel(path, precision="f32"))
+    assert srv.n_vocab == ref.n_vocab
+
+    lr, str_ = ref.eval_sequence_in_chunks([34, 105, 110])
+    ls, sts = srv.eval_sequence_in_chunks([34, 105, 110])
+    np.testing.assert_allclose(
+        np.asarray(ls), np.asarray(lr), rtol=1e-4, atol=1e-4
+    )
+    for t in (32, 116):
+        lr, str_ = ref.eval(t, str_)
+        ls, sts = srv.eval(t, sts)
+        np.testing.assert_allclose(
+            np.asarray(ls), np.asarray(lr), rtol=1e-4, atol=1e-4
+        )
