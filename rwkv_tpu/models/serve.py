@@ -477,16 +477,28 @@ class ServingModel:
         if megakernel and mesh is not None:
             # Multi-chip decode: per-layer TP Pallas kernels + psum under
             # shard_map (ops/megakernel_tp.py). v7, B=1, w8a8/bf16.
-            if cfg.version_major != 7:
-                raise ValueError("TP megakernel decode is v7-only")
-            from rwkv_tpu.ops.megakernel import build_mega_pack
-            from rwkv_tpu.ops.megakernel_tp import build_mega_pack_tp
-
+            if cfg.version_major not in (6, 7):
+                raise ValueError("TP megakernel decode is v6/v7-only")
             quant = precision in ("quant", "q8", "q8r", "w8a8", "w4a8")
-            base = build_mega_pack(params, cfg, quant=quant,
-                                   w4=(precision == "w4a8"))
+            w4_tp = precision == "w4a8"
             tp_n = mesh.shape["model"]
-            self._mega_tp = build_mega_pack_tp(base, cfg, tp_n, mesh)
+            if cfg.version_major == 7:
+                from rwkv_tpu.ops.megakernel import build_mega_pack
+                from rwkv_tpu.ops.megakernel_tp import build_mega_pack_tp
+
+                base = build_mega_pack(params, cfg, quant=quant, w4=w4_tp)
+                self._mega_tp = build_mega_pack_tp(base, cfg, tp_n, mesh)
+            else:
+                from rwkv_tpu.ops.megakernel import build_mega_pack_v6
+                from rwkv_tpu.ops.megakernel_tp import (
+                    build_mega_pack_tp_v6,
+                )
+
+                base = build_mega_pack_v6(params, cfg, quant=quant,
+                                          w4=w4_tp)
+                self._mega_tp = build_mega_pack_tp_v6(
+                    base, cfg, tp_n, mesh
+                )
             self.mega_min_batch = 64
             self._jit_cache = {}
             return
@@ -1119,9 +1131,16 @@ class ServingModel:
             from rwkv_tpu.ops.megakernel_tp import tp_decode_step
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
-            meta = {k: self._mega_tp[k]
-                    for k in ("quant", "w4", "d_lora", "f_dim",
-                              "tp", "nf")}
+            if cfg.version_major == 7:
+                meta_keys = ("quant", "w4", "d_lora", "f_dim", "tp", "nf")
+                step_fn = tp_decode_step
+            else:
+                from rwkv_tpu.ops.megakernel_tp import tp_decode_step_v6
+
+                meta_keys = ("quant", "w4", "d_maa", "d_dec", "f_dim",
+                             "tp", "nf")
+                step_fn = tp_decode_step_v6
+            meta = {k: self._mega_tp[k] for k in meta_keys}
             mm_force = self._mm_force
 
             @jax.jit
@@ -1138,7 +1157,7 @@ class ServingModel:
                     "ffn_xx": state["ffn_xx"][0][..., None],
                     "heads": jnp.swapaxes(state["heads"][0], -1, -2),
                 }
-                y, new_t = tp_decode_step(
+                y, new_t = step_fn(
                     pack, state_t, x0[:, None], cfg, mesh,
                     interpret=interpret,
                 )

@@ -625,3 +625,514 @@ def tp_decode_step(pack, state_t, x0, cfg, mesh, interpret=False):
         check_vma=False,
     )
     return fn(arrs, state_t, x0.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# v6 TP kernels (Finch family, B=1)
+# ---------------------------------------------------------------------------
+#
+# Same structure as the v7 pair above with the v6 layer math: the maa
+# five-way LoRA chain runs REPLICATED in the att kernel's phase 0 (its
+# outputs are full-C token-shift inputs to the sharded rkvg matvecs;
+# maa1/maa2 are bandwidth-trivial), the decay LoRA's up-projection rows
+# are sharded (w_dec is per-channel), and the FFN's receptance gate rows
+# are sharded with the [c_loc, 1] gate all-gathered after the kernel
+# (rg ⊙ psum(fv) needs the full gate; an 8-16KB collective).
+
+
+def build_mega_pack_tp_v6(pack: dict, cfg, tp: int, mesh) -> dict:
+    """Re-layout a build_mega_pack_v6 output for TP execution."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    c = cfg.n_embed
+    L = cfg.n_layer
+    f_dim = pack["f_dim"]
+    quant = pack["quant"]
+    w4 = bool(pack.get("w4"))
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    def pk_repl_k(a):
+        from rwkv_tpu.ops.megakernel import _pack_nibbles_split_half
+
+        return _pack_nibbles_split_half(a) if w4 else a
+
+    def pk_shard_k(a):
+        from rwkv_tpu.ops.megakernel import _pack_nibbles_split_half
+
+        if not w4:
+            return a
+        k = a.shape[-1]
+        blk = a.reshape(*a.shape[:-1], tp, k // tp)
+        return _pack_nibbles_split_half(blk).reshape(*a.shape[:-1], k // 2)
+
+    out = {"quant": quant, "w4": w4, "d_maa": pack["d_maa"],
+           "d_dec": pack["d_dec"], "f_dim": f_dim, "tp": tp}
+    # rkvg [L, 4C, C] -> [L, 4, C, C(/2)] rows sharded
+    out["rkvg"] = put(pk_repl_k(pack["rkvg"].reshape(L, 4, c, c)),
+                      (None, None, "model", None))
+    # maa1 [L, 5D, C] + maa2 [L, 5C, D] f32: replicated
+    out["maa1"] = put(pack["maa1"], (None, None, None))
+    out["maa2"] = put(pack["maa2"], (None, None, None))
+    # dw1 [L, Dd, C] replicated; dw2 [L, C, Dd] rows sharded
+    out["dw1"] = put(pack["dw1"], (None, None, None))
+    out["dw2"] = put(pack["dw2"], (None, "model", None))
+    # out [L, C, C(/2)] contraction sharded; fr [L, C, C] rows sharded
+    out["out"] = put(pk_shard_k(pack["out"]), (None, None, "model"))
+    out["fr"] = put(pk_repl_k(pack["fr"]), (None, "model", None))
+    nf = 1
+    f_loc = f_dim // tp
+    while (f_loc // nf) * c > 4 * 1024 * 1024 or f_loc % nf:
+        nf += 1
+        if nf > f_loc:
+            nf = f_loc
+            break
+    out["nf"] = nf
+    f4 = f_dim // nf
+    out["fk"] = put(pk_repl_k(pack["fk"].reshape(L, nf, f4, c)),
+                    (None, None, "model", None))
+    out["fv"] = put(
+        pk_shard_k(jnp.swapaxes(pack["fv"].reshape(L, c, nf, f4), 1, 2)),
+        (None, None, None, "model"),
+    )
+    if quant:
+        out["rkvg_d"] = put(pack["rkvg_d"].reshape(L, 4, c, 1),
+                            (None, None, "model", None))
+        out["maa1_d"] = put(pack["maa1_d"], (None, None, None))
+        out["dw1_d"] = put(pack["dw1_d"], (None, None, None))
+        out["dw2_d"] = put(pack["dw2_d"], (None, "model", None))
+        out["out_d"] = put(pack["out_d"], (None, None, None))  # full rows
+        out["fr_d"] = put(pack["fr_d"], (None, "model", None))
+        out["fk_d"] = put(
+            jnp.swapaxes(pack["fk_d"].reshape(L, nf, f4, 1), 2, 3),
+            (None, None, None, "model"),
+        )
+        out["fv_d"] = put(jnp.swapaxes(pack["fv_d"], 1, 2),
+                          (None, None, None))
+    # replicated row vectors
+    for key in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+                "att.time_maa_x", "ffn.time_maa_k", "ffn.time_maa_r"):
+        out[key] = put(jnp.swapaxes(pack[key], 1, 2), (None, None, None))
+    out["maa5"] = put(jnp.swapaxes(pack["maa5"], 1, 2),
+                      (None, None, None))
+    # sharded per-channel rows / columns
+    out["tdecay"] = put(jnp.swapaxes(pack["tdecay"], 1, 2),
+                        (None, None, "model"))
+    out["att.ln_x.weight"] = put(pack["att.ln_x.weight"],
+                                 (None, "model", None))
+    out["att.ln_x.bias"] = put(pack["att.ln_x.bias"],
+                               (None, "model", None))
+    out["tf"] = put(pack["tf"], (None, "model", None, None))
+    return out
+
+
+def _make_att_kernel_v6(c, c_loc, h_loc, s, d_maa, d_dec, quant, nh, no,
+                        w4):
+    h4 = h_loc // nh
+    c_o = c // no
+    P_WKV0 = 1
+    P_OUT0 = P_WKV0 + nh
+    mm, qx, ln, matv, matv4 = _math_helpers(quant)
+    mv_big = matv4 if w4 else matv
+
+    def kernel(*refs):
+        if quant:
+            (x_ref, att_in, heads_in,
+             rkvg, rkvg_d, maa1, maa1_d, dw1, dw1_d, dw2, dw2_d,
+             out_w, out_d, maa2,
+             ln1w, ln1b, maax, lnxw, lnxb,
+             maa5, tdecay, tf,
+             part_out, att_out, heads_out,
+             r_s, k_s, v_s, g_s, wd_s, xo_s) = refs
+        else:
+            (x_ref, att_in, heads_in,
+             rkvg, maa1, dw1, dw2, out_w, maa2,
+             ln1w, ln1b, maax, lnxw, lnxb,
+             maa5, tdecay, tf,
+             part_out, att_out, heads_out,
+             r_s, k_s, v_s, g_s, wd_s, xo_s) = refs
+
+        p = pl.program_id(0)
+
+        def cv(ref):
+            return ref[:].T
+
+        @pl.when(p == 0)
+        def _shift_loras():
+            x = x_ref[:]
+            xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
+            sx = att_in[:] - xl
+            att_out[:] = xl
+
+            xxx = xl + sx * cv(maax)
+            mixdn = jnp.tanh(matv(maa1[:], maa1_d[:] if quant else None,
+                                  xxx))
+            d = d_maa
+
+            def maa_up(lo_c, lo_d):
+                return jax.lax.dot_general(
+                    maa2[lo_c:lo_c + c], mixdn[lo_d:lo_d + d],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            cf = maa5[:].T.reshape(5, c, 1)  # order w, k, v, r, g
+            xw = xl + sx * (cf[0] + maa_up(0 * c, 0 * d))
+            xk = xl + sx * (cf[1] + maa_up(1 * c, 1 * d))
+            xv = xl + sx * (cf[2] + maa_up(2 * c, 2 * d))
+            xr = xl + sx * (cf[3] + maa_up(3 * c, 3 * d))
+            xg = xl + sx * (cf[4] + maa_up(4 * c, 4 * d))
+
+            w_dn = jnp.tanh(matv(dw1[:], dw1_d[:] if quant else None, xw))
+            w_l = matv(dw2[:], dw2_d[:] if quant else None, w_dn)
+            wd_s[:] = jnp.exp(-jnp.exp(w_l + cv(tdecay)))
+
+            def proj(q, xin):
+                return mv_big(
+                    rkvg[q], rkvg_d[q] if quant else None, xin
+                )
+
+            r_s[:] = proj(0, xr)
+            k_s[:] = proj(1, xk)
+            v_s[:] = proj(2, xv)
+            gg = proj(3, xg)
+            g_s[:] = gg * jax.nn.sigmoid(gg)  # silu
+
+        @pl.when((p >= P_WKV0) & (p < P_WKV0 + nh))
+        def _wkv_tile():
+            t = p - P_WKV0
+            rows_lo = t * h4 * s
+
+            def tile(ref):
+                return ref[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, 1)
+
+            r3, k3, v3, w3 = tile(r_s), tile(k_s), tile(v_s), tile(wd_s)
+            tf3 = tf[pl.dslice(t * h4, h4)]                # [h4, s, 1]
+
+            i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            eye = (i_ == j_).astype(jnp.float32)[None]
+            st = heads_in[pl.dslice(t * h4, h4)]
+            v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
+            dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)
+            out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
+            st = st * w3 + k3 * v_row
+            heads_out[pl.dslice(t * h4, h4)] = st
+
+            mu = jnp.mean(out_row, axis=2, keepdims=True)
+            yc = out_row - mu
+            var = jnp.mean(yc * yc, axis=2, keepdims=True)
+            y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+            y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
+            yn = y_col.reshape(h4 * s, 1)
+
+            lw = lnxw[pl.dslice(rows_lo, h4 * s)]
+            lb = lnxb[pl.dslice(rows_lo, h4 * s)]
+            gt = g_s[pl.dslice(rows_lo, h4 * s)]
+            xo_s[pl.dslice(rows_lo, h4 * s)] = (yn * lw + lb) * gt
+
+        @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
+        def _out_tile():
+            t = p - P_OUT0
+            w = out_w[pl.dslice(t * c_o, c_o)]
+            dd = (out_d[pl.dslice(t * c_o, c_o)]
+                  if quant else None)
+            part_out[pl.dslice(t * c_o, c_o)] = mv_big(w, dd, xo_s[:])
+
+    return kernel, 1 + nh + no
+
+
+def _make_ffn_kernel_v6(c, c_loc, f_loc, quant, nf, w4):
+    """v6 FFN on one chip: [shift | fr (gate rows, c_loc) | nf fk //
+    nf fv | done]. Emits (fv partial [C, 1], rg [c_loc, 1])."""
+    f4 = f_loc // nf
+    P_FR = 1
+    P_FK0 = 2
+    P_FV0 = P_FK0 + 1
+    mm, qx, ln, matv, matv4 = _math_helpers(quant)
+    mv_big = matv4 if w4 else matv
+
+    def kernel(*refs):
+        if quant:
+            (x_ref, ffn_in,
+             fr_w, fr_d, fk_w, fk_d, fv_w, fv_d,
+             ln2w, ln2b, fxk, fxr,
+             part_out, rg_out, ffn_out,
+             xk2_s, xr2_s, h_s, acc_s) = refs
+        else:
+            (x_ref, ffn_in,
+             fr_w, fk_w, fv_w,
+             ln2w, ln2b, fxk, fxr,
+             part_out, rg_out, ffn_out,
+             xk2_s, xr2_s, h_s, acc_s) = refs
+
+        p = pl.program_id(0)
+
+        def cv(ref):
+            return ref[:].T
+
+        @pl.when(p == 0)
+        def _shift():
+            x = x_ref[:]
+            xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
+            sx2 = ffn_in[:] - xl2
+            ffn_out[:] = xl2
+            xk2_s[:] = xl2 + sx2 * cv(fxk)
+            xr2_s[:] = xl2 + sx2 * cv(fxr)
+            acc_s[:] = jnp.zeros_like(acc_s)
+
+        @pl.when(p == P_FR)
+        def _fr():
+            rg_out[:] = jax.nn.sigmoid(
+                mv_big(fr_w[:], fr_d[:] if quant else None, xr2_s[:])
+            )
+
+        @pl.when((p >= P_FK0) & (p < P_FK0 + nf))
+        def _fk_tile():
+            t = p - P_FK0
+            hk = mv_big(
+                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
+            )
+            hk = jnp.square(jnp.maximum(hk, 0.0))
+            h_s[pl.dslice(t * f4, f4)] = hk
+
+        @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
+        def _fv_tile():
+            t = p - P_FV0
+            hk = h_s[pl.dslice(t * f4, f4)]
+            acc_s[:] += mv_big(
+                fv_w[0][0], fv_d[0].T if quant else None, hk
+            )
+
+        @pl.when(p == P_FK0 + nf)
+        def _finish():
+            part_out[:] = acc_s[:]
+
+    return kernel, P_FK0 + nf + 1
+
+
+def _att_layer_call_v6(lyr, x, att_xx, heads, cfg, tp, quant, interpret,
+                       w4):
+    c = cfg.n_embed
+    h_loc = cfg.head_count // tp
+    s = cfg.head_size
+    c_loc = c // tp
+    d_maa = lyr["maa1"].shape[-2] // 5
+    d_dec = lyr["dw1"].shape[-2]
+    nh = 1
+    while (h_loc // nh) * s * 128 * 4 > 1024 * 1024 or h_loc % nh:
+        nh += 1
+        if nh > h_loc:
+            nh = h_loc
+            break
+    no = 1
+
+    kernel, n_phase = _make_att_kernel_v6(
+        c, c_loc, h_loc, s, d_maa, d_dec, quant, nh, no, w4
+    )
+
+    mat_names = ["rkvg", "maa1", "dw1", "dw2", "out"]
+    mat_args, mat_specs = [], []
+    for name in mat_names:
+        w = lyr[name]
+        mat_args.append(w)
+        mat_specs.append(_whole(w.shape))
+        if quant:
+            dd = lyr[name + "_d"]
+            mat_args.append(dd)
+            mat_specs.append(_whole(dd.shape))
+    mat_args.append(lyr["maa2"])
+    mat_specs.append(_whole(lyr["maa2"].shape))
+
+    vec_names = ["ln1.weight", "ln1.bias", "att.time_maa_x",
+                 "att.ln_x.weight", "att.ln_x.bias"]
+    vec_args = [lyr[k] for k in vec_names]
+    vec_specs = [_whole(lyr[k].shape) for k in vec_names]
+
+    args = (
+        [x, att_xx, heads]
+        + mat_args + vec_args
+        + [lyr["maa5"], lyr["tdecay"], lyr["tf"]]
+    )
+    in_specs = (
+        [_whole((c, 1)), _whole((c, 1)), _whole((h_loc, s, s))]
+        + mat_specs + vec_specs
+        + [_whole(lyr["maa5"].shape), _whole(lyr["tdecay"].shape),
+           _whole(lyr["tf"].shape)]
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((h_loc, s, s), jnp.float32),
+    )
+    out_specs = (_whole((c, 1)), _whole((c, 1)), _whole((h_loc, s, s)))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_phase,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c_loc, 1), jnp.float32) for _ in range(5)
+        ] + [pltpu.VMEM((c_loc, 1), jnp.float32)],  # xo_s
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def _ffn_layer_call_v6(lyr, x, ffn_xx, cfg, tp, quant, interpret, w4):
+    c = cfg.n_embed
+    c_loc = c // tp
+    nf = lyr["fk"].shape[0]
+    f4 = lyr["fk"].shape[1]
+    f_loc = nf * f4
+    kernel, n_phase = _make_ffn_kernel_v6(c, c_loc, f_loc, quant, nf, w4)
+
+    fk = lyr["fk"][None]
+    fv = lyr["fv"][None]
+
+    def fk_spec(shape, first_p):
+        return pl.BlockSpec(
+            (1, 1) + shape,
+            lambda p: (0, jnp.clip(p - first_p, 0, nf - 1), 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    mat_args = [lyr["fr"]]
+    mat_specs = [_whole(lyr["fr"].shape)]
+    if quant:
+        mat_args.append(lyr["fr_d"])
+        mat_specs.append(_whole(lyr["fr_d"].shape))
+    mat_args.append(fk)
+    mat_specs.append(fk_spec(lyr["fk"].shape[1:], 2))
+    if quant:
+        mat_args.append(lyr["fk_d"][None])
+        mat_specs.append(fk_spec((1, f4), 2))
+    mat_args.append(fv)
+    mat_specs.append(fk_spec(lyr["fv"].shape[1:], 3))
+    if quant:
+        fv_d = lyr["fv_d"][None]
+        mat_args.append(fv_d)
+        mat_specs.append(_whole(fv_d.shape))
+
+    vec_names = ["ln2.weight", "ln2.bias", "ffn.time_maa_k",
+                 "ffn.time_maa_r"]
+    vec_args = [lyr[k] for k in vec_names]
+    vec_specs = [_whole(lyr[k].shape) for k in vec_names]
+
+    args = [x, ffn_xx] + mat_args + vec_args
+    in_specs = [_whole((c, 1)), _whole((c, 1))] + mat_specs + vec_specs
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),      # fv partial
+        jax.ShapeDtypeStruct((c_loc, 1), jnp.float32),  # rg (local rows)
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),      # new ffn_xx
+    )
+    out_specs = (_whole((c, 1)), _whole((c_loc, 1)), _whole((c, 1)))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_phase,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, 1), jnp.float32),       # xk2_s
+            pltpu.VMEM((c, 1), jnp.float32),       # xr2_s
+            pltpu.VMEM((f_loc, 1), jnp.float32),   # h_s
+            pltpu.VMEM((c, 1), jnp.float32),       # acc_s
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def tp_decode_step_v6(pack, state_t, x0, cfg, mesh, interpret=False):
+    """One v6 decode step TP-sharded over mesh axis 'model' (see
+    tp_decode_step). state_t: att_xx/ffn_xx [L, C, 1] replicated,
+    heads [L, H, S_j, S_i] sharded on H."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    tp = pack["tp"]
+    quant = pack["quant"]
+    w4 = bool(pack.get("w4"))
+
+    meta = ("quant", "w4", "d_maa", "d_dec", "f_dim", "tp", "nf")
+    arrs = {k: v for k, v in pack.items() if k not in meta}
+
+    specs_in = {
+        "rkvg": P(None, None, "model", None),
+        "maa1": P(None, None, None),
+        "maa2": P(None, None, None),
+        "dw1": P(None, None, None),
+        "dw2": P(None, "model", None),
+        "out": P(None, None, "model"),
+        "fr": P(None, "model", None),
+        "fk": P(None, None, "model", None),
+        "fv": P(None, None, None, "model"),
+        "rkvg_d": P(None, None, "model", None),
+        "maa1_d": P(None, None, None),
+        "dw1_d": P(None, None, None),
+        "dw2_d": P(None, "model", None),
+        "out_d": P(None, None, None),
+        "fr_d": P(None, "model", None),
+        "fk_d": P(None, None, None, "model"),
+        "fv_d": P(None, None, None),
+        "tdecay": P(None, None, "model"),
+        "att.ln_x.weight": P(None, "model", None),
+        "att.ln_x.bias": P(None, "model", None),
+        "tf": P(None, "model", None, None),
+        "maa5": P(None, None, None),
+    }
+    for key in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+                "att.time_maa_x", "ffn.time_maa_k", "ffn.time_maa_r"):
+        specs_in[key] = P(None, None, None)
+    arr_specs = {k: specs_in[k] for k in arrs}
+
+    state_specs = {
+        "att_xx": P(None, None, None),
+        "ffn_xx": P(None, None, None),
+        "heads": P(None, "model", None, None),
+    }
+
+    def local_step(arrs, state, x0):
+        def body(x, inp):
+            lyr, att_xx, ffn_xx, heads = inp
+            att_p, new_axx, new_heads = _att_layer_call_v6(
+                lyr, x, att_xx, heads, cfg, tp, quant, interpret, w4
+            )
+            x = x + jax.lax.psum(att_p, "model")
+            ffn_p, rg_loc, new_fxx = _ffn_layer_call_v6(
+                lyr, x, ffn_xx, cfg, tp, quant, interpret, w4
+            )
+            rg = jax.lax.all_gather(
+                rg_loc[:, 0], "model", tiled=True
+            )[:, None]
+            x = x + rg * jax.lax.psum(ffn_p, "model")
+            return x, (new_axx, new_fxx, new_heads)
+
+        x, (axx, fxx, heads) = jax.lax.scan(
+            body, x0,
+            (arrs, state["att_xx"], state["ffn_xx"], state["heads"]),
+        )
+        return x, {"att_xx": axx, "ffn_xx": fxx, "heads": heads}
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(arr_specs, state_specs, P(None, None)),
+        out_specs=(P(None, None), state_specs),
+        check_vma=False,
+    )
+    return fn(arrs, state_t, x0.astype(jnp.float32))

@@ -164,3 +164,87 @@ def test_tp_megakernel_w4_matches_single_chip(eight_devices):
     assert np.abs(y_tp - y_ref).max() / scale < 1e-1, (
         np.abs(y_tp - y_ref).max() / scale
     )
+
+
+@pytest.mark.parametrize("quant,tol", [(False, 1e-3), (True, 1e-1)])
+def test_tp_megakernel_v6_matches_single_chip(eight_devices, quant, tol):
+    """v6 TP decode vs the single-chip v6 tiled kernel (interpret).
+    bf16 tolerance is looser than v7's: the replicated maa2/HIGHEST
+    up-projection feeds exp(-exp(.)) decay, amplifying f32 reduction-
+    order differences on random weights."""
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import (
+        build_mega_pack_v6, retile_mega_pack_v6, v6_decode_megakernel_tiled,
+    )
+    from rwkv_tpu.ops.megakernel_tp import (
+        build_mega_pack_tp_v6, tp_decode_step_v6,
+    )
+    from rwkv_tpu.parallel.sharding import make_mesh
+
+    tp = 4
+    mesh = make_mesh(1, tp, devices=eight_devices[:tp])
+    cfg = synth_config("6.0", n_layer=2, n_embed=512, n_vocab=512,
+                      head_size=64)
+    params = synth_params(cfg, seed=59)
+    base = build_mega_pack_v6(params, cfg, quant=quant)
+
+    L, c = cfg.n_layer, cfg.n_embed
+    h, s = cfg.head_count, cfg.head_size
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(c, 1)) * 0.3, jnp.float32)
+    heads0 = jnp.asarray(rng.normal(size=(L, h, s, s)) * 0.05, jnp.float32)
+    axx0 = jnp.asarray(rng.normal(size=(L, c, 1)) * 0.1, jnp.float32)
+    fxx0 = jnp.asarray(rng.normal(size=(L, c, 1)) * 0.1, jnp.float32)
+
+    ref_pack = retile_mega_pack_v6(base, cfg, 1, 1, 4, 1)
+    y_ref, st_ref = v6_decode_megakernel_tiled(
+        ref_pack,
+        {"att_xx": axx0, "ffn_xx": fxx0,
+         "heads": heads0.reshape(L, 1, h, s, s)},
+        x0, cfg, interpret=True,
+    )
+
+    tp_pack = build_mega_pack_tp_v6(base, cfg, tp, mesh)
+    y_tp, st_tp = tp_decode_step_v6(
+        tp_pack, {"att_xx": axx0, "ffn_xx": fxx0, "heads": heads0},
+        x0, cfg, mesh, interpret=True,
+    )
+
+    y_ref, y_tp = np.asarray(y_ref), np.asarray(y_tp)
+    scale = max(np.abs(y_ref).max(), 1e-6)
+    assert np.abs(y_tp - y_ref).max() / scale < tol, (
+        quant, np.abs(y_tp - y_ref).max() / scale
+    )
+    hs_ref = np.asarray(st_ref["heads"]).reshape(L, h, s, s)
+    hs_tp = np.asarray(st_tp["heads"])
+    hscale = max(np.abs(hs_ref).max(), 1e-6)
+    assert np.abs(hs_tp - hs_ref).max() / hscale < tol
+
+
+def test_serving_tp_megakernel_v6_decode(eight_devices):
+    """ServingModel v6 + mesh + megakernel routes through the v6 TP
+    step."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.parallel.sharding import make_mesh
+
+    mesh = make_mesh(1, 4, devices=eight_devices[:4])
+    cfg = synth_config("6.0", n_layer=2, n_embed=512, n_vocab=512,
+                      head_size=64)
+    params = synth_params(cfg, seed=61)
+
+    ref = ServingModel((cfg, params), precision="w8a8")
+    tpm = ServingModel((cfg, params), precision="w8a8", mesh=mesh,
+                       megakernel=True)
+    assert tpm._mega_tp is not None
+
+    state_r = ref.init_state(1)
+    state_t = tpm.init_state(1)
+    for tok in (3, 77, 200):
+        lr, state_r = ref.decode(np.array([tok], np.int32), state_r)
+        lt, state_t = tpm.decode(np.array([tok], np.int32), state_t)
+        lr, lt = np.asarray(lr), np.asarray(lt)
+        scale = max(np.abs(lr).max(), 1e-6)
+        assert np.abs(lt - lr).max() / scale < 1.5e-1
+        top5 = np.argsort(lr[0])[-5:]
+        assert lt[0].argmax() in top5
