@@ -246,7 +246,16 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False):
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d_ref[0][row_lo:row_hi]
-            return mm(w, xcol.astype(jnp.bfloat16))
+            # bf16 weights upcast in-register: Mosaic's single-pass
+            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+            # accumulates exactly like the XLA per-op path and the
+            # extra MXU passes are free in a bandwidth-bound decode.
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcol,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         # ---- attention ------------------------------------------------
         xl = ln(x, ln1w[0], ln1b[0], 1e-5)
@@ -530,7 +539,16 @@ def _make_kernel_batched(c, h, s, d_lora, f_dim, n_layer, quant, batch):
                 x8, dx = qx(xcols)
                 acc = mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d_ref[0][row_lo:row_hi]
-            return mm(w, xcols.astype(jnp.bfloat16))
+            # bf16 weights upcast in-register: Mosaic's single-pass
+            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+            # accumulates exactly like the XLA per-op path and the
+            # extra MXU passes are free in a bandwidth-bound decode.
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcols,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         # ---- attention ------------------------------------------------
         xl = ln(x, ln1w[0], ln1b[0], 1e-5)
@@ -958,7 +976,16 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d
-            return mm(w, xcol.astype(jnp.bfloat16))
+            # bf16 weights upcast in-register: Mosaic's single-pass
+            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+            # accumulates exactly like the XLA per-op path and the
+            # extra MXU passes are free in a bandwidth-bound decode.
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcol,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         def matv4(w, d, xcol):
             """w [N, K/2] split-half-packed int4 pairs (see
@@ -1576,7 +1603,16 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d_ref[0][lo:hi]
-            return mm(w, xcol.astype(jnp.bfloat16))
+            # bf16 weights upcast in-register: Mosaic's single-pass
+            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+            # accumulates exactly like the XLA per-op path and the
+            # extra MXU passes are free in a bandwidth-bound decode.
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcol,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         # ---- attention ------------------------------------------------
         xl = ln(x, ln1w[0], ln1b[0], 1e-5)
@@ -1914,7 +1950,16 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d
-            return mm(w, xcol.astype(jnp.bfloat16))
+            # bf16 weights upcast in-register: Mosaic's single-pass
+            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+            # accumulates exactly like the XLA per-op path and the
+            # extra MXU passes are free in a bandwidth-bound decode.
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcol,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         def matv4(w, d, xcol):
             """split-half-packed int4 (see _pack_nibbles_split_half)."""
@@ -2454,7 +2499,16 @@ def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate):
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d_ref[0][lo:hi]
-            return mm(w, xcol.astype(jnp.bfloat16))
+            # bf16 weights upcast in-register: Mosaic's single-pass
+            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+            # accumulates exactly like the XLA per-op path and the
+            # extra MXU passes are free in a bandwidth-bound decode.
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcol,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         # ---- attention ------------------------------------------------
         xl = ln(x, ln1w[0], ln1b[0], 1e-5)
@@ -2729,7 +2783,16 @@ def _make_kernel_v4(c, f_dim, n_layer, quant):
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d_ref[0][lo:hi]
-            return mm(w, xcol.astype(jnp.bfloat16))
+            # bf16 weights upcast in-register: Mosaic's single-pass
+            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+            # accumulates exactly like the XLA per-op path and the
+            # extra MXU passes are free in a bandwidth-bound decode.
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcol,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         # ---- attention ------------------------------------------------
         xl = ln(x, ln1w[0], ln1b[0], 1e-5)
@@ -2982,7 +3045,16 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d
-            return mm(w, xcol.astype(jnp.bfloat16))
+            # bf16 weights upcast in-register: Mosaic's single-pass
+            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+            # accumulates exactly like the XLA per-op path and the
+            # extra MXU passes are free in a bandwidth-bound decode.
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcol,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         def matv4(w, d, xcol):
             """split-half-packed int4 (see _pack_nibbles_split_half)."""
@@ -3425,7 +3497,16 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d
-            return mm(w, xcol.astype(jnp.bfloat16))
+            # bf16 weights upcast in-register: Mosaic's single-pass
+            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+            # accumulates exactly like the XLA per-op path and the
+            # extra MXU passes are free in a bandwidth-bound decode.
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcol,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
         def matv4(w, d, xcol):
             """split-half-packed int4 (see _pack_nibbles_split_half)."""
