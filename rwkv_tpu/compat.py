@@ -25,6 +25,23 @@ import numpy as np
 from rwkv_tpu.models.model import RWKVModel as _CoreModel
 
 
+# The quantized format names the reference binding layer advertises
+# (/root/reference/python/rwkv_cpp/rwkv_cpp_shared_library.py:8-16).
+# Q4_K/Q5_K are listed for surface parity; the 256-element K-superblock
+# codecs are not implemented here, and requesting them raises the same
+# graceful "unsupported data type" error path the reference takes for
+# types its table maps to GGML_TYPE_UNKNOWN (rwkv_file_format.inc:5-24).
+QUANTIZED_FORMAT_NAMES: Tuple[str, str, str, str, str, str, str] = (
+    "Q4_0",
+    "Q4_1",
+    "Q4_K",
+    "Q5_0",
+    "Q5_1",
+    "Q5_K",
+    "Q8_0",
+)
+
+
 class rwkv_error_flags(enum.IntEnum):
     """Error categories of the reference C API (rwkv.h:38-62)."""
 

@@ -72,6 +72,16 @@ _SPECS = {
 
 QUANT_FORMATS = ("Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0")
 
+# Names that resolve to a dtype id but have no codec here — the K-quant
+# superblock family. The reference's binding layer advertises Q4_K/Q5_K
+# (rwkv_cpp_shared_library.py:8-16); requesting one must fail with a
+# clear "unsupported" error, mirroring the reference's GGML_TYPE_UNKNOWN
+# mapping path (rwkv_file_format.inc:5-24) rather than a KeyError.
+UNSUPPORTED_FORMATS = (
+    "Q4_1_O", "Q4_2", "Q4_3", "Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K",
+    "Q8_K",
+)
+
 _NAME_TO_DTYPE = {
     "FP32": GgmlDType.FP32,
     "FP16": GgmlDType.FP16,
@@ -83,6 +93,7 @@ _NAME_TO_DTYPE = {
     "Q5_1": GgmlDType.Q5_1,
     "Q8_0": GgmlDType.Q8_0,
 }
+_NAME_TO_DTYPE.update({name: GgmlDType[name] for name in UNSUPPORTED_FORMATS})
 
 
 def dtype_from_name(name: str) -> GgmlDType:

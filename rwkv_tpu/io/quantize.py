@@ -46,6 +46,16 @@ def quantize_model_file(
     in_path: str, out_path: str, format_name: str, verbose: bool = True
 ) -> tuple[int, int]:
     """Requantize a ggmf model file. Returns (original_bytes, new_bytes)."""
+    from rwkv_tpu.io.quant import QUANT_FORMATS, UNSUPPORTED_FORMATS
+
+    if format_name in UNSUPPORTED_FORMATS:
+        # Same graceful path the reference takes for names its table maps
+        # to GGML_TYPE_UNKNOWN (rwkv_file_format.inc:5-24): a clear
+        # unsupported-type error, not a KeyError from the codec table.
+        raise ValueError(
+            f"Unsupported data type {format_name}: no codec implemented "
+            f"(supported: {', '.join(sorted(QUANT_FORMATS))})"
+        )
     out_dtype = dtype_from_name(format_name)
     if not is_quantized(out_dtype):
         raise ValueError(f"Output type {format_name} is not a quantized format")

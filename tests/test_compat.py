@@ -82,3 +82,29 @@ def test_system_info():
 
     s = get_system_info_string()
     assert "backend=" in s and "devices=" in s
+
+
+def test_quantized_format_names_surface():
+    """The binding layer advertises the same format-name tuple as the
+    reference (rwkv_cpp_shared_library.py:8-16), including the K-quants
+    it cannot encode."""
+    from rwkv_tpu.compat import QUANTIZED_FORMAT_NAMES
+
+    assert QUANTIZED_FORMAT_NAMES == (
+        "Q4_0", "Q4_1", "Q4_K", "Q5_0", "Q5_1", "Q5_K", "Q8_0",
+    )
+
+
+def test_kquant_request_rejected_gracefully(tmp_path):
+    """Requesting a K-quant target fails with the reference's clear
+    'unsupported data type' error path (rwkv_file_format.inc:5-24), not
+    an internal KeyError."""
+    import pytest
+
+    from rwkv_tpu.io.quantize import quantize_model_file
+    from tests.conftest import fixture_path
+
+    src = fixture_path("tiny-rwkv-5v2-730K-FP32.bin")
+    for name in ("Q4_K", "Q5_K"):
+        with pytest.raises(ValueError, match="[Uu]nsupported"):
+            quantize_model_file(src, str(tmp_path / "out.bin"), name)

@@ -225,7 +225,12 @@ def test_megamodel_v5_matches_serving_fixture(version, quant):
     ref = ServingModel(path, precision=precision)
     mega = ServingModel(path, precision=precision, megakernel=True)
 
-    atol = 1e-1 if quant else 2e-2
+    # bf16 band: the kernel keeps activations f32 (f32/HIGHEST matvecs on
+    # upcast bf16 weights) while the per-op path rounds activations to
+    # bf16, and the difference compounds through the recurrent state —
+    # measured max abs 0.042 logits / 0.064 state over the 5-token prompt
+    # (scripts/probe_bf16_xpath_tol.py); bands at ~2x with argmax checks.
+    atol = 1e-1 if quant else 6e-2
     state_r = ref.init_state(1)
     state_m = mega.init_state(1)
     for tok in b'"in":':
@@ -234,7 +239,7 @@ def test_megamodel_v5_matches_serving_fixture(version, quant):
         lr, lm = np.asarray(logits_r), np.asarray(logits_m)
         np.testing.assert_allclose(lm, lr, rtol=2e-2, atol=atol)
         assert lm.argmax() == lr.argmax()
-    satol = 2.5e-1 if quant else 2e-2
+    satol = 2.5e-1 if quant else 1.2e-1
     for key in ("heads", "att_xx", "ffn_xx"):
         np.testing.assert_allclose(
             np.asarray(state_m[key]), np.asarray(state_r[key]),
@@ -253,7 +258,9 @@ def test_megamodel_v4_matches_serving_fixture(quant):
     ref = ServingModel(path, precision=precision)
     mega = ServingModel(path, precision=precision, megakernel=True)
 
-    atol = 1e-1 if quant else 2e-2
+    # bf16 band calibrated like the v5 test above: measured max abs 0.038
+    # logits / 0.006 state (scripts/probe_bf16_xpath_tol.py).
+    atol = 1e-1 if quant else 6e-2
     state_r = ref.init_state(1)
     state_m = mega.init_state(1)
     for tok in b'"in":':
@@ -284,9 +291,11 @@ def test_megamodel_tiled_rkv_phases():
     nh, nf, nr, no = choose_tiling(cfg, True, 1)
     assert nr > 3 and no > 1, (nr, no)  # the path under test
     params = synth_params(cfg, seed=5, lora_dim=64)
-    # bf16: tight closeness (no quantization noise between the paths);
+    # bf16: closeness band calibrated for the f32/HIGHEST kernel matvecs
+    # vs the per-op path's bf16 activation rounding — measured rel up to
+    # 8e-3 across versions (scripts/probe_bf16_xpath_tol.py);
     # w8a8: bounded drift + argmax (activation-scale granularity differs).
-    for precision, tol in (("bf16", 5e-3), ("w8a8", 1e-1)):
+    for precision, tol in (("bf16", 2e-2), ("w8a8", 1e-1)):
         ref = ServingModel((cfg, params), precision=precision)
         mega = ServingModel((cfg, params), precision=precision,
                             megakernel=True)
@@ -315,7 +324,7 @@ def test_megamodel_v6_tiled_big():
     cfg = synth_config("6.0", n_layer=2, n_embed=2304, n_vocab=512,
                        head_size=64)
     params = synth_params(cfg, seed=7)
-    for precision, tol in (("bf16", 5e-3), ("w8a8", 1e-1)):
+    for precision, tol in (("bf16", 2e-2), ("w8a8", 1e-1)):
         quant = precision == "w8a8"
         nh, nf, ng, no = choose_tiling(cfg, quant, 1,
                                        f_dim=4 * cfg.n_embed, n_proj=4)
@@ -375,7 +384,7 @@ def test_megamodel_v4_tiled_big():
     from rwkv_tpu.ops.megakernel import choose_tiling
 
     for c, precision, tol, expect_fused in (
-        (2304, "bf16", 5e-3, False),
+        (2304, "bf16", 2e-2, False),
         (2304, "w8a8", 1e-1, False),
         (2048, "w8a8", 1e-1, True),
     ):
@@ -420,7 +429,7 @@ def test_megamodel_v5_tiled_big(minor):
 
     n_mix = 4 if minor == "2" else 3
     for c, precision, tol, expect_fused in (
-        (2304, "bf16", 5e-3, False),
+        (2304, "bf16", 2e-2, False),
         (2048, "w8a8", 1e-1, True),
     ):
         cfg = synth_config(f"5.{minor}", n_layer=2, n_embed=c,
