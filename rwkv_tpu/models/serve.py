@@ -476,9 +476,9 @@ class ServingModel:
         self._mega_tp = None
         if megakernel and mesh is not None:
             # Multi-chip decode: per-layer TP Pallas kernels + psum under
-            # shard_map (ops/megakernel_tp.py). v7, B=1, w8a8/bf16.
-            if cfg.version_major not in (6, 7):
-                raise ValueError("TP megakernel decode is v6/v7-only")
+            # shard_map (ops/megakernel_tp.py). v4-v7, B=1, w8a8/bf16.
+            if cfg.version_major not in (4, 5, 6, 7):
+                raise ValueError("TP megakernel decode is v4-v7 only")
             quant = precision in ("quant", "q8", "q8r", "w8a8", "w4a8")
             w4_tp = precision == "w4a8"
             tp_n = mesh.shape["model"]
@@ -488,7 +488,7 @@ class ServingModel:
 
                 base = build_mega_pack(params, cfg, quant=quant, w4=w4_tp)
                 self._mega_tp = build_mega_pack_tp(base, cfg, tp_n, mesh)
-            else:
+            elif cfg.version_major == 6:
                 from rwkv_tpu.ops.megakernel import build_mega_pack_v6
                 from rwkv_tpu.ops.megakernel_tp import (
                     build_mega_pack_tp_v6,
@@ -497,6 +497,28 @@ class ServingModel:
                 base = build_mega_pack_v6(params, cfg, quant=quant,
                                           w4=w4_tp)
                 self._mega_tp = build_mega_pack_tp_v6(
+                    base, cfg, tp_n, mesh
+                )
+            elif cfg.version_major == 5:
+                from rwkv_tpu.ops.megakernel import build_mega_pack_v5
+                from rwkv_tpu.ops.megakernel_tp import (
+                    build_mega_pack_tp_v5,
+                )
+
+                base = build_mega_pack_v5(params, cfg, quant=quant,
+                                          w4=w4_tp)
+                self._mega_tp = build_mega_pack_tp_v5(
+                    base, cfg, tp_n, mesh
+                )
+            else:
+                from rwkv_tpu.ops.megakernel import build_mega_pack_v4
+                from rwkv_tpu.ops.megakernel_tp import (
+                    build_mega_pack_tp_v4,
+                )
+
+                base = build_mega_pack_v4(params, cfg, quant=quant,
+                                          w4=w4_tp)
+                self._mega_tp = build_mega_pack_tp_v4(
                     base, cfg, tp_n, mesh
                 )
             self.mega_min_batch = 64
@@ -1134,14 +1156,30 @@ class ServingModel:
             if cfg.version_major == 7:
                 meta_keys = ("quant", "w4", "d_lora", "f_dim", "tp", "nf")
                 step_fn = tp_decode_step
-            else:
+            elif cfg.version_major == 6:
                 from rwkv_tpu.ops.megakernel_tp import tp_decode_step_v6
 
                 meta_keys = ("quant", "w4", "d_maa", "d_dec", "f_dim",
                              "tp", "nf")
                 step_fn = tp_decode_step_v6
+            elif cfg.version_major == 5:
+                from rwkv_tpu.ops.megakernel_tp import tp_decode_step_v5
+
+                meta_keys = ("quant", "w4", "f_dim", "tp", "nf",
+                             "has_gate")
+                step_fn = tp_decode_step_v5
+            else:
+                from rwkv_tpu.ops.megakernel_tp import tp_decode_step_v4
+
+                meta_keys = ("quant", "w4", "f_dim", "tp", "nf")
+                step_fn = tp_decode_step_v4
             meta = {k: self._mega_tp[k] for k in meta_keys}
             mm_force = self._mm_force
+            # v4's state is all scalar columns; v5-v7 carry wkv head mats
+            scalar_keys = (
+                ("att_xx", "ffn_xx", "aa", "bb", "pp")
+                if cfg.version_major == 4 else ("att_xx", "ffn_xx")
+            )
 
             @jax.jit
             def run(params, pack_arrs, state, token):  # state [1, L, ...]
@@ -1152,11 +1190,11 @@ class ServingModel:
                     params["emb"][token[0]].astype(jnp.float32),
                     *params["ln0"],
                 )
-                state_t = {
-                    "att_xx": state["att_xx"][0][..., None],
-                    "ffn_xx": state["ffn_xx"][0][..., None],
-                    "heads": jnp.swapaxes(state["heads"][0], -1, -2),
-                }
+                state_t = {k: state[k][0][..., None] for k in scalar_keys}
+                if cfg.version_major != 4:
+                    state_t["heads"] = jnp.swapaxes(
+                        state["heads"][0], -1, -2
+                    )
                 y, new_t = step_fn(
                     pack, state_t, x0[:, None], cfg, mesh,
                     interpret=interpret,
@@ -1168,10 +1206,12 @@ class ServingModel:
                 with force_mode(mm_force):
                     logits = G.mm(xo[None, :], params["head"])
                 new_state = {
-                    "att_xx": new_t["att_xx"][None, ..., 0],
-                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
-                    "heads": jnp.swapaxes(new_t["heads"], -1, -2)[None],
+                    k: new_t[k][None, ..., 0] for k in scalar_keys
                 }
+                if cfg.version_major != 4:
+                    new_state["heads"] = jnp.swapaxes(
+                        new_t["heads"], -1, -2
+                    )[None]
                 return logits, new_state
 
             arrs = {k: v for k, v in self._mega_tp.items()

@@ -170,7 +170,15 @@ def _math_helpers(quant):
             x8, dx = qx(xcol)
             acc = mm(w, x8)
             return acc.astype(jnp.float32) * dx * dd
-        return mm(w, xcol.astype(jnp.bfloat16))
+        # bf16 weights upcast in-register, f32/HIGHEST accumulation —
+        # must match megakernel.py's single-chip matvecs exactly so the
+        # TP-vs-1chip equality tests stay at their tight tolerances.
+        return jax.lax.dot_general(
+            w.astype(jnp.float32), xcol,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def matv4(w, dd, xcol):
         """split-half-packed int4 (see megakernel._pack_nibbles_...)."""
@@ -844,9 +852,14 @@ def _make_att_kernel_v6(c, c_loc, h_loc, s, d_maa, d_dec, quant, nh, no,
     return kernel, 1 + nh + no
 
 
-def _make_ffn_kernel_v6(c, c_loc, f_loc, quant, nf, w4):
-    """v6 FFN on one chip: [shift | fr (gate rows, c_loc) | nf fk //
-    nf fv | done]. Emits (fv partial [C, 1], rg [c_loc, 1])."""
+def _make_ffn_kernel_v6(c, c_loc, f_loc, quant, nf, w4, mix45=False):
+    """Gated FFN on one chip: [shift | fr (gate rows, c_loc) | nf fk //
+    nf fv | done]. Emits (fv partial [C, 1], rg [c_loc, 1]).
+
+    Serves v6 AND v4/v5 — the only difference is the token-shift mix:
+    v6 interpolates toward prev (xl + (prev-xl)*maa, rwkv_graph.inc
+    time_maa path) while v4/v5 interpolate toward xl (xl*mix +
+    prev*(1-mix), rwkv_graph.inc:84-117); mix45 selects the latter."""
     f4 = f_loc // nf
     P_FR = 1
     P_FK0 = 2
@@ -877,10 +890,16 @@ def _make_ffn_kernel_v6(c, c_loc, f_loc, quant, nf, w4):
         def _shift():
             x = x_ref[:]
             xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
-            sx2 = ffn_in[:] - xl2
+            prev2 = ffn_in[:]
             ffn_out[:] = xl2
-            xk2_s[:] = xl2 + sx2 * cv(fxk)
-            xr2_s[:] = xl2 + sx2 * cv(fxr)
+            if mix45:
+                cfk, cfr = cv(fxk), cv(fxr)
+                xk2_s[:] = xl2 * cfk + (prev2 - prev2 * cfk)
+                xr2_s[:] = xl2 * cfr + (prev2 - prev2 * cfr)
+            else:
+                sx2 = prev2 - xl2
+                xk2_s[:] = xl2 + sx2 * cv(fxk)
+                xr2_s[:] = xl2 + sx2 * cv(fxr)
             acc_s[:] = jnp.zeros_like(acc_s)
 
         @pl.when(p == P_FR)
@@ -985,13 +1004,16 @@ def _att_layer_call_v6(lyr, x, att_xx, heads, cfg, tp, quant, interpret,
     )(*args)
 
 
-def _ffn_layer_call_v6(lyr, x, ffn_xx, cfg, tp, quant, interpret, w4):
+def _ffn_layer_call_v6(lyr, x, ffn_xx, cfg, tp, quant, interpret, w4,
+                       mix_keys=("ffn.time_maa_k", "ffn.time_maa_r"),
+                       mix45=False):
     c = cfg.n_embed
     c_loc = c // tp
     nf = lyr["fk"].shape[0]
     f4 = lyr["fk"].shape[1]
     f_loc = nf * f4
-    kernel, n_phase = _make_ffn_kernel_v6(c, c_loc, f_loc, quant, nf, w4)
+    kernel, n_phase = _make_ffn_kernel_v6(c, c_loc, f_loc, quant, nf, w4,
+                                          mix45=mix45)
 
     fk = lyr["fk"][None]
     fv = lyr["fv"][None]
@@ -1020,8 +1042,7 @@ def _ffn_layer_call_v6(lyr, x, ffn_xx, cfg, tp, quant, interpret, w4):
         mat_args.append(fv_d)
         mat_specs.append(_whole(fv_d.shape))
 
-    vec_names = ["ln2.weight", "ln2.bias", "ffn.time_maa_k",
-                 "ffn.time_maa_r"]
+    vec_names = ["ln2.weight", "ln2.bias", mix_keys[0], mix_keys[1]]
     vec_args = [lyr[k] for k in vec_names]
     vec_specs = [_whole(lyr[k].shape) for k in vec_names]
 
@@ -1115,6 +1136,631 @@ def tp_decode_step_v6(pack, state_t, x0, cfg, mesh, interpret=False):
             x = x + jax.lax.psum(att_p, "model")
             ffn_p, rg_loc, new_fxx = _ffn_layer_call_v6(
                 lyr, x, ffn_xx, cfg, tp, quant, interpret, w4
+            )
+            rg = jax.lax.all_gather(
+                rg_loc[:, 0], "model", tiled=True
+            )[:, None]
+            x = x + rg * jax.lax.psum(ffn_p, "model")
+            return x, (new_axx, new_fxx, new_heads)
+
+        x, (axx, fxx, heads) = jax.lax.scan(
+            body, x0,
+            (arrs, state["att_xx"], state["ffn_xx"], state["heads"]),
+        )
+        return x, {"att_xx": axx, "ffn_xx": fxx, "heads": heads}
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(arr_specs, state_specs, P(None, None)),
+        out_specs=(P(None, None), state_specs),
+        check_vma=False,
+    )
+    return fn(arrs, state_t, x0.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# v4 TP kernels (Raven/World 7B family, B=1)
+# ---------------------------------------------------------------------------
+#
+# The reference's flagship 7B benchmark model is RWKV-4 (README.md:65-76)
+# — this is the multi-chip decode path for that class. v4 is the easiest
+# architecture to shard: the wkv state is PER-CHANNEL scalar columns
+# (aa/bb/pp, rwkv_graph.inc:119-161), so sharding rkv rows by channel
+# block makes the whole attention inner loop chip-local; only the out
+# projection (contraction-sharded) needs a psum. FFN is the gated v4/v5
+# form (fr receptance rows sharded, rg all-gathered — same collective
+# shape as v6).
+
+
+def build_mega_pack_tp_v4(pack: dict, cfg, tp: int, mesh) -> dict:
+    """Re-layout a build_mega_pack_v4 output for TP execution."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    c = cfg.n_embed
+    L = cfg.n_layer
+    f_dim = pack["f_dim"]
+    quant = pack["quant"]
+    w4 = bool(pack.get("w4"))
+    assert c % tp == 0 and f_dim % tp == 0
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    def pk_repl_k(a):
+        return _pack_nibbles_split_half(a) if w4 else a
+
+    def pk_shard_k(a):
+        if not w4:
+            return a
+        k = a.shape[-1]
+        blk = a.reshape(*a.shape[:-1], tp, k // tp)
+        return _pack_nibbles_split_half(blk).reshape(*a.shape[:-1], k // 2)
+
+    out = {"quant": quant, "w4": w4, "f_dim": f_dim, "tp": tp}
+    # rkv [L, 3C, C] -> [L, 3, C, C(/2)], rows sharded
+    out["rkv"] = put(pk_repl_k(pack["rkv"].reshape(L, 3, c, c)),
+                     (None, None, "model", None))
+    # out [L, C, C(/2)] contraction sharded; fr [L, C, C] gate rows sharded
+    out["out"] = put(pk_shard_k(pack["out"]), (None, None, "model"))
+    out["fr"] = put(pk_repl_k(pack["fr"]), (None, "model", None))
+    nf = 1
+    f_loc = f_dim // tp
+    while (f_loc // nf) * c > 4 * 1024 * 1024 or f_loc % nf:
+        nf += 1
+        if nf > f_loc:
+            nf = f_loc
+            break
+    out["nf"] = nf
+    f4 = f_dim // nf
+    out["fk"] = put(pk_repl_k(pack["fk"].reshape(L, nf, f4, c)),
+                    (None, None, "model", None))
+    out["fv"] = put(
+        pk_shard_k(jnp.swapaxes(pack["fv"].reshape(L, c, nf, f4), 1, 2)),
+        (None, None, None, "model"),
+    )
+    if quant:
+        out["rkv_d"] = put(pack["rkv_d"].reshape(L, 3, c, 1),
+                           (None, None, "model", None))
+        out["out_d"] = put(pack["out_d"], (None, None, None))  # full rows
+        out["fr_d"] = put(pack["fr_d"], (None, "model", None))
+        out["fk_d"] = put(
+            jnp.swapaxes(pack["fk_d"].reshape(L, nf, f4, 1), 2, 3),
+            (None, None, None, "model"),
+        )
+        out["fv_d"] = put(jnp.swapaxes(pack["fv_d"], 1, 2),
+                          (None, None, None))
+    # replicated row vectors (the token-shift mixes consume full-C x)
+    for key in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias"):
+        out[key] = put(jnp.swapaxes(pack[key], 1, 2), (None, None, None))
+    out["amix"] = put(jnp.swapaxes(pack["amix"], 1, 2), (None, None, None))
+    # fmix [L, 2C, 1] -> two [L, 1, C] rows (k, r) for the shared gated
+    # FFN kernel's separate-ref interface
+    fmix = jnp.swapaxes(pack["fmix"], 1, 2)
+    out["fmix_k"] = put(fmix[:, :, :c], (None, None, None))
+    out["fmix_r"] = put(fmix[:, :, c:], (None, None, None))
+    # per-channel wkv bonus/decay rows: sharded with the channel block
+    out["tf"] = put(jnp.swapaxes(pack["tf"], 1, 2), (None, None, "model"))
+    out["td"] = put(jnp.swapaxes(pack["td"], 1, 2), (None, None, "model"))
+    return out
+
+
+def _make_att_kernel_v4(c, c_loc, quant, no, w4):
+    """Single-layer v4 attention on one chip's channel shard.
+    Grid (1 + no,): [shift + rkv + scalar wkv | no out tiles]. The wkv
+    max-trick recurrence (rwkv_graph.inc:119-161) runs entirely on the
+    local channel block."""
+    c_o = c // no
+    P_OUT0 = 1
+    mm, qx, ln, matv, matv4 = _math_helpers(quant)
+    mv_big = matv4 if w4 else matv
+
+    def kernel(*refs):
+        if quant:
+            (x_ref, att_in, aa_in, bb_in, pp_in,
+             rkv, rkv_d, out_w, out_d,
+             ln1w, ln1b, amix, tfr, tdr,
+             part_out, att_out, aa_out, bb_out, pp_out,
+             xo_s) = refs
+        else:
+            (x_ref, att_in, aa_in, bb_in, pp_in,
+             rkv, out_w,
+             ln1w, ln1b, amix, tfr, tdr,
+             part_out, att_out, aa_out, bb_out, pp_out,
+             xo_s) = refs
+
+        p = pl.program_id(0)
+
+        def cv(ref):
+            return ref[:].T
+
+        @pl.when(p == 0)
+        def _shift_wkv():
+            x = x_ref[:]
+            xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
+            prev = att_in[:]
+            att_out[:] = xl
+
+            cf = amix[:].T.reshape(3, c, 1)  # order k, v, r
+            xk = xl * cf[0] + (prev - prev * cf[0])
+            xv = xl * cf[1] + (prev - prev * cf[1])
+            xr = xl * cf[2] + (prev - prev * cf[2])
+
+            def proj(q, xin):
+                return mv_big(rkv[q], rkv_d[q] if quant else None, xin)
+
+            r = jax.nn.sigmoid(proj(0, xr))
+            k = proj(1, xk)
+            v = proj(2, xv)
+
+            # scalar-state wkv, local channels (rwkv_graph.inc:119-161)
+            aa, bb, pp = aa_in[:], bb_in[:], pp_in[:]
+            tf, td = cv(tfr), cv(tdr)
+            ww = tf + k
+            qq = jnp.maximum(pp, ww)
+            e1 = jnp.exp(pp - qq)
+            e2 = jnp.exp(ww - qq)
+            wkv = (e1 * aa + e2 * v) / (e1 * bb + e2)
+            ww2 = pp + td
+            qq2 = jnp.maximum(ww2, k)
+            e1b = jnp.exp(ww2 - qq2)
+            e2b = jnp.exp(k - qq2)
+            aa_out[:] = e1b * aa + e2b * v
+            bb_out[:] = e1b * bb + e2b
+            pp_out[:] = qq2
+
+            xo_s[:] = r * wkv
+
+        @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
+        def _out_tile():
+            t = p - P_OUT0
+            w = out_w[pl.dslice(t * c_o, c_o)]
+            dd = out_d[pl.dslice(t * c_o, c_o)] if quant else None
+            part_out[pl.dslice(t * c_o, c_o)] = mv_big(w, dd, xo_s[:])
+
+    return kernel, 1 + no
+
+
+def _att_layer_call_v4(lyr, x, att_xx, aa, bb, pp, cfg, tp, quant,
+                       interpret, w4):
+    c = cfg.n_embed
+    c_loc = c // tp
+    no = 1
+
+    kernel, n_phase = _make_att_kernel_v4(c, c_loc, quant, no, w4)
+
+    mat_names = ["rkv", "out"]
+    mat_args, mat_specs = [], []
+    for name in mat_names:
+        w = lyr[name]
+        mat_args.append(w)
+        mat_specs.append(_whole(w.shape))
+        if quant:
+            dd = lyr[name + "_d"]
+            mat_args.append(dd)
+            mat_specs.append(_whole(dd.shape))
+
+    vec_names = ["ln1.weight", "ln1.bias", "amix", "tf", "td"]
+    vec_args = [lyr[k] for k in vec_names]
+    vec_specs = [_whole(lyr[k].shape) for k in vec_names]
+
+    args = [x, att_xx, aa, bb, pp] + mat_args + vec_args
+    in_specs = (
+        [_whole((c, 1)), _whole((c, 1)), _whole((c_loc, 1)),
+         _whole((c_loc, 1)), _whole((c_loc, 1))]
+        + mat_specs + vec_specs
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),       # partial out
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),       # new att_xx
+        jax.ShapeDtypeStruct((c_loc, 1), jnp.float32),   # aa
+        jax.ShapeDtypeStruct((c_loc, 1), jnp.float32),   # bb
+        jax.ShapeDtypeStruct((c_loc, 1), jnp.float32),   # pp
+    )
+    out_specs = (
+        _whole((c, 1)), _whole((c, 1)), _whole((c_loc, 1)),
+        _whole((c_loc, 1)), _whole((c_loc, 1)),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(n_phase,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((c_loc, 1), jnp.float32)],  # xo_s
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def tp_decode_step_v4(pack, state_t, x0, cfg, mesh, interpret=False):
+    """One v4 decode step TP-sharded over mesh axis 'model'.
+
+    state_t: att_xx/ffn_xx [L, C, 1] replicated; aa/bb/pp [L, C, 1]
+    sharded on the channel dim (they live with the rkv row shard)."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    tp = pack["tp"]
+    quant = pack["quant"]
+    w4 = bool(pack.get("w4"))
+
+    meta = ("quant", "w4", "f_dim", "tp", "nf")
+    arrs = {k: v for k, v in pack.items() if k not in meta}
+
+    specs_in = {
+        "rkv": P(None, None, "model", None),
+        "out": P(None, None, "model"),
+        "fr": P(None, "model", None),
+        "fk": P(None, None, "model", None),
+        "fv": P(None, None, None, "model"),
+        "rkv_d": P(None, None, "model", None),
+        "out_d": P(None, None, None),
+        "fr_d": P(None, "model", None),
+        "fk_d": P(None, None, None, "model"),
+        "fv_d": P(None, None, None),
+        "tf": P(None, None, "model"),
+        "td": P(None, None, "model"),
+    }
+    for key in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+                "amix", "fmix_k", "fmix_r"):
+        specs_in[key] = P(None, None, None)
+    arr_specs = {k: specs_in[k] for k in arrs}
+
+    state_specs = {
+        "att_xx": P(None, None, None),
+        "ffn_xx": P(None, None, None),
+        "aa": P(None, "model", None),
+        "bb": P(None, "model", None),
+        "pp": P(None, "model", None),
+    }
+
+    def local_step(arrs, state, x0):
+        def body(x, inp):
+            lyr, att_xx, ffn_xx, aa, bb, pp = inp
+            att_p, new_axx, naa, nbb, npp = _att_layer_call_v4(
+                lyr, x, att_xx, aa, bb, pp, cfg, tp, quant, interpret, w4
+            )
+            x = x + jax.lax.psum(att_p, "model")
+            ffn_p, rg_loc, new_fxx = _ffn_layer_call_v6(
+                lyr, x, ffn_xx, cfg, tp, quant, interpret, w4,
+                mix_keys=("fmix_k", "fmix_r"), mix45=True,
+            )
+            rg = jax.lax.all_gather(
+                rg_loc[:, 0], "model", tiled=True
+            )[:, None]
+            x = x + rg * jax.lax.psum(ffn_p, "model")
+            return x, (new_axx, new_fxx, naa, nbb, npp)
+
+        x, (axx, fxx, aa, bb, pp) = jax.lax.scan(
+            body, x0,
+            (arrs, state["att_xx"], state["ffn_xx"],
+             state["aa"], state["bb"], state["pp"]),
+        )
+        return x, {"att_xx": axx, "ffn_xx": fxx,
+                   "aa": aa, "bb": bb, "pp": pp}
+
+    fn = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(arr_specs, state_specs, P(None, None)),
+        out_specs=(P(None, None), state_specs),
+        check_vma=False,
+    )
+    return fn(arrs, state_t, x0.astype(jnp.float32))
+
+
+# ---------------------------------------------------------------------------
+# v5 TP kernels (World v5.1/5.2 family, B=1)
+# ---------------------------------------------------------------------------
+#
+# Head-sharded like v7: rkv(g) rows, per-head decay/bonus (td/tf), ln_x
+# channels and the wkv head state live with the head block; out is
+# contraction-sharded + psum; FFN is the shared gated v4/v5 kernel.
+
+
+def build_mega_pack_tp_v5(pack: dict, cfg, tp: int, mesh) -> dict:
+    """Re-layout a build_mega_pack_v5 output for TP execution."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    c = cfg.n_embed
+    h = cfg.head_count
+    L = cfg.n_layer
+    f_dim = pack["f_dim"]
+    quant = pack["quant"]
+    w4 = bool(pack.get("w4"))
+    has_gate = pack["has_gate"]
+    n_mix = 4 if has_gate else 3
+    assert c % tp == 0 and h % tp == 0 and f_dim % tp == 0
+
+    def put(a, spec):
+        return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+
+    def pk_repl_k(a):
+        return _pack_nibbles_split_half(a) if w4 else a
+
+    def pk_shard_k(a):
+        if not w4:
+            return a
+        k = a.shape[-1]
+        blk = a.reshape(*a.shape[:-1], tp, k // tp)
+        return _pack_nibbles_split_half(blk).reshape(*a.shape[:-1], k // 2)
+
+    out = {"quant": quant, "w4": w4, "f_dim": f_dim, "tp": tp,
+           "has_gate": has_gate}
+    # rkvg [L, n_mix*C, C] -> [L, n_mix, C, C(/2)], rows sharded
+    out["rkvg"] = put(pk_repl_k(pack["rkvg"].reshape(L, n_mix, c, c)),
+                      (None, None, "model", None))
+    out["out"] = put(pk_shard_k(pack["out"]), (None, None, "model"))
+    out["fr"] = put(pk_repl_k(pack["fr"]), (None, "model", None))
+    nf = 1
+    f_loc = f_dim // tp
+    while (f_loc // nf) * c > 4 * 1024 * 1024 or f_loc % nf:
+        nf += 1
+        if nf > f_loc:
+            nf = f_loc
+            break
+    out["nf"] = nf
+    f4 = f_dim // nf
+    out["fk"] = put(pk_repl_k(pack["fk"].reshape(L, nf, f4, c)),
+                    (None, None, "model", None))
+    out["fv"] = put(
+        pk_shard_k(jnp.swapaxes(pack["fv"].reshape(L, c, nf, f4), 1, 2)),
+        (None, None, None, "model"),
+    )
+    if quant:
+        out["rkvg_d"] = put(pack["rkvg_d"].reshape(L, n_mix, c, 1),
+                            (None, None, "model", None))
+        out["out_d"] = put(pack["out_d"], (None, None, None))  # full rows
+        out["fr_d"] = put(pack["fr_d"], (None, "model", None))
+        out["fk_d"] = put(
+            jnp.swapaxes(pack["fk_d"].reshape(L, nf, f4, 1), 2, 3),
+            (None, None, None, "model"),
+        )
+        out["fv_d"] = put(jnp.swapaxes(pack["fv_d"], 1, 2),
+                          (None, None, None))
+    for key in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias"):
+        out[key] = put(jnp.swapaxes(pack[key], 1, 2), (None, None, None))
+    out["amix"] = put(jnp.swapaxes(pack["amix"], 1, 2), (None, None, None))
+    fmix = jnp.swapaxes(pack["fmix"], 1, 2)
+    out["fmix_k"] = put(fmix[:, :, :c], (None, None, None))
+    out["fmix_r"] = put(fmix[:, :, c:], (None, None, None))
+    # per-head decay/bonus + group-norm affine: sharded with the heads
+    out["td"] = put(pack["td"], (None, "model", None, None))
+    out["tf"] = put(pack["tf"], (None, "model", None, None))
+    out["att.ln_x.weight"] = put(pack["att.ln_x.weight"],
+                                 (None, "model", None))
+    out["att.ln_x.bias"] = put(pack["att.ln_x.bias"],
+                               (None, "model", None))
+    return out
+
+
+def _make_att_kernel_v5(c, c_loc, h_loc, s, quant, nh, no, w4, has_gate):
+    """Single-layer v5 attention on one chip's head shard.
+    Grid (1 + nh + no,): [shift + rkvg | nh wkv tiles | no out tiles]."""
+    n_mix = 4 if has_gate else 3
+    h4 = h_loc // nh
+    c_o = c // no
+    P_WKV0 = 1
+    P_OUT0 = P_WKV0 + nh
+    mm, qx, ln, matv, matv4 = _math_helpers(quant)
+    mv_big = matv4 if w4 else matv
+
+    def kernel(*refs):
+        if quant:
+            (x_ref, att_in, heads_in,
+             rkvg, rkvg_d, out_w, out_d,
+             ln1w, ln1b, lnxw, lnxb, amix, td, tf,
+             part_out, att_out, heads_out,
+             r_s, k_s, v_s, g_s, xo_s) = refs
+        else:
+            (x_ref, att_in, heads_in,
+             rkvg, out_w,
+             ln1w, ln1b, lnxw, lnxb, amix, td, tf,
+             part_out, att_out, heads_out,
+             r_s, k_s, v_s, g_s, xo_s) = refs
+
+        p = pl.program_id(0)
+
+        def cv(ref):
+            return ref[:].T
+
+        @pl.when(p == 0)
+        def _shift_proj():
+            x = x_ref[:]
+            xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
+            prev = att_in[:]
+            att_out[:] = xl
+
+            cf = amix[:].T.reshape(n_mix, c, 1)  # order k, v, r(, g)
+
+            def mixi(ci):
+                return xl * cf[ci] + (prev - prev * cf[ci])
+
+            def proj(q, xin):
+                return mv_big(rkvg[q], rkvg_d[q] if quant else None, xin)
+
+            r_s[:] = proj(0, mixi(2))
+            k_s[:] = proj(1, mixi(0))
+            v_s[:] = proj(2, mixi(1))
+            if has_gate:
+                gg = proj(3, mixi(3))
+                g_s[:] = gg * jax.nn.sigmoid(gg)  # silu
+
+        @pl.when((p >= P_WKV0) & (p < P_WKV0 + nh))
+        def _wkv_tile():
+            t = p - P_WKV0
+            rows_lo = t * h4 * s
+
+            def tile(ref):
+                return ref[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, 1)
+
+            r3, k3, v3 = tile(r_s), tile(k_s), tile(v_s)
+            td3 = td[pl.dslice(t * h4, h4)]                # [h4, s, 1]
+            tf3 = tf[pl.dslice(t * h4, h4)]
+
+            i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            eye = (i_ == j_).astype(jnp.float32)[None]
+            st = heads_in[pl.dslice(t * h4, h4)]
+            v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
+            dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)
+            out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
+            st = st * td3 + k3 * v_row
+            heads_out[pl.dslice(t * h4, h4)] = st
+
+            # group norm per head over S_i, eps 1e-5 (v5)
+            mu = jnp.mean(out_row, axis=2, keepdims=True)
+            yc = out_row - mu
+            var = jnp.mean(yc * yc, axis=2, keepdims=True)
+            y_row = yc * jax.lax.rsqrt(var + jnp.float32(1e-5))
+            y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
+            yn = y_col.reshape(h4 * s, 1)
+
+            lw = lnxw[pl.dslice(rows_lo, h4 * s)]
+            lb = lnxb[pl.dslice(rows_lo, h4 * s)]
+            xo = yn * lw + lb
+            if has_gate:
+                xo = xo * g_s[pl.dslice(rows_lo, h4 * s)]
+            xo_s[pl.dslice(rows_lo, h4 * s)] = xo
+
+        @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
+        def _out_tile():
+            t = p - P_OUT0
+            w = out_w[pl.dslice(t * c_o, c_o)]
+            dd = out_d[pl.dslice(t * c_o, c_o)] if quant else None
+            part_out[pl.dslice(t * c_o, c_o)] = mv_big(w, dd, xo_s[:])
+
+    return kernel, 1 + nh + no
+
+
+def _att_layer_call_v5(lyr, x, att_xx, heads, cfg, tp, quant, interpret,
+                       w4, has_gate):
+    c = cfg.n_embed
+    h_loc = cfg.head_count // tp
+    s = cfg.head_size
+    c_loc = c // tp
+    nh = 1
+    while (h_loc // nh) * s * 128 * 4 > 1024 * 1024 or h_loc % nh:
+        nh += 1
+        if nh > h_loc:
+            nh = h_loc
+            break
+    no = 1
+
+    kernel, n_phase = _make_att_kernel_v5(
+        c, c_loc, h_loc, s, quant, nh, no, w4, has_gate
+    )
+
+    mat_names = ["rkvg", "out"]
+    mat_args, mat_specs = [], []
+    for name in mat_names:
+        w = lyr[name]
+        mat_args.append(w)
+        mat_specs.append(_whole(w.shape))
+        if quant:
+            dd = lyr[name + "_d"]
+            mat_args.append(dd)
+            mat_specs.append(_whole(dd.shape))
+
+    vec_names = ["ln1.weight", "ln1.bias", "att.ln_x.weight",
+                 "att.ln_x.bias", "amix", "td", "tf"]
+    vec_args = [lyr[k] for k in vec_names]
+    vec_specs = [_whole(lyr[k].shape) for k in vec_names]
+
+    args = [x, att_xx, heads] + mat_args + vec_args
+    in_specs = (
+        [_whole((c, 1)), _whole((c, 1)), _whole((h_loc, s, s))]
+        + mat_specs + vec_specs
+    )
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((h_loc, s, s), jnp.float32),
+    )
+    out_specs = (_whole((c, 1)), _whole((c, 1)), _whole((h_loc, s, s)))
+    return pl.pallas_call(
+        kernel,
+        grid=(n_phase,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c_loc, 1), jnp.float32) for _ in range(5)
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+def tp_decode_step_v5(pack, state_t, x0, cfg, mesh, interpret=False):
+    """One v5.1/v5.2 decode step TP-sharded over mesh axis 'model'.
+
+    state_t: att_xx/ffn_xx [L, C, 1] replicated, heads [L, H, S_j, S_i]
+    sharded on H."""
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    tp = pack["tp"]
+    quant = pack["quant"]
+    w4 = bool(pack.get("w4"))
+    has_gate = pack["has_gate"]
+
+    meta = ("quant", "w4", "f_dim", "tp", "nf", "has_gate")
+    arrs = {k: v for k, v in pack.items() if k not in meta}
+
+    specs_in = {
+        "rkvg": P(None, None, "model", None),
+        "out": P(None, None, "model"),
+        "fr": P(None, "model", None),
+        "fk": P(None, None, "model", None),
+        "fv": P(None, None, None, "model"),
+        "rkvg_d": P(None, None, "model", None),
+        "out_d": P(None, None, None),
+        "fr_d": P(None, "model", None),
+        "fk_d": P(None, None, None, "model"),
+        "fv_d": P(None, None, None),
+        "td": P(None, "model", None, None),
+        "tf": P(None, "model", None, None),
+        "att.ln_x.weight": P(None, "model", None),
+        "att.ln_x.bias": P(None, "model", None),
+    }
+    for key in ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias",
+                "amix", "fmix_k", "fmix_r"):
+        specs_in[key] = P(None, None, None)
+    arr_specs = {k: specs_in[k] for k in arrs}
+
+    state_specs = {
+        "att_xx": P(None, None, None),
+        "ffn_xx": P(None, None, None),
+        "heads": P(None, "model", None, None),
+    }
+
+    def local_step(arrs, state, x0):
+        def body(x, inp):
+            lyr, att_xx, ffn_xx, heads = inp
+            att_p, new_axx, new_heads = _att_layer_call_v5(
+                lyr, x, att_xx, heads, cfg, tp, quant, interpret, w4,
+                has_gate,
+            )
+            x = x + jax.lax.psum(att_p, "model")
+            ffn_p, rg_loc, new_fxx = _ffn_layer_call_v6(
+                lyr, x, ffn_xx, cfg, tp, quant, interpret, w4,
+                mix_keys=("fmix_k", "fmix_r"), mix45=True,
             )
             rg = jax.lax.all_gather(
                 rg_loc[:, 0], "model", tiled=True
