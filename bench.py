@@ -76,18 +76,23 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return max(best - overhead, 1e-9) / n_gen
 
-    # -- primary: whole-model megakernel, int8 weights (ops/megakernel.py) --
+    # -- primary: whole-model megakernel, int8 weights + row-stored
+    # vectors + the LM head streamed inside the kernel (tile fetches
+    # interleaved with the layer phases; ops/megakernel.py) --
     tps_single = None
     srv = None
     try:
-        from rwkv_tpu.ops.megakernel import v7_decode_megakernel
+        from rwkv_tpu.ops.megakernel import (
+            head_tile_plan, v7_decode_megakernel,
+        )
         from rwkv_tpu.ops.parity import layer_norm
-        from rwkv_tpu.models import graph as G
 
         mega = ServingModel((cfg, params_raw), precision="w8a8",
                             megakernel=True)
-        meta = {k: mega._mega[k] for k in ("quant", "d_lora", "f_dim")}
-        arrs = {k: v for k, v in mega._mega.items() if k not in meta}
+        pack_src = mega._mega_rows
+        assert head_tile_plan(pack_src, cfg) is not None
+        meta = {k: pack_src[k] for k in ("quant", "w4", "d_lora", "f_dim")}
+        arrs = {k: v for k, v in pack_src.items() if k not in meta}
 
         @jax.jit
         def mega_chain(params, pack_arrs, state, logits):
@@ -99,9 +104,9 @@ def main():
                 x0 = layer_norm(
                     params["emb"][tok].astype(jnp.float32), *params["ln0"]
                 )
-                y, state_t = v7_decode_megakernel(pack, state_t, x0[:, None], cfg)
-                xo = layer_norm(y[:, 0], *params["ln_out"])
-                logits = G.mm(xo[None, :], params["head"])[0]
+                y, state_t, logits = v7_decode_megakernel(
+                    pack, state_t, x0[:, None], cfg
+                )
                 return (state_t, logits), None
 
             state_t = {

@@ -542,8 +542,11 @@ class ServingModel:
                 from rwkv_tpu.ops.megakernel import build_mega_pack
 
                 if self._mega is None:
+                    # head=True folds the LM head into the decode kernel
+                    # (B=1 non-tiled path); the tiled/batched consumers
+                    # ignore the extra keys.
                     self._mega = build_mega_pack(params, cfg, quant=quant,
-                                                 w4=w4)
+                                                 w4=w4, head=not w4)
                 mega_mat_keys = ("rkv", "lora1", "lora2", "out", "fk", "fv")
             elif cfg.version_major == 6:
                 from rwkv_tpu.ops.megakernel import (
@@ -588,6 +591,15 @@ class ServingModel:
             # w4 is implemented on the tiled kernels only — always route
             # through them regardless of model size.
             self._mega_big = per_layer > 20 * 1024 * 1024 or w4
+            self._mega_rows = None
+            if cfg.version_major == 7 and not self._mega_big:
+                from rwkv_tpu.ops.megakernel import rowify_mega_pack
+
+                # row-stored vectors/scales for the non-tiled kernel
+                # (column windows are scatter DMAs that dominate the
+                # step; scripts/probe_layer_cost.py) — shares the big
+                # mats with self._mega, copies only the small arrays
+                self._mega_rows = rowify_mega_pack(self._mega)
         # Measured crossover at 169M (scripts/bench_mega_batched.py): the
         # batched kernel's flat cost beats the per-op path from B≈64 up.
         # Override per deployment (tests set 2 to force the kernel path).
@@ -639,10 +651,22 @@ class ServingModel:
             from rwkv_tpu.ops.megakernel import v7_decode_megakernel
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
+            from rwkv_tpu.ops.megakernel import head_tile_plan
+
+            pack_src = (self._mega_rows
+                        if self._mega_rows is not None else self._mega)
+            in_kernel_head = head_tile_plan(pack_src, cfg) is not None
+            if not in_kernel_head:
+                # keep the head keys out of the kernel's arg list
+                pack_src = {
+                    k: v for k, v in pack_src.items()
+                    if not k.startswith(("head", "ln_out"))
+                }
+
             # static kernel config vs traced arrays: jit must not trace the
             # pack's python scalars (they select slices/kernels)
             meta = {
-                k: self._mega[k]
+                k: pack_src[k]
                 for k in ("quant", "w4", "d_lora", "f_dim")
             }
 
@@ -657,11 +681,19 @@ class ServingModel:
                     "ffn_xx": state["ffn_xx"][0][..., None],
                     "heads": jnp.swapaxes(state["heads"][0], -1, -2),
                 }
-                y, new_t = v7_decode_megakernel(
-                    pack, state_t, x0[:, None], cfg, interpret=interpret
-                )
-                xo = p_ln(y[:, 0], *params["ln_out"])
-                logits = G.mm(xo[None, :], params["head"])
+                if in_kernel_head:
+                    y, new_t, lg = v7_decode_megakernel(
+                        pack, state_t, x0[:, None], cfg,
+                        interpret=interpret,
+                    )
+                    logits = lg[None, :]
+                else:
+                    y, new_t = v7_decode_megakernel(
+                        pack, state_t, x0[:, None], cfg,
+                        interpret=interpret,
+                    )
+                    xo = p_ln(y[:, 0], *params["ln_out"])
+                    logits = G.mm(xo[None, :], params["head"])
                 new_state = {
                     "att_xx": new_t["att_xx"][None, ..., 0],
                     "ffn_xx": new_t["ffn_xx"][None, ..., 0],
@@ -669,7 +701,8 @@ class ServingModel:
                 }
                 return logits, new_state
 
-            self._jit_cache[key] = run
+            arrs = {k: v for k, v in pack_src.items() if k not in meta}
+            self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
     def _mega4_fn(self):
@@ -1265,11 +1298,8 @@ class ServingModel:
                     return fn(self.params, arrs, state, tokens[:, 0])
                 return self._batched_fn(1, True)(self.params, state, tokens)
             if b == 1 and not self._mega_big:
-                arrs = {
-                    k: v for k, v in self._mega.items()
-                    if k not in ("quant", "w4", "d_lora", "f_dim")
-                }
-                return self._mega_fn()(self.params, arrs, state, tokens[:, 0])
+                run, arrs = self._mega_fn()
+                return run(self.params, arrs, state, tokens[:, 0])
             if b == 1:
                 run, arrs_t = self._mega_tiled1_fn()
                 return run(self.params, arrs_t, state, tokens[:, 0])

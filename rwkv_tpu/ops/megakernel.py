@@ -120,7 +120,7 @@ def _nibble_halves(w):
 
 
 def build_mega_pack(params: dict, cfg, quant: bool = True,
-                    w4: bool = False) -> dict:
+                    w4: bool = False, head: bool = False) -> dict:
     """Build the megakernel's parameter pack from a LOADED parameter pytree
     (loader.load_params output: per-layer list of dicts with Weight leaves).
 
@@ -178,7 +178,75 @@ def build_mega_pack(params: dict, cfg, quant: bool = True,
     # six token-shift coefficients, stacked on sublanes: [L, 6C, 1]
     pack["coeff"] = jnp.asarray(stack("att.x_rwkvag").reshape(n_layer, 6 * c, 1))
     pack["r_k"] = jnp.asarray(stack("att.r_k").reshape(n_layer, h, s, 1))
+
+    if head:
+        # Stream the LM head inside the decode kernel too: at 169M the
+        # head is 50 of the 135 MB/token and a separate XLA matvec per
+        # token leaves the pipeline idle during its launch + stream
+        # (the gap behind BENCH_r02's 47%-of-DMA-ceiling headline).
+        # Extra grid phases after the layers consume ln_out + head row
+        # tiles and emit logits [V, 1] directly.
+        hw = _np_dense(params["head"])
+        if quant:
+            # per-row int8 (the w4 path routes through the tiled kernel
+            # and never consumes the non-tiled head phases); scales as a
+            # [1, V] ROW — a [V, 1] column would lane-pad 1 -> 128.
+            q, dd = _quantize_rows(hw[None], False)
+            pack["head8"], pack["head_d"] = q[0], dd[0].T
+        else:
+            pack["headbf16"] = jnp.asarray(hw, jnp.bfloat16)
+        lw, lb = params["ln_out"]
+        pack["ln_out.weight"] = jnp.asarray(
+            np.asarray(lw, np.float32).reshape(c, 1))
+        pack["ln_out.bias"] = jnp.asarray(
+            np.asarray(lb, np.float32).reshape(c, 1))
     return pack
+
+
+def head_tile_plan(pack: dict, cfg):
+    """(nt, v_t) the in-kernel head would use, or None when the pack has
+    no head or the interleave schedule cannot place every tile on a
+    distinct layer phase (nt > n_layer)."""
+    key = "head8" if pack["quant"] else "headbf16"
+    if key not in pack:
+        return None
+    v = pack[key].shape[0]
+    c = cfg.n_embed
+    wb = 1 if pack["quant"] else 2
+    nt = 1
+    while (v // nt) * c * wb > 8 * 1024 * 1024 or v % nt:
+        nt += 1
+        if nt > v:
+            nt = v
+            break
+    if nt > cfg.n_layer:
+        return None
+    return nt, v // nt
+
+
+def rowify_mega_pack(pack: dict) -> dict:
+    """Convert a build_mega_pack (v7) output's per-layer VECTORS and
+    quant row scales from [L, N, 1] columns to [L, 1, N] rows.
+
+    An [N, 1] f32 column window is a per-element scatter DMA (one
+    4-byte word per 512-byte VMEM line); with ~16 such operands per
+    layer the fetch dominates the whole 169M decode step
+    (scripts/probe_layer_cost.py: the fetch-only ablation costs the
+    same 27 us/layer as the full kernel). Row streams are contiguous.
+    v7_decode_megakernel detects the layout by shape."""
+    out = dict(pack)
+    for key in _VEC_KEYS:
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    out["coeff"] = jnp.swapaxes(pack["coeff"], 1, 2)
+    L, h, s_, _ = pack["r_k"].shape
+    out["r_k"] = pack["r_k"].reshape(L, 1, h * s_)
+    if pack["quant"]:
+        for name in _MAT_KEYS:
+            out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    if "ln_out.weight" in pack:
+        out["ln_out.weight"] = pack["ln_out.weight"].T
+        out["ln_out.bias"] = pack["ln_out.bias"].T
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -186,7 +254,8 @@ def build_mega_pack(params: dict, cfg, quant: bool = True,
 # ---------------------------------------------------------------------------
 
 
-def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False):
+def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
+                 head_nt=0, v_t=0, rows=False):
     def mm(w, x):
         """W [N, K] @ x [K, 1] -> [N, 1] f32. quant: W int8 with row scales
         folded by the caller; else bf16 weights."""
@@ -210,12 +279,32 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False):
         var = jnp.mean(vc * vc, axis=0, keepdims=True)
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
+    assert not (debug and head_nt), "debug and head phases are exclusive"
+
     def kernel(*refs):
         dbg_out = None
         if debug:
             # outputs precede scratch: (..., heads_out, dbg_out, x_s, vf_s)
             *rest, dbg_out, x_s_, vf_s_ = refs
             refs = tuple(rest) + (x_s_, vf_s_)
+        head_w = head_d = lnow = lnob = logits_out = head_s = None
+        if head_nt:
+            # head inputs trail the other inputs; logits trail the
+            # outputs; the head staging buffer is the LAST scratch
+            refs = list(refs)
+            head_s = refs.pop()
+            x_s_, vf_s_ = refs[-2], refs[-1]
+            logits_out = refs[-3]
+            del refs[-3:]
+            # head inputs sit right before the 4 outputs
+            n_hin = 4 if quant else 3
+            hin = refs[-4 - n_hin:-4]
+            if quant:
+                head_w, head_d, lnow, lnob = hin
+            else:
+                head_w, lnow, lnob = hin
+            del refs[-4 - n_hin:-4]
+            refs = tuple(refs) + (x_s_, vf_s_)
         if quant:
             (x0_ref, att_in, ffn_in, heads_in,
              rkv, rkv_d, lora1, lora1_d, lora2, lora2_d,
@@ -238,14 +327,23 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False):
         def _():
             x_s[:] = x0_ref[:]
 
-        x = x_s[:]
+        def vec(ref):
+            """Per-layer vector window -> [N, 1] column. rows=True
+            streams vectors/scales as [1, N] ROWS: an [N, 1] column
+            window is a per-element scatter DMA (one 4-byte word per
+            VMEM line), measured to dominate the whole layer step at
+            169M (scripts/probe_layer_cost.py: fetch-only == full).
+            The transpose is exact natively (probe_row_layout.py pA)."""
+            return ref[0].T if rows else ref[0]
 
         def matv(w_ref, d_ref, row_lo, row_hi, xcol):
             w = w_ref[0][row_lo:row_hi]
             if quant:
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
-                return acc.astype(jnp.float32) * dx * d_ref[0][row_lo:row_hi]
+                dd = (d_ref[0][:, row_lo:row_hi].T if rows
+                      else d_ref[0][row_lo:row_hi])
+                return acc.astype(jnp.float32) * dx * dd
             # bf16 weights upcast in-register: Mosaic's single-pass
             # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
             # accumulates exactly like the XLA per-op path and the
@@ -257,107 +355,182 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False):
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        # ---- attention ------------------------------------------------
-        xl = ln(x, ln1w[0], ln1b[0], 1e-5)
-        sx = att_in[0] - xl
-        att_out[0] = xl
+        def _layer_step():
+            x = x_s[:]
 
-        cf = coeff[0].reshape(6, c, 1)
-        # order in att.x_rwkvag: r, w, k, v, a, g (converter concat order)
-        xr = xl + sx * cf[0]
-        xw = xl + sx * cf[1]
-        xk = xl + sx * cf[2]
-        xv = xl + sx * cf[3]
-        xa = xl + sx * cf[4]
-        xg = xl + sx * cf[5]
+            # ---- attention ------------------------------------------------
+            xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
+            sx = att_in[0] - xl
+            att_out[0] = xl
 
-        r = matv(rkv, rkv_d if quant else None, 0 * c, 1 * c, xr)
-        k = matv(rkv, rkv_d if quant else None, 1 * c, 2 * c, xk)
-        v = matv(rkv, rkv_d if quant else None, 2 * c, 3 * c, xv)
+            cf = vec(coeff).reshape(6, c, 1)
+            # order in att.x_rwkvag: r, w, k, v, a, g (converter concat order)
+            xr = xl + sx * cf[0]
+            xw = xl + sx * cf[1]
+            xk = xl + sx * cf[2]
+            xv = xl + sx * cf[3]
+            xa = xl + sx * cf[4]
+            xg = xl + sx * cf[5]
 
-        d = d_lora
-        w_dn = jnp.tanh(matv(lora1, lora1_d if quant else None, 0 * d, 1 * d, xw))
-        a_dn = matv(lora1, lora1_d if quant else None, 1 * d, 2 * d, xa)
-        g_dn = jax.nn.sigmoid(matv(lora1, lora1_d if quant else None, 2 * d, 3 * d, xg))
-        v_dn = matv(lora1, lora1_d if quant else None, 3 * d, 4 * d, xv)
+            r = matv(rkv, rkv_d if quant else None, 0 * c, 1 * c, xr)
+            k = matv(rkv, rkv_d if quant else None, 1 * c, 2 * c, xk)
+            v = matv(rkv, rkv_d if quant else None, 2 * c, 3 * c, xv)
 
-        w_l = matv(lora2, lora2_d if quant else None, 0 * c, 1 * c, w_dn)
-        a_l = matv(lora2, lora2_d if quant else None, 1 * c, 2 * c, a_dn)
-        g = matv(lora2, lora2_d if quant else None, 2 * c, 3 * c, g_dn)
-        vmix_l = matv(lora2, lora2_d if quant else None, 3 * c, 4 * c, v_dn)
+            d = d_lora
+            w_dn = jnp.tanh(matv(lora1, lora1_d if quant else None, 0 * d, 1 * d, xw))
+            a_dn = matv(lora1, lora1_d if quant else None, 1 * d, 2 * d, xa)
+            g_dn = jax.nn.sigmoid(matv(lora1, lora1_d if quant else None, 2 * d, 3 * d, xg))
+            v_dn = matv(lora1, lora1_d if quant else None, 3 * d, 4 * d, xv)
 
-        w_dec = jnp.exp(
-            jax.nn.sigmoid(w_l + w0[0]) * jnp.float32(-0.606531)
-        )
-        a_gate = jax.nn.sigmoid(a_l + a0[0])
+            w_l = matv(lora2, lora2_d if quant else None, 0 * c, 1 * c, w_dn)
+            a_l = matv(lora2, lora2_d if quant else None, 1 * c, 2 * c, a_dn)
+            g = matv(lora2, lora2_d if quant else None, 2 * c, 3 * c, g_dn)
+            vmix_l = matv(lora2, lora2_d if quant else None, 3 * c, 4 * c, v_dn)
 
-        kk = (k * kkw[0]).reshape(h, s, 1)
-        nrm = jnp.sqrt(jnp.sum(kk * kk, axis=1, keepdims=True))
-        kk = kk / jnp.maximum(nrm, jnp.float32(1e-12))
+            w_dec = jnp.exp(
+                jax.nn.sigmoid(w_l + vec(w0)) * jnp.float32(-0.606531)
+            )
+            a_gate = jax.nn.sigmoid(a_l + vec(a0))
 
-        ka = k * kaw[0]
-        k = k + (a_gate * ka - ka)
+            kk = (k * vec(kkw)).reshape(h, s, 1)
+            nrm = jnp.sqrt(jnp.sum(kk * kk, axis=1, keepdims=True))
+            kk = kk / jnp.maximum(nrm, jnp.float32(1e-12))
 
-        # value residual (v_first mixing across layers)
-        @pl.when(i == 0)
-        def _():
-            vf_s[:] = v
+            ka = k * vec(kaw)
+            k = k + (a_gate * ka - ka)
 
-        vf = vf_s[:]
-        v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + v0[0])
-        v_pre = v
-        v = jnp.where(i == 0, v, v_mixed)
+            # value residual (v_first mixing across layers)
+            @pl.when(i == 0)
+            def _():
+                vf_s[:] = v
 
-        # ---- wkv7 step (transposed state [H, S_j, S_i]) ---------------
-        def col3(vec):
-            return vec.reshape(h, s, 1)
+            vf = vf_s[:]
+            v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + vec(v0))
+            v_pre = v
+            v = jnp.where(i == 0, v, v_mixed)
 
-        i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        eye = (i_ == j_).astype(jnp.float32)[None]
+            # ---- wkv7 step (transposed state [H, S_j, S_i]) ---------------
+            def col3(vec):
+                return vec.reshape(h, s, 1)
 
-        r3, w3, k3, v3 = col3(r), col3(w_dec), col3(k), col3(v)
-        a3 = -kk
-        b3 = kk * col3(a_gate.reshape(c, 1))
+            i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            eye = (i_ == j_).astype(jnp.float32)[None]
 
-        st = heads_in[0]
-        sa_row = jnp.sum(st * a3, axis=1, keepdims=True)       # [H, 1, S_i]
-        v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)       # col -> row
-        st = st * w3 + k3 * v_row + b3 * sa_row
-        out_row = jnp.sum(st * r3, axis=1, keepdims=True)      # [H, 1, S_i]
-        heads_out[0] = st
+            r3, w3, k3, v3 = col3(r), col3(w_dec), col3(k), col3(v)
+            a3 = -kk
+            b3 = kk * col3(a_gate.reshape(c, 1))
 
-        # group norm per head over S (lanes of out_row), eps 64e-5
-        mu = jnp.mean(out_row, axis=2, keepdims=True)
-        yc = out_row - mu
-        var = jnp.mean(yc * yc, axis=2, keepdims=True)
-        y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
-        y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)    # row -> col
-        xo = y_col.reshape(c, 1) * lnxw[0] + lnxb[0]
+            st = heads_in[0]
+            sa_row = jnp.sum(st * a3, axis=1, keepdims=True)       # [H, 1, S_i]
+            v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)       # col -> row
+            st = st * w3 + k3 * v_row + b3 * sa_row
+            out_row = jnp.sum(st * r3, axis=1, keepdims=True)      # [H, 1, S_i]
+            heads_out[0] = st
 
-        dots = jnp.sum(k3 * r3 * rk[0], axis=1, keepdims=True)  # [H, 1, 1]
-        bonus = (v3 * dots).reshape(c, 1)
-        xo = (xo + bonus) * g
+            # group norm per head over S (lanes of out_row), eps 64e-5
+            mu = jnp.mean(out_row, axis=2, keepdims=True)
+            yc = out_row - mu
+            var = jnp.mean(yc * yc, axis=2, keepdims=True)
+            y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+            y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)    # row -> col
+            xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
 
-        att_proj = matv(out_w, out_d if quant else None, 0, c, xo)
-        if debug:
-            dbg_out[0] = jnp.concatenate([
-                cf[0], cf[1], cf[2], cf[3], cf[4], cf[5], xk, xa,
-            ], axis=0)
-        x = x + att_proj
+            rk3 = vec(rk).reshape(h, s, 1) if rows else rk[0]
+            dots = jnp.sum(k3 * r3 * rk3, axis=1, keepdims=True)  # [H, 1, 1]
+            bonus = (v3 * dots).reshape(c, 1)
+            xo = (xo + bonus) * g
 
-        # ---- FFN ------------------------------------------------------
-        xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
-        sx2 = ffn_in[0] - xl2
-        ffn_out[0] = xl2
-        xk2 = xl2 + sx2 * xkw[0]
-        fk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
-        fk = jnp.square(jnp.maximum(fk, 0.0))
-        ffn_proj = matv(fv_w, fv_d if quant else None, 0, c, fk)
-        x = x + ffn_proj
+            att_proj = matv(out_w, out_d if quant else None, 0, c, xo)
+            if debug:
+                dbg_out[0] = jnp.concatenate([
+                    cf[0], cf[1], cf[2], cf[3], cf[4], cf[5], xk, xa,
+                ], axis=0)
+            x = x + att_proj
 
-        x_s[:] = x
-        y_out[:] = x
+            # ---- FFN ------------------------------------------------------
+            xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
+            sx2 = ffn_in[0] - xl2
+            ffn_out[0] = xl2
+            xk2 = xl2 + sx2 * vec(xkw)
+            fk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+            fk = jnp.square(jnp.maximum(fk, 0.0))
+            ffn_proj = matv(fv_w, fv_d if quant else None, 0, c, fk)
+            x = x + ffn_proj
+
+            x_s[:] = x
+            y_out[:] = x
+
+        if head_nt:
+            pl.when(i < n_layer)(_layer_step)
+
+            # Head tiles are FETCHED interleaved with the layer phases
+            # (the block specs map layer phase i to head tile
+            # i*nt//L, so the 50MB head rides the DMA idle time of the
+            # VPU-latency-bound layer section — measured 269 GB/s layer
+            # stream vs the 616 GB/s ceiling at 169M) and each freshly
+            # resident tile is staged into head_s. One extra grid phase
+            # after the layers runs ALL the head dots from the staged
+            # copy against the final activation.
+            if head_nt > 1:
+                # stage tiles 0..nt-2; the LAST tile stays resident in
+                # its double-buffered window through the final phase, so
+                # it needs no staging copy (saves one tile of VMEM)
+                @pl.when(i < n_layer)
+                def _stage_head_tile():
+                    tile = jnp.minimum(
+                        i * head_nt // n_layer, head_nt - 1
+                    )
+                    prev = jnp.minimum(
+                        (i - 1) * head_nt // n_layer, head_nt - 1
+                    )
+
+                    @pl.when(((i == 0) | (tile != prev))
+                             & (tile < head_nt - 1))
+                    def _():
+                        head_s[pl.dslice(tile * v_t, v_t)] = head_w[0]
+
+            @pl.when(i == n_layer)
+            def _head_dots():
+                # Logits are emitted as [1, v_t] ROWS (row 0 of each
+                # tile's 8-sublane block): a [v_t, 1] column output
+                # would lane-pad 1 -> 128 and write 128x the data back
+                # to HBM (32MB/token at 65k vocab — measured to cost
+                # more than the head read itself).
+                lw = lnow[:].T if rows else lnow[:]
+                lb = lnob[:].T if rows else lnob[:]
+                xo = ln(x_s[:], lw, lb, 1e-5)
+                if quant:
+                    x8, dx = qx(xo)
+                    xrow = x8.T
+                else:
+                    xrow = xo.T
+                for t in range(head_nt):
+                    if t < head_nt - 1:
+                        wt = head_s[t * v_t:(t + 1) * v_t]
+                    else:
+                        wt = head_w[0]  # still resident in the window
+                    if quant:
+                        acc = jax.lax.dot_general(
+                            xrow, wt,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.int32,
+                        )
+                        tile_logits = (
+                            acc.astype(jnp.float32) * dx
+                            * head_d[0:1, t * v_t:(t + 1) * v_t]
+                        )
+                    else:
+                        tile_logits = jax.lax.dot_general(
+                            xrow.astype(jnp.float32),
+                            wt.astype(jnp.float32),
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )
+                    logits_out[0:1, t * v_t:(t + 1) * v_t] = tile_logits
+        else:
+            _layer_step()
 
     return kernel
 
@@ -377,15 +550,48 @@ def v7_decode_megakernel(
     pack: build_mega_pack output. state_t: transposed per-layer state —
     att_xx [L, C, 1], ffn_xx [L, C, 1], heads [L, H, S_j, S_i]. x0: [C, 1]
     f32 (embedding + ln0 already applied). Returns (x [C, 1], new state_t).
+
+    When the pack carries the LM head (build_mega_pack(head=True)), the
+    grid extends past the layers with head row-tile phases that stream
+    ln_out + the head inside the SAME pallas_call and the return becomes
+    (x, new state_t, logits [V, 1]) — at 169M the head is 50 of the
+    135 MB/token, and streaming it through the kernel pipeline removes
+    the separate XLA matvec launch + its un-overlapped weight read.
     """
     c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
     n_layer = cfg.n_layer
     d_lora, f_dim = pack["d_lora"], pack["f_dim"]
     quant = pack["quant"]
+    # rowify_mega_pack stores vectors [L, 1, N]; legacy packs [L, N, 1]
+    rows = pack["ln1.weight"].shape[1] == 1
 
-    kernel = _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=debug)
+    head_key = "head8" if quant else "headbf16"
+    has_head = head_key in pack
+    head_nt = v_t = 0
+    if has_head:
+        plan = head_tile_plan(pack, cfg)
+        assert plan is not None, (
+            "in-kernel head needs nt <= n_layer to interleave tile "
+            "fetches with the layer phases — check head_tile_plan() "
+            "before calling"
+        )
+        head_nt, v_t = plan
+
+    kernel = _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant,
+                          debug=debug, head_nt=head_nt, v_t=v_t,
+                          rows=rows)
 
     def blocked(shape):
+        if has_head:
+            # head phases run the grid index past the layers — clamp so
+            # the resident layer blocks are not refetched (same-index
+            # revisits are free) and never index out of bounds.
+            return pl.BlockSpec(
+                (1,) + shape,
+                lambda i: (jnp.minimum(i, n_layer - 1),)
+                + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (1,) + shape, lambda i: (i,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
@@ -394,6 +600,16 @@ def v7_decode_megakernel(
     def whole(shape):
         return pl.BlockSpec(
             shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def head_interleaved(shape):
+        # tile i*nt//L is resident at layer phase i (fetch rides the
+        # layer section's idle DMA); the final phase keeps the last tile
+        return pl.BlockSpec(
+            shape,
+            lambda i: (jnp.minimum(i * head_nt // n_layer, head_nt - 1),)
+            + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
         )
 
     mat_args, mat_specs = [], []
@@ -407,18 +623,31 @@ def v7_decode_megakernel(
             mat_specs.append(blocked(d.shape[1:]))
 
     vec_args = [pack[k] for k in _VEC_KEYS]
-    vec_specs = [blocked((c, 1)) for _ in _VEC_KEYS]
+    vec_specs = [blocked(pack[k].shape[1:]) for k in _VEC_KEYS]
+
+    head_args, head_specs = [], []
+    if has_head:
+        head_args.append(pack[head_key].reshape(head_nt, v_t, c))
+        head_specs.append(head_interleaved((1, v_t, c)))
+        if quant:
+            head_args.append(pack["head_d"])      # [1, V] row
+            head_specs.append(whole((1, head_nt * v_t)))
+        head_args += [pack["ln_out.weight"], pack["ln_out.bias"]]
+        head_specs += [whole(pack["ln_out.weight"].shape),
+                       whole(pack["ln_out.bias"].shape)]
 
     args = (
         [x0.astype(jnp.float32),
          state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
         + mat_args + vec_args
         + [pack["coeff"], pack["r_k"]]
+        + head_args
     )
     in_specs = (
         [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
         + mat_specs + vec_specs
-        + [blocked((6 * c, 1)), blocked((h, s, 1))]
+        + [blocked(pack["coeff"].shape[1:]), blocked(pack["r_k"].shape[1:])]
+        + head_specs
     )
 
     out_shapes = (
@@ -435,26 +664,38 @@ def v7_decode_megakernel(
             jax.ShapeDtypeStruct((n_layer, 8 * c, 1), jnp.float32),
         )
         out_specs = out_specs + (blocked((8 * c, 1)),)
+    if has_head:
+        # [8, V] — logits live in row 0 (8 sublanes is the Pallas
+        # minimum); see the kernel's head-phase note on why a [V, 1]
+        # column (128x lane padding) is ruinous.
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((8, head_nt * v_t), jnp.float32),
+        )
+        out_specs = out_specs + (whole((8, head_nt * v_t)),)
 
     *outs, = pl.pallas_call(
         kernel,
-        grid=(n_layer,),
+        grid=(n_layer + (1 if has_head else 0),),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((c, 1), jnp.float32),
             pltpu.VMEM((c, 1), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((max(head_nt - 1, 1) * v_t, c),
+                         jnp.int8 if quant else jnp.bfloat16)]
+             if has_head else []),
         # dimension_semantics: the layer grid has CARRIES (x/v_first scratch,
         # sequential state) — it must be declared "arbitrary", not parallel,
         # or the pipeline may reorder/overlap iterations and silently corrupt
         # the carried activations (observed natively at some (L, C) combos).
         # vmem_limit: per-layer weights + double buffering exceed the 16MB
         # default scoped budget; the chip has 128MB (probe_megakernel2 vmem).
+        # The head staging buffer adds (nt-1)/nt of the head on top —
+        # the 169M w8a8 head config lands 20KB over the 100MB request.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=(104 if has_head else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
@@ -462,6 +703,8 @@ def v7_decode_megakernel(
     state = {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
     if debug:
         state["dbg"] = outs[4]
+    if has_head:
+        return y, state, outs[-1][0]  # logits [V]
     return y, state
 
 
@@ -799,6 +1042,13 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
     # were measured at.
     wide = c >= 3072
     mm_budget = (9 * 1024 * 1024 // 4) if wide else (9 * 1024 * 1024 // 2)
+    if n_proj == 4 and c >= 2048:
+        # 4-projection layers (v6/v5.2) keep more concurrent weight
+        # windows resident than v7 (rkvg + out + fr + fk/fv, plus v6's
+        # decay/maa chain); at C=2048 and C=4096 the default windows
+        # overflow the 128MB VMEM by 4-6MB on chip (v5e) — halve the
+        # window budget.
+        mm_budget //= 2
     lane = max(128, batch)                   # lane dim pads B -> 128 min
     if batch == 1:
         per_head = s * 128 * 4               # [s_j, s_i->128] f32
@@ -1868,6 +2118,12 @@ def retile_mega_pack_v6(pack: dict, cfg, nh: int = 1, nf: int = 1,
         out[key] = jnp.swapaxes(pack[key], 1, 2)
     out["maa5"] = jnp.swapaxes(pack["maa5"], 1, 2)
     out["tdecay"] = jnp.swapaxes(pack["tdecay"], 1, 2)
+    # maa2 moves to [L, d_maa, 5C]: a [5C, d] f32 window pads its d=64
+    # lanes to 128 — 20MB double-buffered at 7B, the allocation that
+    # tipped the C=4096 kernel over the 128MB VMEM cap. Transposed, the
+    # window is exactly 5C*d*4 bytes and the up-projection contracts on
+    # sublanes instead.
+    out["maa2"] = jnp.swapaxes(pack["maa2"], 1, 2)
     if pack.get("w4"):
         for name in ("rkvg", "out", "fr", "fk", "fv"):
             out[name] = _pack_nibbles_split_half(out[name])
@@ -1992,10 +2248,12 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
             def maa_up(lo_c, lo_d):
                 # always-f32 up-projection at HIGHEST precision (see the
                 # _V6_MAT_KEYS note — Mosaic's default f32 matmul is a
-                # single bf16 MXU pass natively).
+                # single bf16 MXU pass natively). maa2 is stored
+                # TRANSPOSED [d, 5C] (see retile_mega_pack_v6) so the
+                # window doesn't lane-pad d -> 128; contract on dim 0.
                 return jax.lax.dot_general(
-                    maa2[0][lo_c:lo_c + c], mixdn[lo_d:lo_d + d],
-                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    maa2[0][:, lo_c:lo_c + c], mixdn[lo_d:lo_d + d],
+                    dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )

@@ -126,10 +126,9 @@ def synth_pack_device(cfg, d_maa, d_dec, nh, nf, ng, no, seed=0):
         key, sub = jax.random.split(key)
         return sub
 
-    @jax.jit
     def qmat(shape):
-        q = jax.random.randint(nxt(), shape, -127, 128, jnp.int8)
-        return q
+        # shape is static — jit would trace it as an array argument
+        return jax.random.randint(nxt(), shape, -127, 128, jnp.int8)
 
     def scale(shape):
         return jnp.full(shape, 0.01, jnp.float32)
@@ -152,8 +151,10 @@ def synth_pack_device(cfg, d_maa, d_dec, nh, nf, ng, no, seed=0):
     pack["fk_d"] = scale((L, nf, 1, f4))
     pack["fv"] = qmat((L, nf, c, f4))
     pack["fv_d"] = scale((L, 1, c))
+    # TRANSPOSED [L, d, 5C] — retile_mega_pack_v6's layout (no 64->128
+    # lane padding on the window)
     pack["maa2"] = (
-        jax.random.normal(nxt(), (L, 5 * c, d_maa), jnp.float32) * 0.01
+        jax.random.normal(nxt(), (L, d_maa, 5 * c), jnp.float32) * 0.01
     )
     for name in _V6_TILED_ROW_VECS:
         off = 1.0 if name.endswith("weight") else 0.0

@@ -346,14 +346,16 @@ def test_megamodel_v6_tiled_big():
 
 
 def test_megamodel_v6_tiled_fused():
-    """v6 phase-tiled kernel in the FUSED (m=1) configuration — C=2048
-    w8a8 keeps the whole [4C, C] rkvg window in one phase (the 1.5B-class
-    Finch configuration) while still routing through the tiled kernel."""
+    """v6 phase-tiled kernel in the FUSED (m=1) configuration — C=1536
+    w8a8 keeps the whole [4C, C] rkvg window in one phase while still
+    routing through the tiled kernel. (C>=2048 4-projection layers now
+    row-tile by design: their windows overflow the 128MB VMEM on chip,
+    see choose_tiling.)"""
     from rwkv_tpu.models.serve import ServingModel
     from rwkv_tpu.models.synth import synth_config, synth_params
     from rwkv_tpu.ops.megakernel import choose_tiling
 
-    cfg = synth_config("6.0", n_layer=2, n_embed=2048, n_vocab=512,
+    cfg = synth_config("6.0", n_layer=2, n_embed=1536, n_vocab=512,
                        head_size=64)
     params = synth_params(cfg, seed=8)
     nh, nf, ng, no = choose_tiling(cfg, True, 1,
@@ -421,8 +423,10 @@ def test_megamodel_v4_tiled_big():
 def test_megamodel_v5_tiled_big(minor):
     """v5 phase-tiled kernel (big-model routing) vs the per-op path for
     both minor versions (5.1: no gate, 3 projections; 5.2: silu gate,
-    4 projections), covering fused (C=2048 w8a8) and row-tiled
-    (C=2304) configurations."""
+    4 projections), covering fused and row-tiled configurations (the
+    fused width differs per minor: C>=2048 4-projection layers row-tile
+    by design — their windows overflow the on-chip VMEM, see
+    choose_tiling)."""
     from rwkv_tpu.models.serve import ServingModel
     from rwkv_tpu.models.synth import synth_config, synth_params
     from rwkv_tpu.ops.megakernel import choose_tiling
@@ -430,7 +434,7 @@ def test_megamodel_v5_tiled_big(minor):
     n_mix = 4 if minor == "2" else 3
     for c, precision, tol, expect_fused in (
         (2304, "bf16", 2e-2, False),
-        (2048, "w8a8", 1e-1, True),
+        (2048 if n_mix == 3 else 1536, "w8a8", 1e-1, True),
     ):
         cfg = synth_config(f"5.{minor}", n_layer=2, n_embed=c,
                            n_vocab=512, head_size=64)
@@ -692,3 +696,46 @@ def test_serving_mega_pack_cache(tmp_path):
         la, sa = a.decode(np.array([tok], np.int32), sa)
         lb, sb = b.decode(np.array([tok], np.int32), sb)
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+@pytest.mark.parametrize("quant", [True, False])
+def test_megamodel_inkernel_head(quant):
+    """build_mega_pack(head=True): the decode kernel's extra head phases
+    must reproduce the per-op engine's logits (w8a8 shares the exact
+    rowwise-int8 + per-matvec activation-scale semantics, so it is
+    bit-equal; bf16 differs only by the per-op path's bf16 activation
+    rounding — same band as the other bf16 cross-path gates)."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import build_mega_pack, v7_decode_megakernel
+    from rwkv_tpu.ops.parity import layer_norm
+
+    cfg = synth_config("7.0", n_layer=3, n_embed=256, n_vocab=1024,
+                       head_size=64)
+    params = synth_params(cfg, seed=5, lora_dim=64)
+    pack = build_mega_pack(params, cfg, quant=quant, head=True)
+    srv = ServingModel((cfg, params), precision="w8a8" if quant else "bf16")
+
+    state_r = srv.init_state(1)
+    state_t = {
+        "att_xx": jnp.zeros((cfg.n_layer, cfg.n_embed, 1), jnp.float32),
+        "ffn_xx": jnp.zeros((cfg.n_layer, cfg.n_embed, 1), jnp.float32),
+        "heads": jnp.zeros(
+            (cfg.n_layer, cfg.head_count, cfg.head_size, cfg.head_size),
+            jnp.float32,
+        ),
+    }
+    tol = 1e-5 if quant else 2e-2
+    for tok in (34, 105, 110, 7, 200):
+        lr, state_r = srv.decode(np.array([tok], np.int32), state_r)
+        x0 = layer_norm(
+            srv.params["emb"][tok].astype(jnp.float32), *srv.params["ln0"]
+        )
+        y, state_t, logits = v7_decode_megakernel(
+            pack, state_t, x0[:, None], cfg, interpret=True
+        )
+        lr = np.asarray(lr)[0]
+        lm = np.asarray(logits)
+        scale = max(np.abs(lr).max(), 1e-6)
+        assert np.abs(lm - lr).max() / scale < tol
+        assert lm.argmax() == lr.argmax()

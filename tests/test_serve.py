@@ -159,3 +159,43 @@ def test_serving_chunked_wkv_long_prefill_golden_state():
         np.asarray(state_p["heads"]), np.asarray(state_s["heads"]),
         rtol=2e-4, atol=2e-4,
     )
+
+
+@pytest.mark.parametrize(
+    "model,fmt,band",
+    # Bands ~2-4x the measured golden diff-sums per quantized FILE format
+    # (serving precision='quant', fused dequant-matmul on the file's own
+    # packed blocks) — completes the format coverage beyond Q5_1
+    # (docs/STATUS.md quality table; reference README.md:33-43 profile).
+    [
+        ("7v0-834K", "Q4_0", 0.4), ("7v0-834K", "Q4_1", 0.3),
+        ("7v0-834K", "Q5_0", 0.2), ("7v0-834K", "Q5_1", 0.2),
+        ("7v0-834K", "Q8_0", 0.1),
+        ("4v0-660K", "Q4_0", 0.5), ("4v0-660K", "Q4_1", 0.9),
+        ("4v0-660K", "Q5_0", 0.5), ("4v0-660K", "Q5_1", 0.6),
+        ("4v0-660K", "Q8_0", 0.3),
+        # 730K v5.2 amplifies quantization error (tiny model, the same
+        # +X0-diff-sum profile as the reference's own Q4/Q5 rows there)
+        ("5v2-730K", "Q4_0", 80.0), ("5v2-730K", "Q4_1", 150.0),
+        ("5v2-730K", "Q5_0", 60.0), ("5v2-730K", "Q5_1", 100.0),
+        ("5v2-730K", "Q8_0", 10.0),
+    ],
+)
+def test_serving_quant_file_golden_band(model, fmt, band):
+    """Golden logit diff-sum bands for EVERY quantized file format the
+    reference ships fixtures for, through the serving engine's
+    keep-quant path."""
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture(f"tiny-rwkv-{model}-FP32-to-{fmt}.bin"))
+    expected = np.fromfile(
+        str(require_fixture(f"expected-logits-{model}.bin")),
+        dtype=np.float32,
+    )
+    srv = ServingModel(path, precision="quant")
+    state = srv.init_state(1)
+    logits = None
+    for tok in b'"in':
+        logits, state = srv.decode(np.array([tok], np.int32), state)
+    diff = float(np.sum(np.asarray(logits[0]) - expected))
+    assert abs(diff) < band, diff
