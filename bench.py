@@ -88,7 +88,7 @@ def main():
         from rwkv_tpu.ops.parity import layer_norm
 
         mega = ServingModel((cfg, params_raw), precision="w8a8",
-                            megakernel=True)
+                            megakernel=True, batch_bf16_shadow=True)
         pack_src = mega._mega_rows
         assert head_tile_plan(pack_src, cfg) is not None
         meta = {k: pack_src[k] for k in ("quant", "w4", "d_lora", "f_dim")}
@@ -151,7 +151,10 @@ def main():
         )
         tps_single = 1.0 / per_tok
 
-    stacked = srv.params
+    # Batched context metric: mid-B decode routes to the bf16 shadow
+    # (measured fastest 2 <= B < 128; scripts/bench_batch_crossover.py)
+    stacked = (srv._shadow() if getattr(srv, "_batch_bf16_shadow", False)
+               else srv.params)
 
     # Context metrics are best-effort: they add two more large graph
     # compiles, which through a congested tunnel can be slow. The headline

@@ -433,6 +433,7 @@ class ServingModel:
         mesh=None,
         megakernel: bool = False,
         mega_pack_cache: Optional[str] = None,
+        batch_bf16_shadow: bool = False,
     ):
         """mega_pack_cache: path to a .npz pack cache (see
         ops.megakernel.save_mega_pack). With megakernel=True, an
@@ -600,10 +601,31 @@ class ServingModel:
                 # step; scripts/probe_layer_cost.py) — shares the big
                 # mats with self._mega, copies only the small arrays
                 self._mega_rows = rowify_mega_pack(self._mega)
-        # Measured crossover at 169M (scripts/bench_mega_batched.py): the
-        # batched kernel's flat cost beats the per-op path from B≈64 up.
-        # Override per deployment (tests set 2 to force the kernel path).
+        # Measured crossovers at 169M on chip
+        # (scripts/bench_batch_crossover.py, tok/s):
+        #   B        1     2     4     8    16    32    64    128
+        #   bf16/op  1716  3400  6447 11827 19738 22136 26232 27612
+        #   w8a8/op  1371  2699  5234  9765 14172 15122 17933 19217
+        #   mega8       -   874  1582  3219  6667 11609 19325 89681
+        # The batched kernel's state stream lane-pads B -> 128, so it
+        # beats the per-op path at B>=64 vs w8a8/op and only at B~128
+        # vs bf16/op. Override per deployment (tests set 2 to force the
+        # kernel path).
         self.mega_min_batch = 64
+        # batch_bf16_shadow: quantized engines serve mid-B decode
+        # (2 <= B < the megakernel crossover) ~20% faster through a
+        # bf16 copy of the stacked weights — opt-in, costs ~2x the int8
+        # weight HBM. The shadow is stacked lazily on first use.
+        self._batch_bf16_shadow = (
+            batch_bf16_shadow
+            and precision not in ("bf16", "f32")
+            and mesh is None
+        )
+        self._shadow_params = None
+        self._shadow_src = params if self._batch_bf16_shadow else None
+        if self._batch_bf16_shadow:
+            # bf16/op overtakes the batched kernel until B~128
+            self.mega_min_batch = 128
         self._jit_cache: dict[Any, Any] = {}
 
     # -- state -------------------------------------------------------------
@@ -619,12 +641,13 @@ class ServingModel:
         return state
 
     # -- compiled steps ----------------------------------------------------
-    def _batched_fn(self, t: int, compute_logits: bool):
-        key = ("fwd", t, compute_logits)
+    def _batched_fn(self, t: int, compute_logits: bool,
+                    shadow: bool = False):
+        key = ("fwd", t, compute_logits, shadow)
         if key not in self._jit_cache:
             cfg = self.config
 
-            mm_force = self._mm_force
+            mm_force = None if shadow else self._mm_force
 
             @jax.jit
             def run(params, state, tokens):  # tokens [B, t]; state [B, L, ...]
@@ -642,6 +665,15 @@ class ServingModel:
 
             self._jit_cache[key] = run
         return self._jit_cache[key]
+
+    def _shadow(self):
+        """bf16 copy of the stacked weights for mid-B decode (see the
+        measured crossover table in __init__). Built lazily."""
+        if self._shadow_params is None:
+            self._shadow_params = stack_layer_params(
+                self._shadow_src, self.config, jnp.bfloat16, "dense"
+            )
+        return self._shadow_params
 
     def _mega_fn(self):
         key = ("mega",)
@@ -1296,7 +1328,7 @@ class ServingModel:
                         if k not in meta
                     }
                     return fn(self.params, arrs, state, tokens[:, 0])
-                return self._batched_fn(1, True)(self.params, state, tokens)
+                return self._perop_decode(state, tokens)
             if b == 1 and not self._mega_big:
                 run, arrs = self._mega_fn()
                 return run(self.params, arrs, state, tokens[:, 0])
@@ -1306,6 +1338,16 @@ class ServingModel:
             if self.mega_min_batch <= b <= MEGA_MAX_BATCH:
                 run, arrs_t = self._mega_batched_fn(b)
                 return run(self.params, arrs_t, state, tokens[:, 0])
+        return self._perop_decode(state, tokens)
+
+    def _perop_decode(self, state, tokens):
+        """Per-op decode step, routed to the bf16 shadow weights for
+        mid-B batches when enabled (measured ~20% over per-op w8a8,
+        scripts/bench_batch_crossover.py)."""
+        if self._batch_bf16_shadow and tokens.shape[0] > 1:
+            return self._batched_fn(1, True, shadow=True)(
+                self._shadow(), state, tokens
+            )
         return self._batched_fn(1, True)(self.params, state, tokens)
 
     def prefill(self, tokens: Sequence[int], state: Optional[dict] = None,

@@ -199,3 +199,36 @@ def test_serving_quant_file_golden_band(model, fmt, band):
         logits, state = srv.decode(np.array([tok], np.int32), state)
     diff = float(np.sum(np.asarray(logits[0]) - expected))
     assert abs(diff) < band, diff
+
+
+def test_batch_bf16_shadow_routing():
+    """batch_bf16_shadow=True: a quantized engine serves mid-B decode
+    through a lazily-built bf16 weight copy (measured ~20% faster than
+    per-op w8a8 at B in [2, 128); scripts/bench_batch_crossover.py) —
+    logits must match a plain bf16 engine exactly."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=256, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=3, lora_dim=32)
+    sh = ServingModel((cfg, params), precision="w8a8",
+                      batch_bf16_shadow=True)
+    bf = ServingModel((cfg, params), precision="bf16")
+    assert sh._batch_bf16_shadow and sh._shadow_params is None
+
+    toks = np.array([3, 77, 200, 9], np.int32)
+    st_s, st_b = sh.init_state(4), bf.init_state(4)
+    ls, st_s = sh.decode(toks, st_s)
+    lb, st_b = bf.decode(toks, st_b)
+    assert sh._shadow_params is not None  # lazily built on first use
+    np.testing.assert_allclose(np.asarray(ls), np.asarray(lb),
+                               rtol=1e-5, atol=1e-5)
+
+    # B=1 still uses the quantized engine (no shadow)
+    l1, _ = sh.decode(np.array([3], np.int32), sh.init_state(1))
+    lq, _ = ServingModel((cfg, params), precision="w8a8").decode(
+        np.array([3], np.int32), sh.init_state(1)
+    )
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(lq),
+                               rtol=1e-5, atol=1e-5)
