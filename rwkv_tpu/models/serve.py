@@ -1156,6 +1156,61 @@ class ServingModel:
             self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
+    def _mega_batched_packed_fn(self, b: int):
+        """Lane-packed batched decode (2 <= B < 128): state packs
+        (S_i, B) onto lanes so mid-B streams only the useful state bytes
+        (the plain batched kernel lane-pads B -> 128)."""
+        key = ("megabp", b)
+        if key not in self._jit_cache:
+            cfg = self.config
+            h, s = cfg.head_count, cfg.head_size
+            interpret = jax.default_backend() != "tpu"
+            from rwkv_tpu.ops.megakernel import (
+                pack_batched_state, unpack_batched_state,
+                v7_decode_megakernel_batched_packed,
+            )
+            from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+            pack_src = self._mega_rows
+            meta = {k: pack_src[k]
+                    for k in ("quant", "w4", "d_lora", "f_dim")}
+            mm_force = self._mm_force
+
+            @jax.jit
+            def run(params, pack_arrs, state, tokens):  # state [B, L, ...]
+                from rwkv_tpu.ops.kernels import force_mode
+
+                pack = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][tokens].astype(jnp.float32),
+                    *params["ln0"],
+                )  # [B, C]
+                state_p = {
+                    "att_xx": jnp.transpose(state["att_xx"], (1, 2, 0)),
+                    "ffn_xx": jnp.transpose(state["ffn_xx"], (1, 2, 0)),
+                    "heads": pack_batched_state(state["heads"], h, s),
+                }
+                y, new_p = v7_decode_megakernel_batched_packed(
+                    pack, state_p, x0.T, cfg, interpret=interpret
+                )
+                xo = p_ln(y.T, *params["ln_out"])           # [B, C]
+                with force_mode(mm_force):
+                    logits = G.mm(xo, params["head"])
+                new_state = {
+                    "att_xx": jnp.transpose(new_p["att_xx"], (2, 0, 1)),
+                    "ffn_xx": jnp.transpose(new_p["ffn_xx"], (2, 0, 1)),
+                    "heads": unpack_batched_state(
+                        new_p["heads"], b, h, s
+                    ),
+                }
+                return logits, new_state
+
+            arrs = {k: v for k, v in pack_src.items()
+                    if k not in meta
+                    and not k.startswith(("head", "ln_out"))}
+            self._jit_cache[key] = (run, arrs)
+        return self._jit_cache[key]
+
     def score(self, tokens, state):
         """Sequence-score: per-position logits. tokens [B, t] ->
         (logits [B, t, V], new_state). Position i's logits predict token

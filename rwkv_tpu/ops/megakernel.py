@@ -995,6 +995,342 @@ def v7_decode_megakernel_batched(
 
 
 # ---------------------------------------------------------------------------
+# LANE-PACKED batched kernel (2 <= B < 128): state [H, S_j, S_i*B]
+# ---------------------------------------------------------------------------
+#
+# The plain batched kernel's state blocks put BATCH alone on lanes, so
+# any B < 128 pads to 128 and streams 128/B x the useful state bytes —
+# the reason mid-B decode fell back to the per-op path. This variant
+# packs (S_i, B) onto lanes: zero padding whenever S_i*B >= 128 (B >= 2
+# at head size 64). Every layout move is expressed as a dot with a
+# constant 0/1 selection matrix (built from iota in-kernel) or a
+# sublane split/reduce — no lane-dim value reshapes, which Mosaic may
+# relayout incorrectly (module header):
+#   E[b, m]  = 1 iff m % B == b   ("broadcast a [*, B] over s_i")
+#   K[i, m]  = 1 iff m // B == i  ("select lane group i")
+#   j-operands r/w/k/a/b: [c, B] -mm E-> [c, S_i*B] -> split (h, s_j, .)
+#   v (i-indexed):  D = v mm E;  v_p = sum_i' D[h, i', m] * K[i', m]
+#   group-norm stats over s_i per (h, b): y mm E^T / s, broadcast back
+#   unpack to [C, B]: (xo_p broadcast over s_i) * K  mm  E^T
+# The selection dots run at HIGHEST precision — they are permutations,
+# a single bf16 MXU pass would round the f32 values they carry.
+
+
+def _make_kernel_batched_packed(c, h, s, d_lora, f_dim, n_layer, quant,
+                                batch):
+    sib = s * batch
+
+    def mm(w, x):
+        return jax.lax.dot_general(
+            w, x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32 if quant else jnp.float32,
+        )
+
+    def mmf(a, b):
+        """Exact f32 selection/permutation dot."""
+        return jax.lax.dot_general(
+            a, b,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+
+    def qx(x):
+        """Per-COLUMN activation quantization (one scale per lane)."""
+        amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)        # [1, B]
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
+        return x8, dx
+
+    def ln(v, w, b, eps):
+        mu = jnp.mean(v, axis=0, keepdims=True)
+        vc = v - mu
+        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
+
+    def kernel(*refs):
+        if quant:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkv, rkv_d, lora1, lora1_d, lora2, lora2_d,
+             out_w, out_d, fk_w, fk_d, fv_w, fv_d,
+             ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
+             coeff, rk, lnxw_p, lnxb_p,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, vf_s, yp_s) = refs
+        else:
+            (x0_ref, att_in, ffn_in, heads_in,
+             rkv, lora1, lora2, out_w, fk_w, fv_w,
+             ln1w, ln1b, ln2w, ln2b, w0, a0, v0, kkw, kaw, lnxw, lnxb, xkw,
+             coeff, rk, lnxw_p, lnxb_p,
+             y_out, att_out, ffn_out, heads_out,
+             x_s, vf_s, yp_s) = refs
+
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            x_s[:] = x0_ref[:]
+
+        x = x_s[:]                                              # [C, B]
+
+        def vec(ref):
+            """[1, N] row window -> [N, 1] column (rowified pack)."""
+            return ref[0].T
+
+        def matv(w_ref, d_ref, row_lo, row_hi, xcols):
+            w = w_ref[0][row_lo:row_hi]
+            if quant:
+                x8, dx = qx(xcols)
+                acc = mm(w, x8)
+                dd = d_ref[0][:, row_lo:row_hi].T
+                return acc.astype(jnp.float32) * dx * dd
+            return jax.lax.dot_general(
+                w.astype(jnp.float32), xcols,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+
+        # constant selection matrices (iota — no operand streams)
+        m_lane = jax.lax.broadcasted_iota(jnp.int32, (batch, sib), 1)
+        b_row = jax.lax.broadcasted_iota(jnp.int32, (batch, sib), 0)
+        E = ((m_lane % batch) == b_row).astype(jnp.float32)       # [B, sib]
+        mK = jax.lax.broadcasted_iota(jnp.int32, (s, sib), 1)
+        iK = jax.lax.broadcasted_iota(jnp.int32, (s, sib), 0)
+        K = ((mK // batch) == iK).astype(jnp.float32)             # [s, sib]
+
+        # ---- attention ------------------------------------------------
+        xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
+        sx = att_in[0] - xl
+        att_out[0] = xl
+
+        cf = vec(coeff).reshape(6, c, 1)
+        xr = xl + sx * cf[0]
+        xw = xl + sx * cf[1]
+        xk = xl + sx * cf[2]
+        xv = xl + sx * cf[3]
+        xa = xl + sx * cf[4]
+        xg = xl + sx * cf[5]
+
+        r = matv(rkv, rkv_d if quant else None, 0 * c, 1 * c, xr)
+        k = matv(rkv, rkv_d if quant else None, 1 * c, 2 * c, xk)
+        v = matv(rkv, rkv_d if quant else None, 2 * c, 3 * c, xv)
+
+        d = d_lora
+        w_dn = jnp.tanh(matv(lora1, lora1_d if quant else None,
+                             0 * d, 1 * d, xw))
+        a_dn = matv(lora1, lora1_d if quant else None, 1 * d, 2 * d, xa)
+        g_dn = jax.nn.sigmoid(matv(lora1, lora1_d if quant else None,
+                                   2 * d, 3 * d, xg))
+        v_dn = matv(lora1, lora1_d if quant else None, 3 * d, 4 * d, xv)
+
+        w_l = matv(lora2, lora2_d if quant else None, 0 * c, 1 * c, w_dn)
+        a_l = matv(lora2, lora2_d if quant else None, 1 * c, 2 * c, a_dn)
+        g = matv(lora2, lora2_d if quant else None, 2 * c, 3 * c, g_dn)
+        vmix_l = matv(lora2, lora2_d if quant else None, 3 * c, 4 * c, v_dn)
+
+        w_dec = jnp.exp(
+            jax.nn.sigmoid(w_l + vec(w0)) * jnp.float32(-0.606531)
+        )
+        a_gate = jax.nn.sigmoid(a_l + vec(a0))
+
+        kk = (k * vec(kkw)).reshape(h, s, batch)
+        nrm = jnp.sqrt(jnp.sum(kk * kk, axis=1, keepdims=True))
+        kk = (kk / jnp.maximum(nrm, jnp.float32(1e-12))).reshape(c, batch)
+
+        ka = k * vec(kaw)
+        k = k + (a_gate * ka - ka)
+
+        @pl.when(i == 0)
+        def _():
+            vf_s[:] = v
+
+        vf = vf_s[:]
+        v_mixed = v + (vf - v) * jax.nn.sigmoid(vmix_l + vec(v0))
+        v = jnp.where(i == 0, v, v_mixed)
+
+        # ---- wkv7, packed state [h, s_j, s_i*B] ------------------------
+        # j-indexed operands broadcast over s_i in ONE fused selection
+        # dot: [5c, B] @ E -> [5c, sib]
+        jstack = jnp.concatenate(
+            [r, w_dec, k, -kk, kk * a_gate], axis=0
+        )                                                   # [5c, B]
+        jb = mmf(jstack, E).reshape(5, h, s, sib)
+        r_b, w_b, k_b, a_b, b_b = (jb[0], jb[1], jb[2], jb[3], jb[4])
+
+        # v (i-indexed): broadcast over b, then select lane group i
+        Dv = mmf(v, E).reshape(h, s, sib)                   # v[(h,i'), b]
+        v_b = jnp.sum(Dv * K[None], axis=1, keepdims=True)  # [h, 1, sib]
+
+        st = heads_in[0]                                    # [h, s_j, sib]
+        sa = jnp.sum(st * a_b, axis=1, keepdims=True)
+        st = st * w_b + k_b * v_b + b_b * sa
+        y3 = jnp.sum(st * r_b, axis=1, keepdims=True)       # [h, 1, sib]
+        heads_out[0] = st
+
+        # materialize through scratch: the slab-reduce layout cannot be
+        # relayouted directly into the 2D stats shape (see the plain
+        # batched kernel's y_s note)
+        yp_s[:] = y3.reshape(h, sib)
+        y2 = yp_s[:]                                        # [h, sib]
+
+        # group norm over s_i per (h, b): stats via selection dots
+        inv_s = jnp.float32(1.0 / s)
+        mu = mmf(y2, E.T) * inv_s                           # [h, B]
+        mu_b = mmf(mu, E)                                   # [h, sib]
+        yc = y2 - mu_b
+        var = mmf(yc * yc, E.T) * inv_s
+        var_b = mmf(var, E)
+        yn = yc * jax.lax.rsqrt(var_b + jnp.float32(64e-5))
+        xo_p = yn * lnxw_p[0] + lnxb_p[0]                   # [h, sib]
+
+        rk3 = vec(rk).reshape(h, s, 1)
+        dots = jnp.sum(k_b * r_b * rk3, axis=1, keepdims=True)  # [h,1,sib]
+        xo_p = xo_p + (v_b * dots)[:, 0]
+
+        # unpack [h, sib] -> [C, B] (select lane group, reduce with E^T)
+        tmp = (xo_p[:, None, :] * K[None]).reshape(c, sib)
+        xo = mmf(tmp, E.T)                                  # [C, B]
+        xo = xo * g
+
+        att_proj = matv(out_w, out_d if quant else None, 0, c, xo)
+        x = x + att_proj
+
+        # ---- FFN ------------------------------------------------------
+        xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
+        sx2 = ffn_in[0] - xl2
+        ffn_out[0] = xl2
+        xk2 = xl2 + sx2 * vec(xkw)
+        fk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+        fk = jnp.square(jnp.maximum(fk, 0.0))
+        ffn_proj = matv(fv_w, fv_d if quant else None, 0, c, fk)
+        x = x + ffn_proj
+
+        x_s[:] = x
+        y_out[:] = x
+
+    return kernel
+
+
+def v7_decode_megakernel_batched_packed(
+    pack: dict, state_p: dict, x0, cfg, interpret: bool = False,
+):
+    """Lane-packed batched v7 decode step (2 <= B < 128).
+
+    pack: ROWIFIED build_mega_pack output (rowify_mega_pack). state_p:
+    att_xx/ffn_xx [L, C, B], heads [L, H, S_j, S_i*B] (lane-packed; see
+    pack_batched_state). x0: [C, B] f32. Returns (x [C, B], state_p)."""
+    c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
+    n_layer = cfg.n_layer
+    d_lora, f_dim = pack["d_lora"], pack["f_dim"]
+    quant = pack["quant"]
+    batch = x0.shape[1]
+    sib = s * batch
+    assert pack["ln1.weight"].shape[1] == 1, "needs a rowified pack"
+
+    kernel = _make_kernel_batched_packed(
+        c, h, s, d_lora, f_dim, n_layer, quant, batch
+    )
+
+    def blocked(shape):
+        return pl.BlockSpec(
+            (1,) + shape, lambda i: (i,) + (0,) * len(shape),
+            memory_space=pltpu.VMEM,
+        )
+
+    def whole(shape):
+        return pl.BlockSpec(
+            shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    mat_args, mat_specs = [], []
+    for name in _MAT_KEYS:
+        w = pack[name]
+        mat_args.append(w)
+        mat_specs.append(blocked(w.shape[1:]))
+        if quant:
+            dq = pack[name + "_d"]
+            mat_args.append(dq)
+            mat_specs.append(blocked(dq.shape[1:]))
+
+    vec_args = [pack[k] for k in _VEC_KEYS]
+    vec_specs = [blocked(pack[k].shape[1:]) for k in _VEC_KEYS]
+
+    # ln_x affine in the packed lane layout (XLA-side broadcast; tiny)
+    lnxw_p = jnp.broadcast_to(
+        pack["att.ln_x.weight"].reshape(n_layer, h, s, 1),
+        (n_layer, h, s, batch),
+    ).reshape(n_layer, h, sib)
+    lnxb_p = jnp.broadcast_to(
+        pack["att.ln_x.bias"].reshape(n_layer, h, s, 1),
+        (n_layer, h, s, batch),
+    ).reshape(n_layer, h, sib)
+
+    args = (
+        [x0.astype(jnp.float32),
+         state_p["att_xx"], state_p["ffn_xx"], state_p["heads"]]
+        + mat_args + vec_args
+        + [pack["coeff"], pack["r_k"], lnxw_p, lnxb_p]
+    )
+    in_specs = (
+        [whole((c, batch)), blocked((c, batch)), blocked((c, batch)),
+         blocked((h, s, sib))]
+        + mat_specs + vec_specs
+        + [blocked(pack["coeff"].shape[1:]), blocked(pack["r_k"].shape[1:]),
+           blocked((h, sib)), blocked((h, sib))]
+    )
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, h, s, sib), jnp.float32),
+    )
+    out_specs = (
+        whole((c, batch)), blocked((c, batch)), blocked((c, batch)),
+        blocked((h, s, sib)),
+    )
+
+    y, att_xx, ffn_xx, heads = pl.pallas_call(
+        kernel,
+        grid=(n_layer,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((c, batch), jnp.float32),
+            pltpu.VMEM((c, batch), jnp.float32),
+            pltpu.VMEM((h, sib), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+
+
+def pack_batched_state(heads, h, s):
+    """Serving heads [B, L, H, S_i, S_j] -> lane-packed [L, H, S_j,
+    S_i*B] (the packed batched kernel's layout)."""
+    b = heads.shape[0]
+    L = heads.shape[1]
+    # [B, L, H, S_i, S_j] -> [L, H, S_j, S_i, B] -> merge (S_i, B)
+    t = jnp.transpose(heads, (1, 2, 4, 3, 0))
+    return t.reshape(L, h, s, s * b)
+
+
+def unpack_batched_state(heads_p, b, h, s):
+    """Inverse of pack_batched_state."""
+    L = heads_p.shape[0]
+    t = heads_p.reshape(L, h, s, s, b)
+    return jnp.transpose(t, (4, 0, 1, 3, 2))
+
+
+# ---------------------------------------------------------------------------
 # Phase-tiled kernel: bounded-VMEM streaming for big layers / big batches
 # ---------------------------------------------------------------------------
 #

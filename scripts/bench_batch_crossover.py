@@ -82,6 +82,22 @@ def time_perop(srv, cfg, batch, ov, mm_force):
     return batch * N_GEN / max(best - ov, 1e-9)
 
 
+def time_mega_packed(srv, cfg, batch, ov):
+    run, arrs = srv._mega_batched_packed_fn(batch)
+    state = srv.init_state(batch)
+    toks = np.zeros((batch,), np.int32)
+    logits, state = run(srv.params, arrs, state, jnp.asarray(toks))
+    jax.block_until_ready(logits)
+    best = 1e9
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            logits, state2 = run(srv.params, arrs, state, jnp.asarray(toks))
+        jax.block_until_ready(logits)
+        best = min(best, time.perf_counter() - t0)
+    return batch * 8 / max(best - ov, 1e-9)
+
+
 def time_mega_batched(srv, cfg, batch, ov):
     run, arrs = srv._mega_batched_fn(batch)
     state = srv.init_state(batch)
@@ -114,19 +130,24 @@ def main():
     w8.mega_min_batch = 2  # allow the batched kernel everywhere
 
     print(f"{'B':>4s} {'bf16/op':>10s} {'w8a8/op':>10s} {'mega8':>10s}"
-          f"  (tok/s)", flush=True)
+          f" {'megapack':>10s}  (tok/s)", flush=True)
     for b in BATCHES:
         r_bf = time_perop(bf16, cfg, b, ov, None)
         r_w8 = time_perop(w8, cfg, b, ov, w8._mm_force)
-        r_mg = float("nan")
+        r_mg = r_mp = float("nan")
         if b >= 2:
             try:
                 r_mg = time_mega_batched(w8, cfg, b, ov)
             except Exception as e:
                 print(f"  mega B={b} failed: {type(e).__name__}",
                       file=sys.stderr, flush=True)
-        print(f"{b:4d} {r_bf:10.0f} {r_w8:10.0f} {r_mg:10.0f}",
-              flush=True)
+            try:
+                r_mp = time_mega_packed(w8, cfg, b, ov)
+            except Exception as e:
+                print(f"  megapack B={b} failed: {type(e).__name__}: {e}",
+                      file=sys.stderr, flush=True)
+        print(f"{b:4d} {r_bf:10.0f} {r_w8:10.0f} {r_mg:10.0f}"
+              f" {r_mp:10.0f}", flush=True)
 
 
 if __name__ == "__main__":

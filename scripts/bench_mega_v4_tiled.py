@@ -122,16 +122,19 @@ def synth_pack_device(cfg, nf, nr, no, seed=0):
     def scale(shape):
         return jnp.full(shape, 0.01, jnp.float32)
 
-    pack = {"quant": True, "f_dim": f, "nf": nf, "nr": nr, "no": no}
-    pack["rkv"] = qmat((L, nr, c_r, c))
+    w4 = "--w4" in sys.argv
+    kk = c // 2 if w4 else c      # split-half packed nibbles along K
+    pack = {"quant": True, "w4": w4, "f_dim": f,
+            "nf": nf, "nr": nr, "no": no}
+    pack["rkv"] = qmat((L, nr, c_r, kk))
     pack["rkv_d"] = scale((L, nr, 1, c_r))
-    pack["out"] = qmat((L, no, c_o, c))
+    pack["out"] = qmat((L, no, c_o, kk))
     pack["out_d"] = scale((L, no, 1, c_o))
-    pack["fr"] = qmat((L, no, c_o, c))
+    pack["fr"] = qmat((L, no, c_o, kk))
     pack["fr_d"] = scale((L, no, 1, c_o))
-    pack["fk"] = qmat((L, nf, f4, c))
+    pack["fk"] = qmat((L, nf, f4, kk))
     pack["fk_d"] = scale((L, nf, 1, f4))
-    pack["fv"] = qmat((L, nf, c, f4))
+    pack["fv"] = qmat((L, nf, c, f4 // 2 if w4 else f4))
     pack["fv_d"] = scale((L, 1, c))
     for name in _V4_TILED_ROW_VECS:
         off = 1.0 if name.endswith("weight") else 0.0
@@ -179,7 +182,7 @@ def timing():
     print(f"weights streamed/step incl. head: {nbytes / 1e9:.2f} GB",
           flush=True)
 
-    meta_keys = ("quant", "f_dim", "nf", "nr", "no")
+    meta_keys = ("quant", "w4", "f_dim", "nf", "nr", "no")
     meta = {k: pack[k] for k in meta_keys}
     arrs = {k: v for k, v in pack.items() if k not in meta}
 
@@ -242,7 +245,7 @@ def timing():
         best = min(best, time.perf_counter() - t0)
     per_tok = max(best - ov, 1e-9) / N_GEN
     print(
-        f"{size} v4 w8a8 TILED megakernel decode, B=1: "
+        f"{size} v4 {'w4a8' if '--w4' in sys.argv else 'w8a8'} TILED megakernel decode, B=1: "
         f"{per_tok * 1e3:7.3f} ms/tok  {1 / per_tok:8.1f} tok/s  "
         f"(weight stream {nbytes / 1e9 / per_tok:.0f} GB/s; reference "
         f"7B best: 75 ms/tok)",

@@ -739,3 +739,37 @@ def test_megamodel_inkernel_head(quant):
         scale = max(np.abs(lr).max(), 1e-6)
         assert np.abs(lm - lr).max() / scale < tol
         assert lm.argmax() == lr.argmax()
+
+
+@pytest.mark.parametrize("quant", [True, False])
+def test_megamodel_batched_packed(quant):
+    """Lane-packed batched kernel (state [H, S_j, S_i*B]) through the
+    serving fn: logits match the per-op engine across steps (same bands
+    as the other cross-path gates)."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    cfg = synth_config("7.0", n_layer=3, n_embed=256, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=9, lora_dim=32)
+    precision = "w8a8" if quant else "bf16"
+    ref = ServingModel((cfg, params), precision=precision)
+    mega = ServingModel((cfg, params), precision=precision,
+                        megakernel=True)
+    run, arrs = mega._mega_batched_packed_fn(4)
+
+    toks = np.array([3, 77, 200, 9], np.int32)
+    st_r = ref.init_state(4)
+    st_m = mega.init_state(4)
+    # bf16 band: kernel keeps activations f32 (f32/HIGHEST matvecs)
+    # while the per-op path rounds them to bf16 — same calibrated band
+    # as the whole-layer kernel gates (measured 0.034 rel here)
+    tol = 5e-2 if quant else 6e-2
+    for _ in range(3):
+        lr, st_r = ref.decode(toks, st_r)
+        lm, st_m = run(mega.params, arrs, st_m, jnp.asarray(toks))
+        lr_, lm_ = np.asarray(lr), np.asarray(lm)
+        scale = max(np.abs(lr_).max(), 1e-6)
+        assert np.abs(lm_ - lr_).max() / scale < tol
+        assert (lm_.argmax(-1) == lr_.argmax(-1)).all()
+        toks = lr_.argmax(-1).astype(np.int32)
