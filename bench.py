@@ -160,35 +160,97 @@ def main():
     # compiles, which through a congested tunnel can be slow. The headline
     # metric must always print.
     tps_batched = tps_prefill = float("nan")
-    # Batched decode (continuous-batching proxy), B=8, probe-only transfer.
+    # Batched decode (continuous-batching proxy), B=8, probe-only
+    # transfer — the lane-packed batched kernel (state [H, S_j, S_i*B]),
+    # the fastest measured path for B in [2, 32]
+    # (scripts/bench_batch_crossover.py); falls back to the per-op
+    # bf16-shadow chain if the packed path is unavailable.
     batch = 8
-    bstate = jax.tree.map(
-        lambda a: jnp.swapaxes(jnp.broadcast_to(a[None], (batch,) + a.shape), 0, 1),
-        init_state(cfg),
-    )
-    blogits = jnp.zeros((batch, cfg.n_vocab), jnp.float32)
-
-    @jax.jit
-    def batch_chain(params, state, logits):
-        def body(carry, _):
-            state, logits = carry
-            toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            logits, state = forward_stacked(params, state, toks[None, :], cfg, True)
-            return (state, logits), None
-
-        (state, logits), _ = jax.lax.scan(body, (state, logits), None, length=n_gen)
-        return jnp.sum(logits)
-
     try:
-        _ = np.asarray(batch_chain(stacked, bstate, blogits))
+        from rwkv_tpu.ops.megakernel import (
+            pack_batched_state, v7_decode_megakernel_batched_packed,
+        )
+        from rwkv_tpu.ops.parity import layer_norm as p_ln
+        from rwkv_tpu.models import graph as G
+
+        pack_src = srv._mega_rows
+        assert pack_src is not None
+        bmeta = {k: pack_src[k] for k in ("quant", "w4", "d_lora", "f_dim")}
+        barrs = {k: v for k, v in pack_src.items()
+                 if k not in bmeta and not k.startswith(("head", "ln_out"))}
+
+        @jax.jit
+        def packed_chain(params, pack_arrs, state_p, toks):
+            pack = {**pack_arrs, **bmeta}
+
+            def body(carry, _):
+                state_p, toks = carry
+                x0 = p_ln(params["emb"][toks].astype(jnp.float32),
+                          *params["ln0"])
+                y, state_p = v7_decode_megakernel_batched_packed(
+                    pack, state_p, x0.T, cfg
+                )
+                xo = p_ln(y.T, *params["ln_out"])
+                logits = G.mm(xo, params["head"])
+                toks = jnp.argmax(logits, -1).astype(jnp.int32)
+                return (state_p, toks), None
+
+            (state_p, toks), _ = jax.lax.scan(body, (state_p, toks),
+                                              None, length=n_gen)
+            return jnp.sum(toks)
+
+        bst = srv.init_state(batch)
+        bstate_p = {
+            "att_xx": jnp.transpose(bst["att_xx"], (1, 2, 0)),
+            "ffn_xx": jnp.transpose(bst["ffn_xx"], (1, 2, 0)),
+            "heads": pack_batched_state(
+                bst["heads"], cfg.head_count, cfg.head_size
+            ),
+        }
+        btoks = jnp.zeros((batch,), jnp.int32)
+        _ = np.asarray(packed_chain(srv.params, barrs, bstate_p, btoks))
         best_b = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = np.asarray(batch_chain(stacked, bstate, blogits))
+            _ = np.asarray(packed_chain(srv.params, barrs, bstate_p, btoks))
             best_b = min(best_b, time.perf_counter() - t0)
         tps_batched = batch * n_gen / max(best_b - overhead, 1e-9)
     except Exception as e:
-        print(f"batched context metric skipped: {e}", file=sys.stderr)
+        print(f"packed batched metric failed ({e}); per-op fallback",
+              file=sys.stderr)
+        bstate = jax.tree.map(
+            lambda a: jnp.swapaxes(
+                jnp.broadcast_to(a[None], (batch,) + a.shape), 0, 1
+            ),
+            init_state(cfg),
+        )
+        blogits = jnp.zeros((batch, cfg.n_vocab), jnp.float32)
+
+        @jax.jit
+        def batch_chain(params, state, logits):
+            def body(carry, _):
+                state, logits = carry
+                toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                logits, state = forward_stacked(
+                    params, state, toks[None, :], cfg, True
+                )
+                return (state, logits), None
+
+            (state, logits), _ = jax.lax.scan(
+                body, (state, logits), None, length=n_gen
+            )
+            return jnp.sum(logits)
+
+        try:
+            _ = np.asarray(batch_chain(stacked, bstate, blogits))
+            best_b = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = np.asarray(batch_chain(stacked, bstate, blogits))
+                best_b = min(best_b, time.perf_counter() - t0)
+            tps_batched = batch * n_gen / max(best_b - overhead, 1e-9)
+        except Exception as e2:
+            print(f"batched context metric skipped: {e2}", file=sys.stderr)
 
     # Prefill throughput, T=256 (chunked matmul wkv; probe-only transfer).
     # The prefill itself is ~1-4 ms — far below the ~25 ms tunnel sync — so

@@ -1390,6 +1390,13 @@ class ServingModel:
             if b == 1:
                 run, arrs_t = self._mega_tiled1_fn()
                 return run(self.params, arrs_t, state, tokens[:, 0])
+            if 2 <= b <= 32 and self._mega_rows is not None:
+                # lane-packed batched kernel: fastest measured path for
+                # every B in [2, 32] (1.3-1.8x over bf16/op, crossover
+                # table above); its whole-layer state windows stop
+                # fitting VMEM past B=32.
+                run, arrs_p = self._mega_batched_packed_fn(b)
+                return run(self.params, arrs_p, state, tokens[:, 0])
             if self.mega_min_batch <= b <= MEGA_MAX_BATCH:
                 run, arrs_t = self._mega_batched_fn(b)
                 return run(self.params, arrs_t, state, tokens[:, 0])

@@ -1027,13 +1027,19 @@ def _make_kernel_batched_packed(c, h, s, d_lora, f_dim, n_layer, quant,
             preferred_element_type=jnp.int32 if quant else jnp.float32,
         )
 
-    def mmf(a, b):
-        """Exact f32 selection/permutation dot."""
+    def mmf(a, b, exact=False):
+        """Selection/permutation dot. The 0/1 matrix is exact in any
+        precision; DEFAULT (one bf16 MXU pass) rounds the carried f32
+        values to bf16 — acceptable for the wkv operands (the per-op
+        bf16 path rounds identically, and HIGHEST costs ~6 passes,
+        measured to collapse the kernel past B~8 since the dot FLOPs
+        scale as B^2*s). Stats that feed rsqrt use exact=True."""
         return jax.lax.dot_general(
             a, b,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=(jax.lax.Precision.HIGHEST if exact
+                       else jax.lax.Precision.DEFAULT),
         )
 
     def qx(x):
@@ -1178,11 +1184,11 @@ def _make_kernel_batched_packed(c, h, s, d_lora, f_dim, n_layer, quant,
 
         # group norm over s_i per (h, b): stats via selection dots
         inv_s = jnp.float32(1.0 / s)
-        mu = mmf(y2, E.T) * inv_s                           # [h, B]
-        mu_b = mmf(mu, E)                                   # [h, sib]
+        mu = mmf(y2, E.T, exact=True) * inv_s               # [h, B]
+        mu_b = mmf(mu, E, exact=True)                       # [h, sib]
         yc = y2 - mu_b
-        var = mmf(yc * yc, E.T) * inv_s
-        var_b = mmf(var, E)
+        var = mmf(yc * yc, E.T, exact=True) * inv_s
+        var_b = mmf(var, E, exact=True)
         yn = yc * jax.lax.rsqrt(var_b + jnp.float32(64e-5))
         xo_p = yn * lnxw_p[0] + lnxb_p[0]                   # [h, sib]
 

@@ -83,37 +83,100 @@ def time_perop(srv, cfg, batch, ov, mm_force):
 
 
 def time_mega_packed(srv, cfg, batch, ov):
-    run, arrs = srv._mega_batched_packed_fn(batch)
+    """Whole decode loop (incl. w8a8 head) in ONE jitted scan — separate
+    per-step dispatches measure tunnel latency, not the kernel."""
+    from rwkv_tpu.models import graph as G
+    from rwkv_tpu.ops.megakernel import (
+        pack_batched_state, v7_decode_megakernel_batched_packed,
+    )
+    from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+    h, sz = cfg.head_count, cfg.head_size
+    pack_src = srv._mega_rows
+    meta = {k: pack_src[k] for k in ("quant", "w4", "d_lora", "f_dim")}
+    arrs = {k: v for k, v in pack_src.items()
+            if k not in meta and not k.startswith(("head", "ln_out"))}
+
+    @jax.jit
+    def chain(params, pack_arrs, state_p, toks):
+        pack = {**pack_arrs, **meta}
+
+        def body(carry, _):
+            state_p, toks = carry
+            x0 = p_ln(params["emb"][toks].astype(jnp.float32),
+                      *params["ln0"])
+            y, state_p = v7_decode_megakernel_batched_packed(
+                pack, state_p, x0.T, cfg
+            )
+            xo = p_ln(y.T, *params["ln_out"])
+            logits = G.mm(xo, params["head"])
+            toks = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (state_p, toks), None
+
+        (state_p, toks), _ = jax.lax.scan(body, (state_p, toks), None,
+                                          length=N_GEN)
+        return jnp.sum(toks)
+
     state = srv.init_state(batch)
-    toks = np.zeros((batch,), np.int32)
-    logits, state = run(srv.params, arrs, state, jnp.asarray(toks))
-    jax.block_until_ready(logits)
+    state_p = {
+        "att_xx": jnp.transpose(state["att_xx"], (1, 2, 0)),
+        "ffn_xx": jnp.transpose(state["ffn_xx"], (1, 2, 0)),
+        "heads": pack_batched_state(state["heads"], h, sz),
+    }
+    toks = jnp.zeros((batch,), jnp.int32)
+    np.asarray(chain(srv.params, arrs, state_p, toks))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(8):
-            logits, state2 = run(srv.params, arrs, state, jnp.asarray(toks))
-        jax.block_until_ready(logits)
+        np.asarray(chain(srv.params, arrs, state_p, toks))
         best = min(best, time.perf_counter() - t0)
-    return batch * 8 / max(best - ov, 1e-9)
+    return batch * N_GEN / max(best - ov, 1e-9)
 
 
 def time_mega_batched(srv, cfg, batch, ov):
-    run, arrs = srv._mega_batched_fn(batch)
+    from rwkv_tpu.models import graph as G
+    from rwkv_tpu.ops.megakernel import v7_decode_megakernel_batched
+    from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+    pack_src = srv._mega
+    meta = {k: pack_src[k] for k in ("quant", "w4", "d_lora", "f_dim")}
+    arrs = {k: v for k, v in pack_src.items()
+            if k not in meta and not k.startswith(("head", "ln_out"))}
+
+    @jax.jit
+    def chain(params, pack_arrs, state4, toks):
+        pack = {**pack_arrs, **meta}
+
+        def body(carry, _):
+            state4, toks = carry
+            x0 = p_ln(params["emb"][toks].astype(jnp.float32),
+                      *params["ln0"])
+            y, state4 = v7_decode_megakernel_batched(
+                pack, state4, x0.T, cfg
+            )
+            xo = p_ln(y.T, *params["ln_out"])
+            logits = G.mm(xo, params["head"])
+            toks = jnp.argmax(logits, -1).astype(jnp.int32)
+            return (state4, toks), None
+
+        (state4, toks), _ = jax.lax.scan(body, (state4, toks), None,
+                                         length=N_GEN)
+        return jnp.sum(toks)
+
     state = srv.init_state(batch)
-    toks = np.zeros((batch,), np.int32)
-    # single-step timing through the serving fn (it jits internally)
-    logits, state = run(srv.params, arrs, state, jnp.asarray(toks))
-    jax.block_until_ready(logits)
+    state4 = {
+        "att_xx": jnp.transpose(state["att_xx"], (1, 2, 0)),
+        "ffn_xx": jnp.transpose(state["ffn_xx"], (1, 2, 0)),
+        "heads": jnp.transpose(state["heads"], (1, 2, 3, 4, 0)),
+    }
+    toks = jnp.zeros((batch,), jnp.int32)
+    np.asarray(chain(srv.params, arrs, state4, toks))
     best = 1e9
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(8):
-            logits, state2 = run(srv.params, arrs, state, jnp.asarray(toks))
-        jax.block_until_ready(logits)
+        np.asarray(chain(srv.params, arrs, state4, toks))
         best = min(best, time.perf_counter() - t0)
-    # 8 dispatched steps per measurement; tunnel sync once
-    return batch * 8 / max(best - ov, 1e-9)
+    return batch * N_GEN / max(best - ov, 1e-9)
 
 
 def main():

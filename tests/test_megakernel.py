@@ -773,3 +773,51 @@ def test_megamodel_batched_packed(quant):
         assert np.abs(lm_ - lr_).max() / scale < tol
         assert (lm_.argmax(-1) == lr_.argmax(-1)).all()
         toks = lr_.argmax(-1).astype(np.int32)
+
+
+@pytest.mark.parametrize("quant", [True, False])
+def test_packed_matches_plain_batched(quant):
+    """The lane-packed batched kernel reproduces the plain batched
+    kernel (B on lanes, padded) near-exactly on the same pack — the
+    packed layout moves are selection dots, not relayouts."""
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import (
+        build_mega_pack, pack_batched_state, rowify_mega_pack,
+        unpack_batched_state, v7_decode_megakernel_batched,
+        v7_decode_megakernel_batched_packed,
+    )
+
+    cfg = synth_config("7.0", n_layer=3, n_embed=256, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=7, lora_dim=32)
+    h, s, c, L = (cfg.head_count, cfg.head_size, cfg.n_embed,
+                  cfg.n_layer)
+    B = 4
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.normal(size=(c, B)) * 0.3, jnp.float32)
+    heads0 = jnp.asarray(rng.normal(size=(B, L, h, s, s)) * 0.05,
+                         jnp.float32)
+    axx = jnp.asarray(rng.normal(size=(L, c, B)) * 0.1, jnp.float32)
+    fxx = jnp.asarray(rng.normal(size=(L, c, B)) * 0.1, jnp.float32)
+
+    pack = build_mega_pack(params, cfg, quant=quant)
+    st_ref = {"att_xx": axx, "ffn_xx": fxx,
+              "heads": jnp.transpose(heads0, (1, 2, 3, 4, 0))}
+    y_ref, new_ref = v7_decode_megakernel_batched(
+        pack, st_ref, x0, cfg, interpret=True
+    )
+
+    rpack = rowify_mega_pack(pack)
+    st_p = {"att_xx": axx, "ffn_xx": fxx,
+            "heads": pack_batched_state(heads0, h, s)}
+    y_p, new_p = v7_decode_megakernel_batched_packed(
+        rpack, st_p, x0, cfg, interpret=True
+    )
+
+    y_ref, y_p = np.asarray(y_ref), np.asarray(y_p)
+    rel = np.abs(y_p - y_ref).max() / max(np.abs(y_ref).max(), 1e-6)
+    assert rel < 2e-5, rel
+    hp = np.asarray(unpack_batched_state(new_p["heads"], B, h, s))
+    hr = np.asarray(jnp.transpose(new_ref["heads"], (4, 0, 1, 2, 3)))
+    hrel = np.abs(hp - hr).max() / max(np.abs(hr).max(), 1e-6)
+    assert hrel < 2e-5, hrel
