@@ -593,14 +593,21 @@ class ServingModel:
             # through them regardless of model size.
             self._mega_big = per_layer > 20 * 1024 * 1024 or w4
             self._mega_rows = None
-            if cfg.version_major == 7 and not self._mega_big:
-                from rwkv_tpu.ops.megakernel import rowify_mega_pack
-
-                # row-stored vectors/scales for the non-tiled kernel
+            if not self._mega_big:
+                # row-stored vectors/scales for the non-tiled kernels
                 # (column windows are scatter DMAs that dominate the
                 # step; scripts/probe_layer_cost.py) — shares the big
                 # mats with self._mega, copies only the small arrays
-                self._mega_rows = rowify_mega_pack(self._mega)
+                from rwkv_tpu.ops.megakernel import (
+                    rowify_mega_pack, rowify_mega_pack_v4,
+                    rowify_mega_pack_v5, rowify_mega_pack_v6,
+                )
+
+                rowify = {
+                    7: rowify_mega_pack, 6: rowify_mega_pack_v6,
+                    5: rowify_mega_pack_v5, 4: rowify_mega_pack_v4,
+                }[cfg.version_major]
+                self._mega_rows = rowify(self._mega)
         # Measured crossovers at 169M on chip
         # (scripts/bench_batch_crossover.py, tok/s):
         #   B        1     2     4     8    16    32    64    128
@@ -1379,7 +1386,7 @@ class ServingModel:
                         meta = ("quant", "w4", "f_dim")
                         fn = self._mega4_fn()
                     arrs = {
-                        k: v for k, v in self._mega.items()
+                        k: v for k, v in self._mega_rows.items()
                         if k not in meta
                     }
                     return fn(self.params, arrs, state, tokens[:, 0])
@@ -1390,7 +1397,8 @@ class ServingModel:
             if b == 1:
                 run, arrs_t = self._mega_tiled1_fn()
                 return run(self.params, arrs_t, state, tokens[:, 0])
-            if 2 <= b <= 32 and self._mega_rows is not None:
+            if (2 <= b <= 32 and self._mega_rows is not None
+                    and self.config.version_major == 7):
                 # lane-packed batched kernel: fastest measured path for
                 # every B in [2, 32] (1.3-1.8x over bf16/op, crossover
                 # table above); its whole-layer state windows stop

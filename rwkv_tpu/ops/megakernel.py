@@ -2135,8 +2135,48 @@ def build_mega_pack_v6(params: dict, cfg, quant: bool = True,
     return pack
 
 
+def rowify_mega_pack_v6(pack: dict) -> dict:
+    """v6 analogue of rowify_mega_pack: vectors + quant scales move to
+    [L, 1, N] rows (column windows are scatter DMAs; see
+    rowify_mega_pack). maa2 keeps its f32 mat layout."""
+    out = dict(pack)
+    for key in _V6_VEC_KEYS + ("maa5", "tdecay"):
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    L, h, s_, _ = pack["tf"].shape
+    out["tf"] = pack["tf"].reshape(L, 1, h * s_)
+    if pack["quant"]:
+        for name in _V6_MAT_KEYS:
+            out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    return out
+
+
+def rowify_mega_pack_v5(pack: dict) -> dict:
+    """v5 analogue of rowify_mega_pack (see above)."""
+    out = dict(pack)
+    for key in _V5_VEC_KEYS + ("amix", "fmix"):
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    L, h, s_, _ = pack["td"].shape
+    out["td"] = pack["td"].reshape(L, 1, h * s_)
+    out["tf"] = pack["tf"].reshape(L, 1, h * s_)
+    if pack["quant"]:
+        for name in _V5_MAT_KEYS:
+            out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    return out
+
+
+def rowify_mega_pack_v4(pack: dict) -> dict:
+    """v4 analogue of rowify_mega_pack (see above)."""
+    out = dict(pack)
+    for key in _V4_VEC_KEYS + ("amix", "fmix", "tf", "td"):
+        out[key] = jnp.swapaxes(pack[key], 1, 2)
+    if pack["quant"]:
+        for name in _V4_MAT_KEYS:
+            out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    return out
+
+
 def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
-                    debug=False):
+                    debug=False, rows=False):
     def mm(w, x):
         return jax.lax.dot_general(
             w, x,
@@ -2189,12 +2229,18 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
 
         x = x_s[:]
 
+        def vec(ref):
+            # rows=True: [1, N] row windows (see the v7 kernel's note)
+            return ref[0].T if rows else ref[0]
+
         def matv(w_ref, d_ref, lo, hi, xcol):
             w = w_ref[0][lo:hi]
             if quant:
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
-                return acc.astype(jnp.float32) * dx * d_ref[0][lo:hi]
+                dd = (d_ref[0][:, lo:hi].T if rows
+                      else d_ref[0][lo:hi])
+                return acc.astype(jnp.float32) * dx * dd
             # bf16 weights upcast in-register: Mosaic's single-pass
             # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
             # accumulates exactly like the XLA per-op path and the
@@ -2207,11 +2253,11 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
             )
 
         # ---- attention ------------------------------------------------
-        xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+        xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
         sx = att_in[0] - xl
         att_out[0] = xl
 
-        xxx = xl + sx * maax[0]
+        xxx = xl + sx * vec(maax)
         mixdn = jnp.tanh(
             matv(maa1, maa1_d if quant else None, 0, 5 * d_maa, xxx)
         )
@@ -2236,7 +2282,7 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         m_r = maa_up(3 * c, 3 * d)
         m_g = maa_up(4 * c, 4 * d)
 
-        cf = maa5[0].reshape(5, c, 1)  # order w, k, v, r, g
+        cf = vec(maa5).reshape(5, c, 1)  # order w, k, v, r, g
         xw = xl + sx * (cf[0] + m_w)
         xk = xl + sx * (cf[1] + m_k)
         xv = xl + sx * (cf[2] + m_v)
@@ -2251,7 +2297,7 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         g = gg * jax.nn.sigmoid(gg)  # silu
 
         w_dn = jnp.tanh(matv(dw1, dw1_d if quant else None, 0, d_dec, xw))
-        w_l = matv(dw2, dw2_d if quant else None, 0, c, w_dn) + tdecay[0]
+        w_l = matv(dw2, dw2_d if quant else None, 0, c, w_dn) + vec(tdecay)
         w_dec = jnp.exp(-jnp.exp(w_l))
 
         # ---- wkv6 step (transposed state [H, S_j, S_i]) ---------------
@@ -2263,7 +2309,7 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         eye = (i_ == j_).astype(jnp.float32)[None]
 
         r3, k3, v3, w3 = col3(r), col3(k), col3(v), col3(w_dec)
-        tf3 = tf[0]                                            # [H, S, 1]
+        tf3 = vec(tf).reshape(h, s, 1) if rows else tf[0]      # [H, S, 1]
         st = heads_in[0]
         v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)       # col -> row
         dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)    # [H, 1, 1]
@@ -2277,7 +2323,7 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         var = jnp.mean(yc * yc, axis=2, keepdims=True)
         y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
         y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)    # row -> col
-        xo = y_col.reshape(c, 1) * lnxw[0] + lnxb[0]
+        xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
         xo = xo * g
 
         if debug:
@@ -2290,11 +2336,11 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         x = x + matv(out_w, out_d if quant else None, 0, c, xo)
 
         # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
-        xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+        xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
         sx2 = ffn_in[0] - xl2
         ffn_out[0] = xl2
-        xk2 = xl2 + sx2 * fxk[0]
-        xr2 = xl2 + sx2 * fxr[0]
+        xk2 = xl2 + sx2 * vec(fxk)
+        xr2 = xl2 + sx2 * vec(fxr)
         rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
         hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
         hk = jnp.square(jnp.maximum(hk, 0.0))
@@ -2321,8 +2367,9 @@ def v6_decode_megakernel(
     f_dim = pack["f_dim"]
     quant = pack["quant"]
 
+    rows = pack["ln1.weight"].shape[1] == 1  # rowify_mega_pack_v6
     kernel = _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
-                             debug=debug)
+                             debug=debug, rows=rows)
 
     def blocked(shape):
         return pl.BlockSpec(
@@ -2348,7 +2395,7 @@ def v6_decode_megakernel(
     mat_specs.append(blocked(pack["maa2"].shape[1:]))
 
     vec_args = [pack[k] for k in _V6_VEC_KEYS]
-    vec_specs = [blocked((c, 1)) for _ in _V6_VEC_KEYS]
+    vec_specs = [blocked(pack[k].shape[1:]) for k in _V6_VEC_KEYS]
 
     args = (
         [x0.astype(jnp.float32),
@@ -2359,7 +2406,9 @@ def v6_decode_megakernel(
     in_specs = (
         [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
         + mat_specs + vec_specs
-        + [blocked((5 * c, 1)), blocked((c, 1)), blocked((h, s, 1))]
+        + [blocked(pack["maa5"].shape[1:]),
+           blocked(pack["tdecay"].shape[1:]),
+           blocked(pack["tf"].shape[1:])]
     )
 
     out_shapes = (
@@ -3045,7 +3094,8 @@ def build_mega_pack_v5(params: dict, cfg, quant: bool = True,
     return pack
 
 
-def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate):
+def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
+                    rows=False):
     n_mix = 4 if has_gate else 3
 
     def mm(w, x):
@@ -3093,12 +3143,18 @@ def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate):
 
         x = x_s[:]
 
+        def vec(ref):
+            # rows=True: [1, N] row windows (see the v7 kernel's note)
+            return ref[0].T if rows else ref[0]
+
         def matv(w_ref, d_ref, lo, hi, xcol):
             w = w_ref[0][lo:hi]
             if quant:
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
-                return acc.astype(jnp.float32) * dx * d_ref[0][lo:hi]
+                dd = (d_ref[0][:, lo:hi].T if rows
+                      else d_ref[0][lo:hi])
+                return acc.astype(jnp.float32) * dx * dd
             # bf16 weights upcast in-register: Mosaic's single-pass
             # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
             # accumulates exactly like the XLA per-op path and the
@@ -3111,11 +3167,11 @@ def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate):
             )
 
         # ---- attention ------------------------------------------------
-        xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+        xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
         prev = att_in[0]
         att_out[0] = xl
 
-        cf = amix[0].reshape(n_mix, c, 1)  # order k, v, r(, g)
+        cf = vec(amix).reshape(n_mix, c, 1)  # order k, v, r(, g)
         def mix(ci):
             return xl * cf[ci] + (prev - prev * cf[ci])
 
@@ -3138,7 +3194,8 @@ def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate):
         eye = (i_ == j_).astype(jnp.float32)[None]
 
         r3, k3, v3 = col3(r), col3(k), col3(v)
-        td3, tf3 = td[0], tf[0]                                # [H, S, 1]
+        td3 = vec(td).reshape(h, s, 1) if rows else td[0]      # [H, S, 1]
+        tf3 = vec(tf).reshape(h, s, 1) if rows else tf[0]
         st = heads_in[0]
         v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
         dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)
@@ -3152,17 +3209,17 @@ def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate):
         var = jnp.mean(yc * yc, axis=2, keepdims=True)
         y_row = yc * jax.lax.rsqrt(var + jnp.float32(1e-5))
         y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
-        xo = y_col.reshape(c, 1) * lnxw[0] + lnxb[0]
+        xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
         if has_gate:
             xo = xo * g
 
         x = x + matv(out_w, out_d if quant else None, 0, c, xo)
 
         # ---- FFN (v4/v5: relu^2 key + sigmoid receptance gate) --------
-        xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+        xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
         prev2 = ffn_in[0]
         ffn_out[0] = xl2
-        fcf = fmix[0].reshape(2, c, 1)
+        fcf = vec(fmix).reshape(2, c, 1)
         xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
         xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
         rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
@@ -3189,7 +3246,9 @@ def v5_decode_megakernel(
     quant = pack["quant"]
     has_gate = pack["has_gate"]
 
-    kernel = _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate)
+    rows = pack["ln1.weight"].shape[1] == 1  # rowify_mega_pack_v5
+    kernel = _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
+                             rows=rows)
 
     def blocked(shape):
         return pl.BlockSpec(
@@ -3213,8 +3272,7 @@ def v5_decode_megakernel(
             mat_specs.append(blocked(dq.shape[1:]))
 
     vec_args = [pack[k] for k in _V5_VEC_KEYS]
-    vec_specs = [blocked((c, 1)) for _ in _V5_VEC_KEYS]
-    n_mix = 4 if has_gate else 3
+    vec_specs = [blocked(pack[k].shape[1:]) for k in _V5_VEC_KEYS]
 
     args = (
         [x0.astype(jnp.float32),
@@ -3225,8 +3283,8 @@ def v5_decode_megakernel(
     in_specs = (
         [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
         + mat_specs + vec_specs
-        + [blocked((n_mix * c, 1)), blocked((2 * c, 1)),
-           blocked((h, s, 1)), blocked((h, s, 1))]
+        + [blocked(pack["amix"].shape[1:]), blocked(pack["fmix"].shape[1:]),
+           blocked(pack["td"].shape[1:]), blocked(pack["tf"].shape[1:])]
     )
 
     out_shapes = (
@@ -3332,7 +3390,7 @@ def build_mega_pack_v4(params: dict, cfg, quant: bool = True,
     return pack
 
 
-def _make_kernel_v4(c, f_dim, n_layer, quant):
+def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False):
     def mm(w, x):
         return jax.lax.dot_general(
             w, x,
@@ -3377,12 +3435,20 @@ def _make_kernel_v4(c, f_dim, n_layer, quant):
 
         x = x_s[:]
 
+        def vec(ref):
+            # rows=True: [1, N] row windows (column windows are scatter
+            # DMAs that dominate the small-model step — see the v7
+            # kernel's note / scripts/probe_layer_cost.py)
+            return ref[0].T if rows else ref[0]
+
         def matv(w_ref, d_ref, lo, hi, xcol):
             w = w_ref[0][lo:hi]
             if quant:
                 x8, dx = qx(xcol)
                 acc = mm(w, x8)
-                return acc.astype(jnp.float32) * dx * d_ref[0][lo:hi]
+                dd = (d_ref[0][:, lo:hi].T if rows
+                      else d_ref[0][lo:hi])
+                return acc.astype(jnp.float32) * dx * dd
             # bf16 weights upcast in-register: Mosaic's single-pass
             # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
             # accumulates exactly like the XLA per-op path and the
@@ -3395,11 +3461,11 @@ def _make_kernel_v4(c, f_dim, n_layer, quant):
             )
 
         # ---- attention ------------------------------------------------
-        xl = ln(x, ln1w[0], ln1b[0], 1e-5)
+        xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
         prev = att_in[0]
         att_out[0] = xl
 
-        cf = amix[0].reshape(3, c, 1)  # order k, v, r
+        cf = vec(amix).reshape(3, c, 1)  # order k, v, r
         xk = xl * cf[0] + (prev - prev * cf[0])
         xv = xl * cf[1] + (prev - prev * cf[1])
         xr = xl * cf[2] + (prev - prev * cf[2])
@@ -3411,12 +3477,12 @@ def _make_kernel_v4(c, f_dim, n_layer, quant):
 
         # ---- wkv4 step (max-trick, rwkv_graph.inc:119-161) ------------
         aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
-        ww = tf[0] + k
+        ww = vec(tf) + k
         qq = jnp.maximum(pp, ww)
         e1 = jnp.exp(pp - qq)
         e2 = jnp.exp(ww - qq)
         wkv = (e1 * aa + e2 * v) / (e1 * bb + e2)
-        ww2 = pp + td[0]
+        ww2 = pp + vec(td)
         qq2 = jnp.maximum(ww2, k)
         e1b = jnp.exp(ww2 - qq2)
         e2b = jnp.exp(k - qq2)
@@ -3427,10 +3493,10 @@ def _make_kernel_v4(c, f_dim, n_layer, quant):
         x = x + matv(out_w, out_d if quant else None, 0, c, r * wkv)
 
         # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
-        xl2 = ln(x, ln2w[0], ln2b[0], 1e-5)
+        xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
         prev2 = ffn_in[0]
         ffn_out[0] = xl2
-        fcf = fmix[0].reshape(2, c, 1)
+        fcf = vec(fmix).reshape(2, c, 1)
         xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
         xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
         rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
@@ -3456,7 +3522,8 @@ def v4_decode_megakernel(
     f_dim = pack["f_dim"]
     quant = pack["quant"]
 
-    kernel = _make_kernel_v4(c, f_dim, n_layer, quant)
+    rows = pack["ln1.weight"].shape[1] == 1  # rowify_mega_pack_v4
+    kernel = _make_kernel_v4(c, f_dim, n_layer, quant, rows=rows)
 
     def blocked(shape):
         return pl.BlockSpec(
@@ -3480,7 +3547,7 @@ def v4_decode_megakernel(
             mat_specs.append(blocked(dq.shape[1:]))
 
     vec_args = [pack[k] for k in _V4_VEC_KEYS]
-    vec_specs = [blocked((c, 1)) for _ in _V4_VEC_KEYS]
+    vec_specs = [blocked(pack[k].shape[1:]) for k in _V4_VEC_KEYS]
 
     args = (
         [x0.astype(jnp.float32),
@@ -3492,8 +3559,8 @@ def v4_decode_megakernel(
     in_specs = (
         [whole((c, 1))] + [blocked((c, 1))] * 5
         + mat_specs + vec_specs
-        + [blocked((3 * c, 1)), blocked((2 * c, 1)),
-           blocked((c, 1)), blocked((c, 1))]
+        + [blocked(pack["amix"].shape[1:]), blocked(pack["fmix"].shape[1:]),
+           blocked(pack["tf"].shape[1:]), blocked(pack["td"].shape[1:])]
     )
 
     out_shapes = (
