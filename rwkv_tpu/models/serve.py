@@ -556,7 +556,7 @@ class ServingModel:
 
                 if self._mega is None:
                     self._mega = build_mega_pack_v6(params, cfg, quant=quant,
-                                                    w4=w4)
+                                                    w4=w4, head=not w4)
                 mega_mat_keys = _V6_MAT_KEYS
             elif cfg.version_major == 5:
                 from rwkv_tpu.ops.megakernel import (
@@ -565,7 +565,7 @@ class ServingModel:
 
                 if self._mega is None:
                     self._mega = build_mega_pack_v5(params, cfg, quant=quant,
-                                                    w4=w4)
+                                                    w4=w4, head=not w4)
                 mega_mat_keys = _V5_MAT_KEYS
             else:
                 from rwkv_tpu.ops.megakernel import (
@@ -574,7 +574,7 @@ class ServingModel:
 
                 if self._mega is None:
                     self._mega = build_mega_pack_v4(params, cfg, quant=quant,
-                                                    w4=w4)
+                                                    w4=w4, head=not w4)
                 mega_mat_keys = _V4_MAT_KEYS
             # Whole-layer weight blocks must double-buffer in VMEM; past
             # ~20MB/layer (e.g. 1.5B C=2048) decode uses the phase-tiled
@@ -749,10 +749,20 @@ class ServingModel:
         if key not in self._jit_cache:
             cfg = self.config
             interpret = jax.default_backend() != "tpu"
-            from rwkv_tpu.ops.megakernel import v4_decode_megakernel
+            from rwkv_tpu.ops.megakernel import (
+                head_tile_plan, v4_decode_megakernel,
+            )
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
-            meta = {k: self._mega[k]
+            pack_src = (self._mega_rows
+                        if self._mega_rows is not None else self._mega)
+            in_kernel_head = head_tile_plan(pack_src, cfg) is not None
+            if not in_kernel_head:
+                pack_src = {
+                    k: v for k, v in pack_src.items()
+                    if not k.startswith(("head", "ln_out"))
+                }
+            meta = {k: pack_src[k]
                     for k in ("quant", "w4", "f_dim")}
 
             @jax.jit
@@ -765,18 +775,27 @@ class ServingModel:
                     k: state[k][0][..., None]
                     for k in ("att_xx", "ffn_xx", "aa", "bb", "pp")
                 }
-                y, new_t = v4_decode_megakernel(
-                    pack, state_t, x0[:, None], cfg, interpret=interpret
-                )
-                xo = p_ln(y[:, 0], *params["ln_out"])
-                logits = G.mm(xo[None, :], params["head"])
+                if in_kernel_head:
+                    y, new_t, lg = v4_decode_megakernel(
+                        pack, state_t, x0[:, None], cfg,
+                        interpret=interpret,
+                    )
+                    logits = lg[None, :]
+                else:
+                    y, new_t = v4_decode_megakernel(
+                        pack, state_t, x0[:, None], cfg,
+                        interpret=interpret,
+                    )
+                    xo = p_ln(y[:, 0], *params["ln_out"])
+                    logits = G.mm(xo[None, :], params["head"])
                 new_state = {
                     k: new_t[k][None, ..., 0]
                     for k in ("att_xx", "ffn_xx", "aa", "bb", "pp")
                 }
                 return logits, new_state
 
-            self._jit_cache[key] = run
+            arrs = {k: v for k, v in pack_src.items() if k not in meta}
+            self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
     def _mega5_fn(self):
@@ -784,11 +803,21 @@ class ServingModel:
         if key not in self._jit_cache:
             cfg = self.config
             interpret = jax.default_backend() != "tpu"
-            from rwkv_tpu.ops.megakernel import v5_decode_megakernel
+            from rwkv_tpu.ops.megakernel import (
+                head_tile_plan, v5_decode_megakernel,
+            )
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
+            pack_src = (self._mega_rows
+                        if self._mega_rows is not None else self._mega)
+            in_kernel_head = head_tile_plan(pack_src, cfg) is not None
+            if not in_kernel_head:
+                pack_src = {
+                    k: v for k, v in pack_src.items()
+                    if not k.startswith(("head", "ln_out"))
+                }
             meta = {
-                k: self._mega[k]
+                k: pack_src[k]
                 for k in ("quant", "w4", "f_dim", "has_gate")
             }
 
@@ -803,11 +832,19 @@ class ServingModel:
                     "ffn_xx": state["ffn_xx"][0][..., None],
                     "heads": jnp.swapaxes(state["heads"][0], -1, -2),
                 }
-                y, new_t = v5_decode_megakernel(
-                    pack, state_t, x0[:, None], cfg, interpret=interpret
-                )
-                xo = p_ln(y[:, 0], *params["ln_out"])
-                logits = G.mm(xo[None, :], params["head"])
+                if in_kernel_head:
+                    y, new_t, lg = v5_decode_megakernel(
+                        pack, state_t, x0[:, None], cfg,
+                        interpret=interpret,
+                    )
+                    logits = lg[None, :]
+                else:
+                    y, new_t = v5_decode_megakernel(
+                        pack, state_t, x0[:, None], cfg,
+                        interpret=interpret,
+                    )
+                    xo = p_ln(y[:, 0], *params["ln_out"])
+                    logits = G.mm(xo[None, :], params["head"])
                 new_state = {
                     "att_xx": new_t["att_xx"][None, ..., 0],
                     "ffn_xx": new_t["ffn_xx"][None, ..., 0],
@@ -815,7 +852,8 @@ class ServingModel:
                 }
                 return logits, new_state
 
-            self._jit_cache[key] = run
+            arrs = {k: v for k, v in pack_src.items() if k not in meta}
+            self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
     def _mega6_fn(self):
@@ -823,11 +861,21 @@ class ServingModel:
         if key not in self._jit_cache:
             cfg = self.config
             interpret = jax.default_backend() != "tpu"
-            from rwkv_tpu.ops.megakernel import v6_decode_megakernel
+            from rwkv_tpu.ops.megakernel import (
+                head_tile_plan, v6_decode_megakernel,
+            )
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
+            pack_src = (self._mega_rows
+                        if self._mega_rows is not None else self._mega)
+            in_kernel_head = head_tile_plan(pack_src, cfg) is not None
+            if not in_kernel_head:
+                pack_src = {
+                    k: v for k, v in pack_src.items()
+                    if not k.startswith(("head", "ln_out"))
+                }
             meta = {
-                k: self._mega[k]
+                k: pack_src[k]
                 for k in ("quant", "w4", "d_maa", "d_dec", "f_dim")
             }
 
@@ -842,11 +890,19 @@ class ServingModel:
                     "ffn_xx": state["ffn_xx"][0][..., None],
                     "heads": jnp.swapaxes(state["heads"][0], -1, -2),
                 }
-                y, new_t = v6_decode_megakernel(
-                    pack, state_t, x0[:, None], cfg, interpret=interpret
-                )
-                xo = p_ln(y[:, 0], *params["ln_out"])
-                logits = G.mm(xo[None, :], params["head"])
+                if in_kernel_head:
+                    y, new_t, lg = v6_decode_megakernel(
+                        pack, state_t, x0[:, None], cfg,
+                        interpret=interpret,
+                    )
+                    logits = lg[None, :]
+                else:
+                    y, new_t = v6_decode_megakernel(
+                        pack, state_t, x0[:, None], cfg,
+                        interpret=interpret,
+                    )
+                    xo = p_ln(y[:, 0], *params["ln_out"])
+                    logits = G.mm(xo[None, :], params["head"])
                 new_state = {
                     "att_xx": new_t["att_xx"][None, ..., 0],
                     "ffn_xx": new_t["ffn_xx"][None, ..., 0],
@@ -854,7 +910,8 @@ class ServingModel:
                 }
                 return logits, new_state
 
-            self._jit_cache[key] = run
+            arrs = {k: v for k, v in pack_src.items() if k not in meta}
+            self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
     def _mega4_tiled_pack(self):
@@ -1377,19 +1434,12 @@ class ServingModel:
                     return run(self.params, arrs_t, state, tokens[:, 0])
                 if b == 1 and not self._mega_big:
                     if self.config.version_major == 6:
-                        meta = ("quant", "w4", "d_maa", "d_dec", "f_dim")
-                        fn = self._mega6_fn()
+                        run, arrs = self._mega6_fn()
                     elif self.config.version_major == 5:
-                        meta = ("quant", "w4", "f_dim", "has_gate")
-                        fn = self._mega5_fn()
+                        run, arrs = self._mega5_fn()
                     else:
-                        meta = ("quant", "w4", "f_dim")
-                        fn = self._mega4_fn()
-                    arrs = {
-                        k: v for k, v in self._mega_rows.items()
-                        if k not in meta
-                    }
-                    return fn(self.params, arrs, state, tokens[:, 0])
+                        run, arrs = self._mega4_fn()
+                    return run(self.params, arrs, state, tokens[:, 0])
                 return self._perop_decode(state, tokens)
             if b == 1 and not self._mega_big:
                 run, arrs = self._mega_fn()

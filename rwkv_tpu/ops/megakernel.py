@@ -119,6 +119,26 @@ def _nibble_halves(w):
     return lo, hi
 
 
+def _attach_head(pack: dict, params: dict, cfg, quant: bool) -> None:
+    """Pack the LM head (+ ln_out) for the in-kernel head phases: at
+    169M the head is 50 of the 135 MB/token, and a separate XLA matvec
+    per token leaves the kernel pipeline idle during its launch +
+    un-overlapped stream. Scales live as a [1, V] ROW (a [V, 1] column
+    would lane-pad 1 -> 128)."""
+    c = cfg.n_embed
+    hw = _np_dense(params["head"])
+    if quant:
+        q, dd = _quantize_rows(hw[None], False)
+        pack["head8"], pack["head_d"] = q[0], dd[0].T
+    else:
+        pack["headbf16"] = jnp.asarray(hw, jnp.bfloat16)
+    lw, lb = params["ln_out"]
+    pack["ln_out.weight"] = jnp.asarray(
+        np.asarray(lw, np.float32).reshape(c, 1))
+    pack["ln_out.bias"] = jnp.asarray(
+        np.asarray(lb, np.float32).reshape(c, 1))
+
+
 def build_mega_pack(params: dict, cfg, quant: bool = True,
                     w4: bool = False, head: bool = False) -> dict:
     """Build the megakernel's parameter pack from a LOADED parameter pytree
@@ -180,26 +200,7 @@ def build_mega_pack(params: dict, cfg, quant: bool = True,
     pack["r_k"] = jnp.asarray(stack("att.r_k").reshape(n_layer, h, s, 1))
 
     if head:
-        # Stream the LM head inside the decode kernel too: at 169M the
-        # head is 50 of the 135 MB/token and a separate XLA matvec per
-        # token leaves the pipeline idle during its launch + stream
-        # (the gap behind BENCH_r02's 47%-of-DMA-ceiling headline).
-        # Extra grid phases after the layers consume ln_out + head row
-        # tiles and emit logits [V, 1] directly.
-        hw = _np_dense(params["head"])
-        if quant:
-            # per-row int8 (the w4 path routes through the tiled kernel
-            # and never consumes the non-tiled head phases); scales as a
-            # [1, V] ROW — a [V, 1] column would lane-pad 1 -> 128.
-            q, dd = _quantize_rows(hw[None], False)
-            pack["head8"], pack["head_d"] = q[0], dd[0].T
-        else:
-            pack["headbf16"] = jnp.asarray(hw, jnp.bfloat16)
-        lw, lb = params["ln_out"]
-        pack["ln_out.weight"] = jnp.asarray(
-            np.asarray(lw, np.float32).reshape(c, 1))
-        pack["ln_out.bias"] = jnp.asarray(
-            np.asarray(lb, np.float32).reshape(c, 1))
+        _attach_head(pack, params, cfg, quant)
     return pack
 
 
@@ -252,6 +253,73 @@ def rowify_mega_pack(pack: dict) -> dict:
 # ---------------------------------------------------------------------------
 # Kernel
 # ---------------------------------------------------------------------------
+
+
+def _emit_head_phases(i, n_layer, head_nt, v_t, quant, rows, ln, qx,
+                      head_w, head_d, lnow, lnob, x_s, logits_out,
+                      head_s):
+    """Shared in-kernel LM-head phases for the whole-layer decode
+    kernels (v4-v7).
+
+    Head tiles are FETCHED interleaved with the layer phases (the block
+    specs map layer phase i to head tile i*nt//L, so the head stream
+    rides the DMA idle time of the layer section) and each freshly
+    resident tile is staged into head_s; one extra grid phase after the
+    layers runs ALL the head dots against the final activation."""
+    if head_nt > 1:
+        # stage tiles 0..nt-2; the LAST tile stays resident in its
+        # double-buffered window through the final phase, so it needs
+        # no staging copy (saves one tile of VMEM)
+        @pl.when(i < n_layer)
+        def _stage_head_tile():
+            tile = jnp.minimum(i * head_nt // n_layer, head_nt - 1)
+            prev = jnp.minimum(
+                (i - 1) * head_nt // n_layer, head_nt - 1
+            )
+
+            @pl.when(((i == 0) | (tile != prev))
+                     & (tile < head_nt - 1))
+            def _():
+                head_s[pl.dslice(tile * v_t, v_t)] = head_w[0]
+
+    @pl.when(i == n_layer)
+    def _head_dots():
+        # Logits are emitted as [1, v_t] ROWS (row 0 of each tile's
+        # 8-sublane block): a [v_t, 1] column output would lane-pad
+        # 1 -> 128 and write 128x the data back to HBM (32MB/token at
+        # 65k vocab — measured to cost more than the head read itself).
+        lw = lnow[:].T if rows else lnow[:]
+        lb = lnob[:].T if rows else lnob[:]
+        xo = ln(x_s[:], lw, lb, 1e-5)
+        if quant:
+            x8, dx = qx(xo)
+            xrow = x8.T
+        else:
+            xrow = xo.T
+        for t in range(head_nt):
+            if t < head_nt - 1:
+                wt = head_s[t * v_t:(t + 1) * v_t]
+            else:
+                wt = head_w[0]  # still resident in the window
+            if quant:
+                acc = jax.lax.dot_general(
+                    xrow, wt,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                tile_logits = (
+                    acc.astype(jnp.float32) * dx
+                    * head_d[0:1, t * v_t:(t + 1) * v_t]
+                )
+            else:
+                tile_logits = jax.lax.dot_general(
+                    xrow.astype(jnp.float32),
+                    wt.astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            logits_out[0:1, t * v_t:(t + 1) * v_t] = tile_logits
 
 
 def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
@@ -463,72 +531,10 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
 
         if head_nt:
             pl.when(i < n_layer)(_layer_step)
-
-            # Head tiles are FETCHED interleaved with the layer phases
-            # (the block specs map layer phase i to head tile
-            # i*nt//L, so the 50MB head rides the DMA idle time of the
-            # VPU-latency-bound layer section — measured 269 GB/s layer
-            # stream vs the 616 GB/s ceiling at 169M) and each freshly
-            # resident tile is staged into head_s. One extra grid phase
-            # after the layers runs ALL the head dots from the staged
-            # copy against the final activation.
-            if head_nt > 1:
-                # stage tiles 0..nt-2; the LAST tile stays resident in
-                # its double-buffered window through the final phase, so
-                # it needs no staging copy (saves one tile of VMEM)
-                @pl.when(i < n_layer)
-                def _stage_head_tile():
-                    tile = jnp.minimum(
-                        i * head_nt // n_layer, head_nt - 1
-                    )
-                    prev = jnp.minimum(
-                        (i - 1) * head_nt // n_layer, head_nt - 1
-                    )
-
-                    @pl.when(((i == 0) | (tile != prev))
-                             & (tile < head_nt - 1))
-                    def _():
-                        head_s[pl.dslice(tile * v_t, v_t)] = head_w[0]
-
-            @pl.when(i == n_layer)
-            def _head_dots():
-                # Logits are emitted as [1, v_t] ROWS (row 0 of each
-                # tile's 8-sublane block): a [v_t, 1] column output
-                # would lane-pad 1 -> 128 and write 128x the data back
-                # to HBM (32MB/token at 65k vocab — measured to cost
-                # more than the head read itself).
-                lw = lnow[:].T if rows else lnow[:]
-                lb = lnob[:].T if rows else lnob[:]
-                xo = ln(x_s[:], lw, lb, 1e-5)
-                if quant:
-                    x8, dx = qx(xo)
-                    xrow = x8.T
-                else:
-                    xrow = xo.T
-                for t in range(head_nt):
-                    if t < head_nt - 1:
-                        wt = head_s[t * v_t:(t + 1) * v_t]
-                    else:
-                        wt = head_w[0]  # still resident in the window
-                    if quant:
-                        acc = jax.lax.dot_general(
-                            xrow, wt,
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.int32,
-                        )
-                        tile_logits = (
-                            acc.astype(jnp.float32) * dx
-                            * head_d[0:1, t * v_t:(t + 1) * v_t]
-                        )
-                    else:
-                        tile_logits = jax.lax.dot_general(
-                            xrow.astype(jnp.float32),
-                            wt.astype(jnp.float32),
-                            dimension_numbers=(((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST,
-                        )
-                    logits_out[0:1, t * v_t:(t + 1) * v_t] = tile_logits
+            _emit_head_phases(
+                i, n_layer, head_nt, v_t, quant, rows, ln, qx,
+                head_w, head_d, lnow, lnob, x_s, logits_out, head_s,
+            )
         else:
             _layer_step()
 
@@ -2063,7 +2069,7 @@ _V6_RKVG = ("att.receptance.weight", "att.key.weight", "att.value.weight",
 
 
 def build_mega_pack_v6(params: dict, cfg, quant: bool = True,
-                       w4: bool = False) -> dict:
+                       w4: bool = False, head: bool = False) -> dict:
     """v6 analogue of build_mega_pack: stack per-layer weights into
     [L, N, K] int8+row-scale (or bf16) mats and [L, ., 1] f32 columns.
     w4: int4 codes for the big mats (rkvg/out/fr/fk/fv); the LoRA mats
@@ -2132,6 +2138,8 @@ def build_mega_pack_v6(params: dict, cfg, quant: bool = True,
         np.asarray(b["att.time_faaaa"], np.float32) for b in blocks
     ])
     pack["tf"] = jnp.asarray(tf.reshape(n_layer, h, s, 1))
+    if head:
+        _attach_head(pack, params, cfg, quant)
     return pack
 
 
@@ -2147,6 +2155,9 @@ def rowify_mega_pack_v6(pack: dict) -> dict:
     if pack["quant"]:
         for name in _V6_MAT_KEYS:
             out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    if "ln_out.weight" in pack:
+        out["ln_out.weight"] = pack["ln_out.weight"].T
+        out["ln_out.bias"] = pack["ln_out.bias"].T
     return out
 
 
@@ -2161,6 +2172,9 @@ def rowify_mega_pack_v5(pack: dict) -> dict:
     if pack["quant"]:
         for name in _V5_MAT_KEYS:
             out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    if "ln_out.weight" in pack:
+        out["ln_out.weight"] = pack["ln_out.weight"].T
+        out["ln_out.bias"] = pack["ln_out.bias"].T
     return out
 
 
@@ -2172,11 +2186,15 @@ def rowify_mega_pack_v4(pack: dict) -> dict:
     if pack["quant"]:
         for name in _V4_MAT_KEYS:
             out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    if "ln_out.weight" in pack:
+        out["ln_out.weight"] = pack["ln_out.weight"].T
+        out["ln_out.bias"] = pack["ln_out.bias"].T
     return out
 
 
 def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
-                    debug=False, rows=False):
+                    debug=False, rows=False, head_nt=0, v_t=0):
+    assert not (debug and head_nt), "debug and head phases are exclusive"
     def mm(w, x):
         return jax.lax.dot_general(
             w, x,
@@ -2202,6 +2220,23 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         if debug:
             *rest, dbg_out, x_s_ = refs
             refs = tuple(rest) + (x_s_,)
+        head_w = head_d = lnow = lnob = logits_out = head_s = None
+        if head_nt:
+            # head inputs trail the inputs; logits trail the outputs;
+            # the staging buffer is the LAST scratch (see the v7 kernel)
+            refs = list(refs)
+            head_s = refs.pop()
+            x_s_ = refs[-1]
+            logits_out = refs[-2]
+            del refs[-2:]
+            n_hin = 4 if quant else 3
+            hin = refs[-4 - n_hin:-4]
+            if quant:
+                head_w, head_d, lnow, lnob = hin
+            else:
+                head_w, lnow, lnob = hin
+            del refs[-4 - n_hin:-4]
+            refs = tuple(refs) + (x_s_,)
         if quant:
             (x0_ref, att_in, ffn_in, heads_in,
              rkvg, rkvg_d, maa1, maa1_d,
@@ -2227,127 +2262,138 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         def _():
             x_s[:] = x0_ref[:]
 
-        x = x_s[:]
+        def _layer_step():
+            x = x_s[:]
 
-        def vec(ref):
-            # rows=True: [1, N] row windows (see the v7 kernel's note)
-            return ref[0].T if rows else ref[0]
+            def vec(ref):
+                # rows=True: [1, N] row windows (see the v7 kernel's note)
+                return ref[0].T if rows else ref[0]
 
-        def matv(w_ref, d_ref, lo, hi, xcol):
-            w = w_ref[0][lo:hi]
-            if quant:
-                x8, dx = qx(xcol)
-                acc = mm(w, x8)
-                dd = (d_ref[0][:, lo:hi].T if rows
-                      else d_ref[0][lo:hi])
-                return acc.astype(jnp.float32) * dx * dd
-            # bf16 weights upcast in-register: Mosaic's single-pass
-            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
-            # accumulates exactly like the XLA per-op path and the
-            # extra MXU passes are free in a bandwidth-bound decode.
-            return jax.lax.dot_general(
-                w.astype(jnp.float32), xcol,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            def matv(w_ref, d_ref, lo, hi, xcol):
+                w = w_ref[0][lo:hi]
+                if quant:
+                    x8, dx = qx(xcol)
+                    acc = mm(w, x8)
+                    dd = (d_ref[0][:, lo:hi].T if rows
+                          else d_ref[0][lo:hi])
+                    return acc.astype(jnp.float32) * dx * dd
+                # bf16 weights upcast in-register: Mosaic's single-pass
+                # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+                # accumulates exactly like the XLA per-op path and the
+                # extra MXU passes are free in a bandwidth-bound decode.
+                return jax.lax.dot_general(
+                    w.astype(jnp.float32), xcol,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            # ---- attention ------------------------------------------------
+            xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
+            sx = att_in[0] - xl
+            att_out[0] = xl
+
+            xxx = xl + sx * vec(maax)
+            mixdn = jnp.tanh(
+                matv(maa1, maa1_d if quant else None, 0, 5 * d_maa, xxx)
             )
+            d = d_maa
 
-        # ---- attention ------------------------------------------------
-        xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
-        sx = att_in[0] - xl
-        att_out[0] = xl
+            def maa_up(lo_c, lo_d):
+                # always-f32 up-projection (see _V6_MAT_KEYS note).
+                # precision=HIGHEST is load-bearing: Mosaic's default f32
+                # matmul is a single bf16 MXU pass natively, which re-opens
+                # the exact drift this f32 path exists to close (measured
+                # 0.155 rel at L=4 native vs 2.9e-7 interpret).
+                return jax.lax.dot_general(
+                    maa2[0][lo_c:lo_c + c], mixdn[lo_d:lo_d + d],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
 
-        xxx = xl + sx * vec(maax)
-        mixdn = jnp.tanh(
-            matv(maa1, maa1_d if quant else None, 0, 5 * d_maa, xxx)
-        )
-        d = d_maa
+            m_w = maa_up(0 * c, 0 * d)
+            m_k = maa_up(1 * c, 1 * d)
+            m_v = maa_up(2 * c, 2 * d)
+            m_r = maa_up(3 * c, 3 * d)
+            m_g = maa_up(4 * c, 4 * d)
 
-        def maa_up(lo_c, lo_d):
-            # always-f32 up-projection (see _V6_MAT_KEYS note).
-            # precision=HIGHEST is load-bearing: Mosaic's default f32
-            # matmul is a single bf16 MXU pass natively, which re-opens
-            # the exact drift this f32 path exists to close (measured
-            # 0.155 rel at L=4 native vs 2.9e-7 interpret).
-            return jax.lax.dot_general(
-                maa2[0][lo_c:lo_c + c], mixdn[lo_d:lo_d + d],
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            cf = vec(maa5).reshape(5, c, 1)  # order w, k, v, r, g
+            xw = xl + sx * (cf[0] + m_w)
+            xk = xl + sx * (cf[1] + m_k)
+            xv = xl + sx * (cf[2] + m_v)
+            xr = xl + sx * (cf[3] + m_r)
+            xg = xl + sx * (cf[4] + m_g)
+
+            rd = rkvg_d if quant else None
+            r = matv(rkvg, rd, 0 * c, 1 * c, xr)
+            k = matv(rkvg, rd, 1 * c, 2 * c, xk)
+            v = matv(rkvg, rd, 2 * c, 3 * c, xv)
+            gg = matv(rkvg, rd, 3 * c, 4 * c, xg)
+            g = gg * jax.nn.sigmoid(gg)  # silu
+
+            w_dn = jnp.tanh(matv(dw1, dw1_d if quant else None, 0, d_dec, xw))
+            w_l = matv(dw2, dw2_d if quant else None, 0, c, w_dn) + vec(tdecay)
+            w_dec = jnp.exp(-jnp.exp(w_l))
+
+            # ---- wkv6 step (transposed state [H, S_j, S_i]) ---------------
+            def col3(vec):
+                return vec.reshape(h, s, 1)
+
+            i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            eye = (i_ == j_).astype(jnp.float32)[None]
+
+            r3, k3, v3, w3 = col3(r), col3(k), col3(v), col3(w_dec)
+            tf3 = vec(tf).reshape(h, s, 1) if rows else tf[0]      # [H, S, 1]
+            st = heads_in[0]
+            v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)       # col -> row
+            dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)    # [H, 1, 1]
+            out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
+            st = st * w3 + k3 * v_row
+            heads_out[0] = st
+
+            # group norm per head over S_i (lanes of out_row), eps 64e-5
+            mu = jnp.mean(out_row, axis=2, keepdims=True)
+            yc = out_row - mu
+            var = jnp.mean(yc * yc, axis=2, keepdims=True)
+            y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+            y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)    # row -> col
+            xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
+            xo = xo * g
+
+            if debug:
+                pad = jnp.zeros((c - 5 * d_maa, 1), jnp.float32)
+                dbg_out[0] = jnp.concatenate([
+                    xl, jnp.concatenate([mixdn, pad], axis=0), m_w, xw,
+                    r, w_dec, g, xo,
+                ], axis=0)
+
+            x = x + matv(out_w, out_d if quant else None, 0, c, xo)
+
+            # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
+            xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
+            sx2 = ffn_in[0] - xl2
+            ffn_out[0] = xl2
+            xk2 = xl2 + sx2 * vec(fxk)
+            xr2 = xl2 + sx2 * vec(fxr)
+            rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
+            hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+            hk = jnp.square(jnp.maximum(hk, 0.0))
+            x = x + rg * matv(fv_w, fv_d if quant else None, 0, c, hk)
+
+            x_s[:] = x
+            y_out[:] = x
+
+        if head_nt:
+            pl.when(i < n_layer)(_layer_step)
+            _emit_head_phases(
+                i, n_layer, head_nt, v_t, quant, rows, ln, qx,
+                head_w, head_d, lnow, lnob, x_s, logits_out,
+                head_s,
             )
-
-        m_w = maa_up(0 * c, 0 * d)
-        m_k = maa_up(1 * c, 1 * d)
-        m_v = maa_up(2 * c, 2 * d)
-        m_r = maa_up(3 * c, 3 * d)
-        m_g = maa_up(4 * c, 4 * d)
-
-        cf = vec(maa5).reshape(5, c, 1)  # order w, k, v, r, g
-        xw = xl + sx * (cf[0] + m_w)
-        xk = xl + sx * (cf[1] + m_k)
-        xv = xl + sx * (cf[2] + m_v)
-        xr = xl + sx * (cf[3] + m_r)
-        xg = xl + sx * (cf[4] + m_g)
-
-        rd = rkvg_d if quant else None
-        r = matv(rkvg, rd, 0 * c, 1 * c, xr)
-        k = matv(rkvg, rd, 1 * c, 2 * c, xk)
-        v = matv(rkvg, rd, 2 * c, 3 * c, xv)
-        gg = matv(rkvg, rd, 3 * c, 4 * c, xg)
-        g = gg * jax.nn.sigmoid(gg)  # silu
-
-        w_dn = jnp.tanh(matv(dw1, dw1_d if quant else None, 0, d_dec, xw))
-        w_l = matv(dw2, dw2_d if quant else None, 0, c, w_dn) + vec(tdecay)
-        w_dec = jnp.exp(-jnp.exp(w_l))
-
-        # ---- wkv6 step (transposed state [H, S_j, S_i]) ---------------
-        def col3(vec):
-            return vec.reshape(h, s, 1)
-
-        i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        eye = (i_ == j_).astype(jnp.float32)[None]
-
-        r3, k3, v3, w3 = col3(r), col3(k), col3(v), col3(w_dec)
-        tf3 = vec(tf).reshape(h, s, 1) if rows else tf[0]      # [H, S, 1]
-        st = heads_in[0]
-        v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)       # col -> row
-        dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)    # [H, 1, 1]
-        out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
-        st = st * w3 + k3 * v_row
-        heads_out[0] = st
-
-        # group norm per head over S_i (lanes of out_row), eps 64e-5
-        mu = jnp.mean(out_row, axis=2, keepdims=True)
-        yc = out_row - mu
-        var = jnp.mean(yc * yc, axis=2, keepdims=True)
-        y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
-        y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)    # row -> col
-        xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
-        xo = xo * g
-
-        if debug:
-            pad = jnp.zeros((c - 5 * d_maa, 1), jnp.float32)
-            dbg_out[0] = jnp.concatenate([
-                xl, jnp.concatenate([mixdn, pad], axis=0), m_w, xw,
-                r, w_dec, g, xo,
-            ], axis=0)
-
-        x = x + matv(out_w, out_d if quant else None, 0, c, xo)
-
-        # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
-        xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
-        sx2 = ffn_in[0] - xl2
-        ffn_out[0] = xl2
-        xk2 = xl2 + sx2 * vec(fxk)
-        xr2 = xl2 + sx2 * vec(fxr)
-        rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
-        hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
-        hk = jnp.square(jnp.maximum(hk, 0.0))
-        x = x + rg * matv(fv_w, fv_d if quant else None, 0, c, hk)
-
-        x_s[:] = x
-        y_out[:] = x
+        else:
+            _layer_step()
 
     return kernel
 
@@ -2368,10 +2414,28 @@ def v6_decode_megakernel(
     quant = pack["quant"]
 
     rows = pack["ln1.weight"].shape[1] == 1  # rowify_mega_pack_v6
+    head_key = "head8" if quant else "headbf16"
+    has_head = head_key in pack
+    head_nt = v_t = 0
+    if has_head:
+        plan = head_tile_plan(pack, cfg)
+        assert plan is not None, (
+            "in-kernel head needs nt <= n_layer — check head_tile_plan()"
+        )
+        head_nt, v_t = plan
     kernel = _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
-                             debug=debug, rows=rows)
+                             debug=debug, rows=rows, head_nt=head_nt,
+                             v_t=v_t)
 
     def blocked(shape):
+        if has_head:
+            # head phases run past the layers — clamp (see v7 wrapper)
+            return pl.BlockSpec(
+                (1,) + shape,
+                lambda i: (jnp.minimum(i, n_layer - 1),)
+                + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (1,) + shape, lambda i: (i,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
@@ -2380,6 +2444,14 @@ def v6_decode_megakernel(
     def whole(shape):
         return pl.BlockSpec(
             shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def head_interleaved(shape):
+        return pl.BlockSpec(
+            shape,
+            lambda i: (jnp.minimum(i * head_nt // n_layer, head_nt - 1),)
+            + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
         )
 
     mat_args, mat_specs = [], []
@@ -2397,11 +2469,23 @@ def v6_decode_megakernel(
     vec_args = [pack[k] for k in _V6_VEC_KEYS]
     vec_specs = [blocked(pack[k].shape[1:]) for k in _V6_VEC_KEYS]
 
+    head_args, head_specs = [], []
+    if has_head:
+        head_args.append(pack[head_key].reshape(head_nt, v_t, c))
+        head_specs.append(head_interleaved((1, v_t, c)))
+        if quant:
+            head_args.append(pack["head_d"])      # [1, V] row
+            head_specs.append(whole((1, head_nt * v_t)))
+        head_args += [pack["ln_out.weight"], pack["ln_out.bias"]]
+        head_specs += [whole(pack["ln_out.weight"].shape),
+                       whole(pack["ln_out.bias"].shape)]
+
     args = (
         [x0.astype(jnp.float32),
          state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
         + mat_args + vec_args
         + [pack["maa5"], pack["tdecay"], pack["tf"]]
+        + head_args
     )
     in_specs = (
         [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
@@ -2409,6 +2493,7 @@ def v6_decode_megakernel(
         + [blocked(pack["maa5"].shape[1:]),
            blocked(pack["tdecay"].shape[1:]),
            blocked(pack["tf"].shape[1:])]
+        + head_specs
     )
 
     out_shapes = (
@@ -2425,21 +2510,28 @@ def v6_decode_megakernel(
             jax.ShapeDtypeStruct((n_layer, 8 * c, 1), jnp.float32),
         )
         out_specs = out_specs + (blocked((8 * c, 1)),)
+    if has_head:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((8, head_nt * v_t), jnp.float32),
+        )
+        out_specs = out_specs + (whole((8, head_nt * v_t)),)
 
     *outs6, = pl.pallas_call(
         kernel,
-        grid=(n_layer,),
+        grid=(n_layer + (1 if has_head else 0),),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((c, 1), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((max(head_nt - 1, 1) * v_t, c),
+                         jnp.int8 if quant else jnp.bfloat16)]
+             if has_head else []),
         # layer grid carries x_s sequentially — "arbitrary" is mandatory
         # (see the v7 kernel's note).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=(104 if has_head else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
@@ -2447,6 +2539,8 @@ def v6_decode_megakernel(
     state = {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
     if debug:
         state["dbg"] = outs6[4]
+    if has_head:
+        return y, state, outs6[-1][0]  # logits [V]
     return y, state
 
 
@@ -3017,9 +3111,10 @@ _V5_VEC_KEYS = (
 
 
 def build_mega_pack_v5(params: dict, cfg, quant: bool = True,
-                       w4: bool = False) -> dict:
+                       w4: bool = False, head: bool = False) -> dict:
     """v5 analogue of build_mega_pack. has_gate selects 5.2. w4: int4
-    codes for all five big mats."""
+    codes for all five big mats. head=True packs the LM head + ln_out
+    for the in-kernel head phases (see build_mega_pack)."""
     c = cfg.n_embed
     h, s = cfg.head_count, cfg.head_size
     blocks = [dict(b) for b in params["blocks"]]
@@ -3091,11 +3186,13 @@ def build_mega_pack_v5(params: dict, cfg, quant: bool = True,
     pack["tf"] = head_mat(
         "att.time_faaaa" if has_gate else "att.time_first"
     )
+    if head:
+        _attach_head(pack, params, cfg, quant)
     return pack
 
 
 def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
-                    rows=False):
+                    rows=False, head_nt=0, v_t=0):
     n_mix = 4 if has_gate else 3
 
     def mm(w, x):
@@ -3119,6 +3216,23 @@ def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
     def kernel(*refs):
+        head_w = head_d = lnow = lnob = logits_out = head_s = None
+        if head_nt:
+            # head inputs trail the inputs; logits trail the outputs;
+            # the staging buffer is the LAST scratch (see the v7 kernel)
+            refs = list(refs)
+            head_s = refs.pop()
+            x_s_ = refs[-1]
+            logits_out = refs[-2]
+            del refs[-2:]
+            n_hin = 4 if quant else 3
+            hin = refs[-4 - n_hin:-4]
+            if quant:
+                head_w, head_d, lnow, lnob = hin
+            else:
+                head_w, lnow, lnob = hin
+            del refs[-4 - n_hin:-4]
+            refs = tuple(refs) + (x_s_,)
         if quant:
             (x0_ref, att_in, ffn_in, heads_in,
              rkvg, rkvg_d, out_w, out_d, fk_w, fk_d, fv_w, fv_d,
@@ -3141,94 +3255,105 @@ def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
         def _():
             x_s[:] = x0_ref[:]
 
-        x = x_s[:]
+        def _layer_step():
+            x = x_s[:]
 
-        def vec(ref):
-            # rows=True: [1, N] row windows (see the v7 kernel's note)
-            return ref[0].T if rows else ref[0]
+            def vec(ref):
+                # rows=True: [1, N] row windows (see the v7 kernel's note)
+                return ref[0].T if rows else ref[0]
 
-        def matv(w_ref, d_ref, lo, hi, xcol):
-            w = w_ref[0][lo:hi]
-            if quant:
-                x8, dx = qx(xcol)
-                acc = mm(w, x8)
-                dd = (d_ref[0][:, lo:hi].T if rows
-                      else d_ref[0][lo:hi])
-                return acc.astype(jnp.float32) * dx * dd
-            # bf16 weights upcast in-register: Mosaic's single-pass
-            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
-            # accumulates exactly like the XLA per-op path and the
-            # extra MXU passes are free in a bandwidth-bound decode.
-            return jax.lax.dot_general(
-                w.astype(jnp.float32), xcol,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+            def matv(w_ref, d_ref, lo, hi, xcol):
+                w = w_ref[0][lo:hi]
+                if quant:
+                    x8, dx = qx(xcol)
+                    acc = mm(w, x8)
+                    dd = (d_ref[0][:, lo:hi].T if rows
+                          else d_ref[0][lo:hi])
+                    return acc.astype(jnp.float32) * dx * dd
+                # bf16 weights upcast in-register: Mosaic's single-pass
+                # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
+                # accumulates exactly like the XLA per-op path and the
+                # extra MXU passes are free in a bandwidth-bound decode.
+                return jax.lax.dot_general(
+                    w.astype(jnp.float32), xcol,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+
+            # ---- attention ------------------------------------------------
+            xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
+            prev = att_in[0]
+            att_out[0] = xl
+
+            cf = vec(amix).reshape(n_mix, c, 1)  # order k, v, r(, g)
+            def mix(ci):
+                return xl * cf[ci] + (prev - prev * cf[ci])
+
+            xk, xv, xr = mix(0), mix(1), mix(2)
+
+            rd = rkvg_d if quant else None
+            r = matv(rkvg, rd, 0 * c, 1 * c, xr)
+            k = matv(rkvg, rd, 1 * c, 2 * c, xk)
+            v = matv(rkvg, rd, 2 * c, 3 * c, xv)
+            if has_gate:
+                gg = matv(rkvg, rd, 3 * c, 4 * c, mix(3))
+                g = gg * jax.nn.sigmoid(gg)  # silu
+
+            # ---- wkv (v6 recurrence, constant decay) ----------------------
+            def col3(vec):
+                return vec.reshape(h, s, 1)
+
+            i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+            j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+            eye = (i_ == j_).astype(jnp.float32)[None]
+
+            r3, k3, v3 = col3(r), col3(k), col3(v)
+            td3 = vec(td).reshape(h, s, 1) if rows else td[0]      # [H, S, 1]
+            tf3 = vec(tf).reshape(h, s, 1) if rows else tf[0]
+            st = heads_in[0]
+            v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
+            dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)
+            out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
+            st = st * td3 + k3 * v_row
+            heads_out[0] = st
+
+            # group norm per head over S_i, eps 1e-5 (v5)
+            mu = jnp.mean(out_row, axis=2, keepdims=True)
+            yc = out_row - mu
+            var = jnp.mean(yc * yc, axis=2, keepdims=True)
+            y_row = yc * jax.lax.rsqrt(var + jnp.float32(1e-5))
+            y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
+            xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
+            if has_gate:
+                xo = xo * g
+
+            x = x + matv(out_w, out_d if quant else None, 0, c, xo)
+
+            # ---- FFN (v4/v5: relu^2 key + sigmoid receptance gate) --------
+            xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
+            prev2 = ffn_in[0]
+            ffn_out[0] = xl2
+            fcf = vec(fmix).reshape(2, c, 1)
+            xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
+            xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
+            rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
+            hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+            hk = jnp.square(jnp.maximum(hk, 0.0))
+            x = x + rg * matv(fv_w, fv_d if quant else None, 0, c, hk)
+
+            x_s[:] = x
+            y_out[:] = x
+
+        if head_nt:
+            pl.when(i < n_layer)(_layer_step)
+            _emit_head_phases(
+                i, n_layer, head_nt, v_t, quant, rows, ln, qx,
+                head_w, head_d, lnow, lnob, x_s, logits_out,
+                head_s,
             )
-
-        # ---- attention ------------------------------------------------
-        xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
-        prev = att_in[0]
-        att_out[0] = xl
-
-        cf = vec(amix).reshape(n_mix, c, 1)  # order k, v, r(, g)
-        def mix(ci):
-            return xl * cf[ci] + (prev - prev * cf[ci])
-
-        xk, xv, xr = mix(0), mix(1), mix(2)
-
-        rd = rkvg_d if quant else None
-        r = matv(rkvg, rd, 0 * c, 1 * c, xr)
-        k = matv(rkvg, rd, 1 * c, 2 * c, xk)
-        v = matv(rkvg, rd, 2 * c, 3 * c, xv)
-        if has_gate:
-            gg = matv(rkvg, rd, 3 * c, 4 * c, mix(3))
-            g = gg * jax.nn.sigmoid(gg)  # silu
-
-        # ---- wkv (v6 recurrence, constant decay) ----------------------
-        def col3(vec):
-            return vec.reshape(h, s, 1)
-
-        i_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
-        j_ = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-        eye = (i_ == j_).astype(jnp.float32)[None]
-
-        r3, k3, v3 = col3(r), col3(k), col3(v)
-        td3 = vec(td).reshape(h, s, 1) if rows else td[0]      # [H, S, 1]
-        tf3 = vec(tf).reshape(h, s, 1) if rows else tf[0]
-        st = heads_in[0]
-        v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)
-        dot = jnp.sum(r3 * tf3 * k3, axis=1, keepdims=True)
-        out_row = jnp.sum(st * r3, axis=1, keepdims=True) + v_row * dot
-        st = st * td3 + k3 * v_row
-        heads_out[0] = st
-
-        # group norm per head over S_i, eps 1e-5 (v5)
-        mu = jnp.mean(out_row, axis=2, keepdims=True)
-        yc = out_row - mu
-        var = jnp.mean(yc * yc, axis=2, keepdims=True)
-        y_row = yc * jax.lax.rsqrt(var + jnp.float32(1e-5))
-        y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
-        xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
-        if has_gate:
-            xo = xo * g
-
-        x = x + matv(out_w, out_d if quant else None, 0, c, xo)
-
-        # ---- FFN (v4/v5: relu^2 key + sigmoid receptance gate) --------
-        xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
-        prev2 = ffn_in[0]
-        ffn_out[0] = xl2
-        fcf = vec(fmix).reshape(2, c, 1)
-        xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
-        xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
-        rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
-        hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
-        hk = jnp.square(jnp.maximum(hk, 0.0))
-        x = x + rg * matv(fv_w, fv_d if quant else None, 0, c, hk)
-
-        x_s[:] = x
-        y_out[:] = x
+        else:
+            _layer_step()
 
     return kernel
 
@@ -3247,10 +3372,27 @@ def v5_decode_megakernel(
     has_gate = pack["has_gate"]
 
     rows = pack["ln1.weight"].shape[1] == 1  # rowify_mega_pack_v5
+    head_key = "head8" if quant else "headbf16"
+    has_head = head_key in pack
+    head_nt = v_t = 0
+    if has_head:
+        plan = head_tile_plan(pack, cfg)
+        assert plan is not None, (
+            "in-kernel head needs nt <= n_layer — check head_tile_plan()"
+        )
+        head_nt, v_t = plan
     kernel = _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
-                             rows=rows)
+                             rows=rows, head_nt=head_nt, v_t=v_t)
 
     def blocked(shape):
+        if has_head:
+            # head phases run past the layers — clamp (see v7 wrapper)
+            return pl.BlockSpec(
+                (1,) + shape,
+                lambda i: (jnp.minimum(i, n_layer - 1),)
+                + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (1,) + shape, lambda i: (i,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
@@ -3259,6 +3401,14 @@ def v5_decode_megakernel(
     def whole(shape):
         return pl.BlockSpec(
             shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def head_interleaved(shape):
+        return pl.BlockSpec(
+            shape,
+            lambda i: (jnp.minimum(i * head_nt // n_layer, head_nt - 1),)
+            + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
         )
 
     mat_args, mat_specs = [], []
@@ -3274,17 +3424,30 @@ def v5_decode_megakernel(
     vec_args = [pack[k] for k in _V5_VEC_KEYS]
     vec_specs = [blocked(pack[k].shape[1:]) for k in _V5_VEC_KEYS]
 
+    head_args, head_specs = [], []
+    if has_head:
+        head_args.append(pack[head_key].reshape(head_nt, v_t, c))
+        head_specs.append(head_interleaved((1, v_t, c)))
+        if quant:
+            head_args.append(pack["head_d"])      # [1, V] row
+            head_specs.append(whole((1, head_nt * v_t)))
+        head_args += [pack["ln_out.weight"], pack["ln_out.bias"]]
+        head_specs += [whole(pack["ln_out.weight"].shape),
+                       whole(pack["ln_out.bias"].shape)]
+
     args = (
         [x0.astype(jnp.float32),
          state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
         + mat_args + vec_args
         + [pack["amix"], pack["fmix"], pack["td"], pack["tf"]]
+        + head_args
     )
     in_specs = (
         [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
         + mat_specs + vec_specs
         + [blocked(pack["amix"].shape[1:]), blocked(pack["fmix"].shape[1:]),
            blocked(pack["td"].shape[1:]), blocked(pack["tf"].shape[1:])]
+        + head_specs
     )
 
     out_shapes = (
@@ -3296,25 +3459,36 @@ def v5_decode_megakernel(
     out_specs = (
         whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s)),
     )
+    if has_head:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((8, head_nt * v_t), jnp.float32),
+        )
+        out_specs = out_specs + (whole((8, head_nt * v_t)),)
 
-    y, att_xx, ffn_xx, heads = pl.pallas_call(
+    *outs5, = pl.pallas_call(
         kernel,
-        grid=(n_layer,),
+        grid=(n_layer + (1 if has_head else 0),),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((c, 1), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((max(head_nt - 1, 1) * v_t, c),
+                         jnp.int8 if quant else jnp.bfloat16)]
+             if has_head else []),
         # layer grid carries x_s sequentially — "arbitrary" is mandatory
         # (see the v7 kernel's note).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=(104 if has_head else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
-    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+    y, att_xx, ffn_xx, heads = outs5[:4]
+    state = {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+    if has_head:
+        return y, state, outs5[-1][0]  # logits [V]
+    return y, state
 
 
 # ---------------------------------------------------------------------------
@@ -3331,9 +3505,10 @@ _V4_VEC_KEYS = ("ln1.weight", "ln1.bias", "ln2.weight", "ln2.bias")
 
 
 def build_mega_pack_v4(params: dict, cfg, quant: bool = True,
-                       w4: bool = False) -> dict:
+                       w4: bool = False, head: bool = False) -> dict:
     """v4 analogue of build_mega_pack. w4: int4 codes for all five big
-    mats (v4 has no small matmuls)."""
+    mats (v4 has no small matmuls). head=True additionally packs the LM
+    head + ln_out for the in-kernel head phases (see build_mega_pack)."""
     c = cfg.n_embed
     blocks = [dict(b) for b in params["blocks"]]
     n_layer = len(blocks)
@@ -3387,10 +3562,13 @@ def build_mega_pack_v4(params: dict, cfg, quant: bool = True,
     pack["td"] = jnp.asarray(np.stack([
         np.asarray(b["att.time_decay"], np.float32) for b in blocks
     ]).reshape(n_layer, c, 1))
+    if head:
+        _attach_head(pack, params, cfg, quant)
     return pack
 
 
-def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False):
+def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False,
+                    head_nt=0, v_t=0):
     def mm(w, x):
         return jax.lax.dot_general(
             w, x,
@@ -3412,6 +3590,23 @@ def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False):
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
     def kernel(*refs):
+        head_w = head_d = lnow = lnob = logits_out = head_s = None
+        if head_nt:
+            # head inputs trail the inputs; logits trail the outputs;
+            # the staging buffer is the LAST scratch (see the v7 kernel)
+            refs = list(refs)
+            head_s = refs.pop()
+            x_s_ = refs[-1]
+            logits_out = refs[-2]
+            del refs[-2:]
+            n_hin = 4 if quant else 3
+            hin = refs[-6 - n_hin:-6]
+            if quant:
+                head_w, head_d, lnow, lnob = hin
+            else:
+                head_w, lnow, lnob = hin
+            del refs[-6 - n_hin:-6]
+            refs = tuple(refs) + (x_s_,)
         if quant:
             (x0_ref, att_in, ffn_in, aa_in, bb_in, pp_in,
              rkv, rkv_d, out_w, out_d, fk_w, fk_d, fv_w, fv_d, fr_w, fr_d,
@@ -3432,8 +3627,6 @@ def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False):
         @pl.when(i == 0)
         def _():
             x_s[:] = x0_ref[:]
-
-        x = x_s[:]
 
         def vec(ref):
             # rows=True: [1, N] row windows (column windows are scatter
@@ -3460,52 +3653,65 @@ def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False):
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        # ---- attention ------------------------------------------------
-        xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
-        prev = att_in[0]
-        att_out[0] = xl
+        def _layer_step():
+            x = x_s[:]
 
-        cf = vec(amix).reshape(3, c, 1)  # order k, v, r
-        xk = xl * cf[0] + (prev - prev * cf[0])
-        xv = xl * cf[1] + (prev - prev * cf[1])
-        xr = xl * cf[2] + (prev - prev * cf[2])
+            # ---- attention ------------------------------------------------
+            xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
+            prev = att_in[0]
+            att_out[0] = xl
 
-        rd = rkv_d if quant else None
-        r = jax.nn.sigmoid(matv(rkv, rd, 0 * c, 1 * c, xr))
-        k = matv(rkv, rd, 1 * c, 2 * c, xk)
-        v = matv(rkv, rd, 2 * c, 3 * c, xv)
+            cf = vec(amix).reshape(3, c, 1)  # order k, v, r
+            xk = xl * cf[0] + (prev - prev * cf[0])
+            xv = xl * cf[1] + (prev - prev * cf[1])
+            xr = xl * cf[2] + (prev - prev * cf[2])
 
-        # ---- wkv4 step (max-trick, rwkv_graph.inc:119-161) ------------
-        aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
-        ww = vec(tf) + k
-        qq = jnp.maximum(pp, ww)
-        e1 = jnp.exp(pp - qq)
-        e2 = jnp.exp(ww - qq)
-        wkv = (e1 * aa + e2 * v) / (e1 * bb + e2)
-        ww2 = pp + vec(td)
-        qq2 = jnp.maximum(ww2, k)
-        e1b = jnp.exp(ww2 - qq2)
-        e2b = jnp.exp(k - qq2)
-        aa_out[0] = e1b * aa + e2b * v
-        bb_out[0] = e1b * bb + e2b
-        pp_out[0] = qq2
+            rd = rkv_d if quant else None
+            r = jax.nn.sigmoid(matv(rkv, rd, 0 * c, 1 * c, xr))
+            k = matv(rkv, rd, 1 * c, 2 * c, xk)
+            v = matv(rkv, rd, 2 * c, 3 * c, xv)
 
-        x = x + matv(out_w, out_d if quant else None, 0, c, r * wkv)
+            # ---- wkv4 step (max-trick, rwkv_graph.inc:119-161) ------------
+            aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
+            ww = vec(tf) + k
+            qq = jnp.maximum(pp, ww)
+            e1 = jnp.exp(pp - qq)
+            e2 = jnp.exp(ww - qq)
+            wkv = (e1 * aa + e2 * v) / (e1 * bb + e2)
+            ww2 = pp + vec(td)
+            qq2 = jnp.maximum(ww2, k)
+            e1b = jnp.exp(ww2 - qq2)
+            e2b = jnp.exp(k - qq2)
+            aa_out[0] = e1b * aa + e2b * v
+            bb_out[0] = e1b * bb + e2b
+            pp_out[0] = qq2
 
-        # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
-        xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
-        prev2 = ffn_in[0]
-        ffn_out[0] = xl2
-        fcf = vec(fmix).reshape(2, c, 1)
-        xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
-        xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
-        rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
-        hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
-        hk = jnp.square(jnp.maximum(hk, 0.0))
-        x = x + rg * matv(fv_w, fv_d if quant else None, 0, c, hk)
+            x = x + matv(out_w, out_d if quant else None, 0, c, r * wkv)
 
-        x_s[:] = x
-        y_out[:] = x
+            # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
+            xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
+            prev2 = ffn_in[0]
+            ffn_out[0] = xl2
+            fcf = vec(fmix).reshape(2, c, 1)
+            xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
+            xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
+            rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
+            hk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+            hk = jnp.square(jnp.maximum(hk, 0.0))
+            x = x + rg * matv(fv_w, fv_d if quant else None, 0, c, hk)
+
+            x_s[:] = x
+            y_out[:] = x
+
+        if head_nt:
+            pl.when(i < n_layer)(_layer_step)
+            _emit_head_phases(
+                i, n_layer, head_nt, v_t, quant, rows, ln, qx,
+                head_w, head_d, lnow, lnob, x_s, logits_out,
+                head_s,
+            )
+        else:
+            _layer_step()
 
     return kernel
 
@@ -3523,9 +3729,28 @@ def v4_decode_megakernel(
     quant = pack["quant"]
 
     rows = pack["ln1.weight"].shape[1] == 1  # rowify_mega_pack_v4
-    kernel = _make_kernel_v4(c, f_dim, n_layer, quant, rows=rows)
+    head_key = "head8" if quant else "headbf16"
+    has_head = head_key in pack
+    head_nt = v_t = 0
+    if has_head:
+        plan = head_tile_plan(pack, cfg)
+        assert plan is not None, (
+            "in-kernel head needs nt <= n_layer — check head_tile_plan()"
+        )
+        head_nt, v_t = plan
+    kernel = _make_kernel_v4(c, f_dim, n_layer, quant, rows=rows,
+                             head_nt=head_nt, v_t=v_t)
 
     def blocked(shape):
+        if has_head:
+            # head phases run past the layers — clamp (same-index
+            # revisits are free; see the v7 wrapper)
+            return pl.BlockSpec(
+                (1,) + shape,
+                lambda i: (jnp.minimum(i, n_layer - 1),)
+                + (0,) * len(shape),
+                memory_space=pltpu.VMEM,
+            )
         return pl.BlockSpec(
             (1,) + shape, lambda i: (i,) + (0,) * len(shape),
             memory_space=pltpu.VMEM,
@@ -3534,6 +3759,14 @@ def v4_decode_megakernel(
     def whole(shape):
         return pl.BlockSpec(
             shape, lambda i: (0,) * len(shape), memory_space=pltpu.VMEM
+        )
+
+    def head_interleaved(shape):
+        return pl.BlockSpec(
+            shape,
+            lambda i: (jnp.minimum(i * head_nt // n_layer, head_nt - 1),)
+            + (0,) * (len(shape) - 1),
+            memory_space=pltpu.VMEM,
         )
 
     mat_args, mat_specs = [], []
@@ -3549,18 +3782,31 @@ def v4_decode_megakernel(
     vec_args = [pack[k] for k in _V4_VEC_KEYS]
     vec_specs = [blocked(pack[k].shape[1:]) for k in _V4_VEC_KEYS]
 
+    head_args, head_specs = [], []
+    if has_head:
+        head_args.append(pack[head_key].reshape(head_nt, v_t, c))
+        head_specs.append(head_interleaved((1, v_t, c)))
+        if quant:
+            head_args.append(pack["head_d"])      # [1, V] row
+            head_specs.append(whole((1, head_nt * v_t)))
+        head_args += [pack["ln_out.weight"], pack["ln_out.bias"]]
+        head_specs += [whole(pack["ln_out.weight"].shape),
+                       whole(pack["ln_out.bias"].shape)]
+
     args = (
         [x0.astype(jnp.float32),
          state_t["att_xx"], state_t["ffn_xx"],
          state_t["aa"], state_t["bb"], state_t["pp"]]
         + mat_args + vec_args
         + [pack["amix"], pack["fmix"], pack["tf"], pack["td"]]
+        + head_args
     )
     in_specs = (
         [whole((c, 1))] + [blocked((c, 1))] * 5
         + mat_specs + vec_specs
         + [blocked(pack["amix"].shape[1:]), blocked(pack["fmix"].shape[1:]),
            blocked(pack["tf"].shape[1:]), blocked(pack["td"].shape[1:])]
+        + head_specs
     )
 
     out_shapes = (
@@ -3569,26 +3815,37 @@ def v4_decode_megakernel(
         jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32) for _ in range(5)
     )
     out_specs = (whole((c, 1)),) + tuple(blocked((c, 1)) for _ in range(5))
+    if has_head:
+        out_shapes = out_shapes + (
+            jax.ShapeDtypeStruct((8, head_nt * v_t), jnp.float32),
+        )
+        out_specs = out_specs + (whole((8, head_nt * v_t)),)
 
-    y, att_xx, ffn_xx, aa, bb, pp = pl.pallas_call(
+    *outs4, = pl.pallas_call(
         kernel,
-        grid=(n_layer,),
+        grid=(n_layer + (1 if has_head else 0),),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((c, 1), jnp.float32),
-        ],
+        ] + ([pltpu.VMEM((max(head_nt - 1, 1) * v_t, c),
+                         jnp.int8 if quant else jnp.bfloat16)]
+             if has_head else []),
         # layer grid carries x_s sequentially — "arbitrary" is mandatory
         # (see the v7 kernel's note).
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024,
+            vmem_limit_bytes=(104 if has_head else 100) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)
-    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx,
-               "aa": aa, "bb": bb, "pp": pp}
+    y, att_xx, ffn_xx, aa, bb, pp = outs4[:6]
+    state = {"att_xx": att_xx, "ffn_xx": ffn_xx,
+             "aa": aa, "bb": bb, "pp": pp}
+    if has_head:
+        return y, state, outs4[-1][0]  # logits [V]
+    return y, state
 
 
 # ---------------------------------------------------------------------------

@@ -47,7 +47,7 @@ def null_overhead():
     return ov
 
 
-def time_arch(version, ov, rows):
+def time_arch(version, ov, rows, inhead=False):
     cfg = synth_config(version, n_layer=12, n_embed=768, n_vocab=65536,
                        head_size=64)
     params_raw = synth_params(cfg, seed=0)
@@ -67,6 +67,9 @@ def time_arch(version, ov, rows):
         meta_keys = ("quant", "w4", "f_dim")
         skeys = ("att_xx", "ffn_xx", "aa", "bb", "pp")
     pack_src = srv._mega_rows if rows else srv._mega
+    if not inhead:
+        pack_src = {k: v for k, v in pack_src.items()
+                    if not k.startswith(("head", "ln_out"))}
     meta = {k: pack_src[k] for k in meta_keys}
     arrs = {k: v for k, v in pack_src.items() if k not in meta}
 
@@ -79,9 +82,12 @@ def time_arch(version, ov, rows):
             tok = jnp.argmax(logits).astype(jnp.int32)
             x0 = p_ln(params["emb"][tok].astype(jnp.float32),
                       *params["ln0"])
-            y, state_t = step(pack, state_t, x0[:, None], cfg)
-            xo = p_ln(y[:, 0], *params["ln_out"])
-            logits = G.mm(xo[None, :], params["head"])[0]
+            if inhead:
+                y, state_t, logits = step(pack, state_t, x0[:, None], cfg)
+            else:
+                y, state_t = step(pack, state_t, x0[:, None], cfg)
+                xo = p_ln(y[:, 0], *params["ln_out"])
+                logits = G.mm(xo[None, :], params["head"])[0]
             return (state_t, logits), None
 
         state_t = {k: state[k][0][..., None] for k in skeys}
@@ -101,7 +107,9 @@ def time_arch(version, ov, rows):
         np.asarray(chain(srv.params, arrs, srv.init_state(1), logits0))
         best = min(best, time.perf_counter() - t0)
     per_tok = max(best - ov, 1e-9) / N_GEN
-    print(f"{version} {'rows' if rows else 'cols'}: "
+    label = ("rows+inkern-head" if inhead
+             else ("rows" if rows else "cols"))
+    print(f"{version} {label:16s}: "
           f"{per_tok * 1e6:7.1f} us/tok  {1 / per_tok:7.0f} tok/s",
           flush=True)
 
@@ -111,8 +119,8 @@ def main():
     ov = null_overhead()
     print(f"sync overhead: {ov * 1e3:.1f} ms", flush=True)
     for version in ("4.0", "5.2", "6.0"):
-        for rows in (False, True):
-            time_arch(version, ov, rows)
+        for rows, inhead in ((False, False), (True, False), (True, True)):
+            time_arch(version, ov, rows, inhead)
 
 
 if __name__ == "__main__":

@@ -6,6 +6,7 @@ in ops/megakernel.py)."""
 import numpy as np
 import pytest
 
+import jax
 import jax.numpy as jnp
 
 from conftest import require_fixture
@@ -821,3 +822,83 @@ def test_packed_matches_plain_batched(quant):
     hr = np.asarray(jnp.transpose(new_ref["heads"], (4, 0, 1, 2, 3)))
     hrel = np.abs(hp - hr).max() / max(np.abs(hr).max(), 1e-6)
     assert hrel < 2e-5, hrel
+
+
+@pytest.mark.parametrize("version", ["4.0", "5.1", "5.2", "6.0"])
+def test_megamodel_inkernel_head_v456(version):
+    """In-kernel LM head phases for the v4/v5/v6 whole-layer kernels
+    (same interleaved-fetch design as v7): the kernel's logits must be
+    equal (to 1 ulp) to running the same kernel without the head
+    phases and
+    applying ln_out + the identical int8 head dequant-matvec outside —
+    isolating the head mechanism from the known v5/v6 cross-path
+    activation-scale drift."""
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops.megakernel import (
+        build_mega_pack_v4, build_mega_pack_v5, build_mega_pack_v6,
+        rowify_mega_pack_v4, rowify_mega_pack_v5, rowify_mega_pack_v6,
+        v4_decode_megakernel, v5_decode_megakernel, v6_decode_megakernel,
+    )
+    from rwkv_tpu.ops.parity import layer_norm
+
+    cfg = synth_config(version, n_layer=3, n_embed=256, n_vocab=1024,
+                       head_size=64)
+    params = synth_params(cfg, seed=5)
+    major = cfg.version_major
+    build, rowify, step = {
+        4: (build_mega_pack_v4, rowify_mega_pack_v4, v4_decode_megakernel),
+        5: (build_mega_pack_v5, rowify_mega_pack_v5, v5_decode_megakernel),
+        6: (build_mega_pack_v6, rowify_mega_pack_v6, v6_decode_megakernel),
+    }[major]
+    pack = rowify(build(params, cfg, quant=True, head=True))
+    pack_nohead = {k: v for k, v in pack.items()
+                   if not k.startswith(("head", "ln_out"))}
+
+    L, c = cfg.n_layer, cfg.n_embed
+    if major == 4:
+        state0 = {k: jnp.zeros((L, c, 1), jnp.float32)
+                  for k in ("att_xx", "ffn_xx", "aa", "bb")}
+        state0["pp"] = jnp.full((L, c, 1), -1e30, jnp.float32)
+    else:
+        state0 = {
+            "att_xx": jnp.zeros((L, c, 1), jnp.float32),
+            "ffn_xx": jnp.zeros((L, c, 1), jnp.float32),
+            "heads": jnp.zeros(
+                (L, cfg.head_count, cfg.head_size, cfg.head_size),
+                jnp.float32,
+            ),
+        }
+    state_h = dict(state0)
+    state_n = dict(state0)
+
+    for tok in (34, 105, 110, 7, 200):
+        x0 = layer_norm(
+            jnp.asarray(np.asarray(params["emb"], np.float32)[tok]),
+            *params["ln0"],
+        )
+        y_h, state_h, logits = step(
+            pack, state_h, x0[:, None], cfg, interpret=True
+        )
+        y_n, state_n = step(
+            pack_nohead, state_n, x0[:, None], cfg, interpret=True
+        )
+        # reference: same ln_out + same int8 head codes, outside
+        xo = layer_norm(y_n[:, 0], jnp.asarray(pack["ln_out.weight"])[0],
+                        jnp.asarray(pack["ln_out.bias"])[0])
+        amax = jnp.max(jnp.abs(xo))
+        dx = amax / 127.0
+        inv = jnp.where(dx > 0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
+        x8 = jnp.clip(jnp.rint(xo * inv), -127, 127).astype(jnp.int8)
+        acc = jax.lax.dot_general(
+            x8[None, :], pack["head8"],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        ref_logits = (acc.astype(jnp.float32) * dx * pack["head_d"])[0]
+        np.testing.assert_array_equal(np.asarray(y_h), np.asarray(y_n))
+        # 1-ulp fusion-order noise between the interpret-mode kernel
+        # dot and the XLA reference dot
+        np.testing.assert_allclose(
+            np.asarray(logits), np.asarray(ref_logits),
+            rtol=1e-6, atol=1e-6,
+        )
