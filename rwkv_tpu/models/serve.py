@@ -1109,14 +1109,15 @@ class ServingModel:
             self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
-    def _mega_tiled_pack(self, b: int):
+    def _mega_tiled_pack(self, b: int, packed: bool = False):
         """Retiled pack + (nh, nf) for the phase-tiled kernel, cached by
         the reshape-affecting tile counts (nh has no effect on the
         pack)."""
         from rwkv_tpu.ops.megakernel import choose_tiling, retile_mega_pack
 
         cfg = self.config
-        nh, nf, nr, no = choose_tiling(cfg, self._mega["quant"], b)
+        nh, nf, nr, no = choose_tiling(cfg, self._mega["quant"], b,
+                                       packed=packed)
         key = ("megapack", nf, nr, no)
         if key not in self._jit_cache:
             self._jit_cache[key] = retile_mega_pack(
@@ -1174,17 +1175,20 @@ class ServingModel:
             self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
-    def _mega_batched_fn(self, b: int):
+    def _mega_batched_fn(self, b: int, packed: bool = False):
         """Batched whole-model kernel step (batch on lanes, phase-tiled
-        state streaming — see ops/megakernel.py). One jit per batch."""
-        key = ("megab", b)
+        state streaming — see ops/megakernel.py). One jit per batch.
+        packed=True uses the lane-PACKED state layout [.., S_j, S_i*B]
+        (zero lane padding for 2 <= B < 128 — the mid-B big-model
+        serving path)."""
+        key = ("megab", b, packed)
         if key not in self._jit_cache:
             cfg = self.config
             interpret = jax.default_backend() != "tpu"
             from rwkv_tpu.ops.megakernel import v7_decode_megakernel_tiled
             from rwkv_tpu.ops.parity import layer_norm as p_ln
 
-            pack_full, nh, nf = self._mega_tiled_pack(b)
+            pack_full, nh, nf = self._mega_tiled_pack(b, packed=packed)
             meta = {k: pack_full[k]
                     for k in ("quant", "w4", "d_lora", "f_dim",
                               "nh", "nf", "nr", "no")}
@@ -1198,22 +1202,35 @@ class ServingModel:
                 x0 = p_ln(
                     params["emb"][tokens].astype(jnp.float32), *params["ln0"]
                 )                                               # [B, C]
-                heads = jnp.transpose(state["heads"], (1, 2, 3, 4, 0))
+                if packed:
+                    # serving heads [B, L, H, S_i, S_j] -> lane-packed
+                    # [L, nh, H/nh, S_j, S_i*B]
+                    hp = jnp.transpose(state["heads"], (1, 2, 4, 3, 0))
+                    heads_in = hp.reshape(L, nh, H // nh, S, S * b)
+                else:
+                    heads = jnp.transpose(state["heads"], (1, 2, 3, 4, 0))
+                    heads_in = heads.reshape(L, nh, H // nh, S, S, b)
                 state_t = {
                     "att_xx": jnp.transpose(state["att_xx"], (1, 2, 0)),
                     "ffn_xx": jnp.transpose(state["ffn_xx"], (1, 2, 0)),
-                    "heads": heads.reshape(L, nh, H // nh, S, S, b),
+                    "heads": heads_in,
                 }
                 y, new_t = v7_decode_megakernel_tiled(
-                    pack, state_t, x0.T, cfg, interpret=interpret
+                    pack, state_t, x0.T, cfg, interpret=interpret,
+                    packed=packed,
                 )
                 xo = p_ln(y.T, *params["ln_out"])               # [B, C]
                 logits = G.mm(xo, params["head"])
-                new_heads = new_t["heads"].reshape(L, H, S, S, b)
+                if packed:
+                    nh_ = new_t["heads"].reshape(L, H, S, S, b)
+                    new_heads = jnp.transpose(nh_, (4, 0, 1, 3, 2))
+                else:
+                    nh_ = new_t["heads"].reshape(L, H, S, S, b)
+                    new_heads = jnp.transpose(nh_, (4, 0, 1, 2, 3))
                 new_state = {
                     "att_xx": jnp.transpose(new_t["att_xx"], (2, 0, 1)),
                     "ffn_xx": jnp.transpose(new_t["ffn_xx"], (2, 0, 1)),
-                    "heads": jnp.transpose(new_heads, (4, 0, 1, 2, 3)),
+                    "heads": new_heads,
                 }
                 return logits, new_state
 
@@ -1455,6 +1472,11 @@ class ServingModel:
                 # fitting VMEM past B=32.
                 run, arrs_p = self._mega_batched_packed_fn(b)
                 return run(self.params, arrs_p, state, tokens[:, 0])
+            if self._mega_big and 2 <= b < 128:
+                # lane-packed tiled kernel: mid-B big-model decode (the
+                # plain layout pads the state lane dim B -> 128)
+                run, arrs_t = self._mega_batched_fn(b, packed=True)
+                return run(self.params, arrs_t, state, tokens[:, 0])
             if self.mega_min_batch <= b <= MEGA_MAX_BATCH:
                 run, arrs_t = self._mega_batched_fn(b)
                 return run(self.params, arrs_t, state, tokens[:, 0])

@@ -1374,7 +1374,7 @@ def unpack_batched_state(heads_p, b, h, s):
 
 
 def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
-                  n_proj: int = 3) -> tuple:
+                  n_proj: int = 3, packed: bool = False) -> tuple:
     """(nh, nf, nr, no) so that each phase's double-buffered blocks stay
     small: head-tile state block <= ~8MB batched / ~2MB at B=1 (lane dim
     pads to 128 for B>1), fk/fv tile <= ~4.5MB, rkv/out row tiles <= ~8MB
@@ -1397,10 +1397,18 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
         # overflow the 128MB VMEM by 4-6MB on chip (v5e) — halve the
         # window budget.
         mm_budget //= 2
+    if packed and batch > 1 and c >= 2048:
+        # the packed-batch scratch columns ([C, B] f32, lane-padded)
+        # plus a fused [3C, C] rkv window overflow VMEM by ~1.5MB at
+        # 1.5B B=8 on chip — row-tile the projections instead.
+        mm_budget //= 2
     lane = max(128, batch)                   # lane dim pads B -> 128 min
     if batch == 1:
         per_head = s * 128 * 4               # [s_j, s_i->128] f32
         budget = (512 if wide else 1024) * 1024
+    elif packed:
+        per_head = s * s * batch * 4         # [s_j, s_i*B] f32, no pad
+        budget = 8 * 1024 * 1024
     else:
         per_head = s * s * lane * 4          # [s_i, s_j, B] f32
         budget = 8 * 1024 * 1024
@@ -1487,7 +1495,7 @@ def retile_mega_pack(pack: dict, cfg, nh: int = 1, nf: int = 1,
 
 
 def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
-                       nh, nf, nr, no, w4=False):
+                       nh, nf, nr, no, w4=False, packed=False):
     h4 = h // nh
     f4 = f_dim // nf
     m = nr // 3                  # rkv tiles per projection
@@ -1529,6 +1537,18 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
     def kernel(*refs):
+        lnxw_p = lnxb_p = yp_s = None
+        if packed:
+            # packed-lane ln_x affine windows trail the other INPUTS,
+            # and the packed group-norm scratch is the LAST scratch
+            # (pallas ref order: inputs, outputs, scratch)
+            refs = list(refs)
+            yp_s = refs.pop()
+            n_tail = 4 + 18 + (1 if batch > 1 else 0)  # outs + scratch
+            lnxb_p = refs[-n_tail - 1]
+            lnxw_p = refs[-n_tail - 2]
+            del refs[-n_tail - 2:-n_tail]
+            refs = tuple(refs)
         # y_s exists only in the batched variant (slab-reduce group-norm
         # materialization) — B=1 skips the allocation entirely.
         y_s = None
@@ -1738,6 +1758,66 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
                 y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
                 y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)
                 yn = y_col.reshape(h4 * s, 1)
+            elif packed:
+                # lane-PACKED state [h4, S_j, S_i*B] — zero lane padding
+                # for B >= 2; every layout move is a 0/1 selection dot
+                # (see the whole-layer packed kernel's notes; direct
+                # lane reshapes fail to lower, probe_lane_pack.py)
+                sib = s * batch
+                m_lane = jax.lax.broadcasted_iota(
+                    jnp.int32, (batch, sib), 1)
+                b_row = jax.lax.broadcasted_iota(
+                    jnp.int32, (batch, sib), 0)
+                E = ((m_lane % batch) == b_row).astype(jnp.float32)
+                mk_ = jax.lax.broadcasted_iota(jnp.int32, (s, sib), 1)
+                ik_ = jax.lax.broadcasted_iota(jnp.int32, (s, sib), 0)
+                Ksel = ((mk_ // batch) == ik_).astype(jnp.float32)
+
+                def mmf(aM, bM, exact=False):
+                    return jax.lax.dot_general(
+                        aM, bM,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=(jax.lax.Precision.HIGHEST if exact
+                                   else jax.lax.Precision.DEFAULT),
+                    )
+
+                jstack = jnp.concatenate([
+                    r3.reshape(h4 * s, batch), w3.reshape(h4 * s, batch),
+                    k3.reshape(h4 * s, batch), a3.reshape(h4 * s, batch),
+                    b3.reshape(h4 * s, batch),
+                ], axis=0)
+                jb = mmf(jstack, E).reshape(5, h4, s, sib)
+                r_b, w_b, k_b, a_b, b_b = (jb[0], jb[1], jb[2], jb[3],
+                                           jb[4])
+                Dv = mmf(v3.reshape(h4 * s, batch), E).reshape(h4, s, sib)
+                v_b = jnp.sum(Dv * Ksel[None], axis=1, keepdims=True)
+
+                st = heads_in[0, 0]                  # [h4, s_j, sib]
+                sa = jnp.sum(st * a_b, axis=1, keepdims=True)
+                st = st * w_b + k_b * v_b + b_b * sa
+                y3p = jnp.sum(st * r_b, axis=1, keepdims=True)
+                heads_out[0, 0] = st
+                yp_s[pl.dslice(t * h4, h4)] = y3p.reshape(h4, sib)
+                y2 = yp_s[pl.dslice(t * h4, h4)]
+                inv_s = jnp.float32(1.0 / s)
+                mu = mmf(y2, E.T, exact=True) * inv_s
+                mu_b = mmf(mu, E, exact=True)
+                yc = y2 - mu_b
+                var = mmf(yc * yc, E.T, exact=True) * inv_s
+                var_b = mmf(var, E, exact=True)
+                ynp = yc * jax.lax.rsqrt(var_b + jnp.float32(64e-5))
+                xo_p = ynp * lnxw_p[0, 0] + lnxb_p[0, 0]     # [h4, sib]
+
+                rkt = rk[0, pl.dslice(t * h4, h4)]           # [h4, s, 1]
+                dots = jnp.sum(k_b * r_b * rkt, axis=1, keepdims=True)
+                xo_p = xo_p + (v_b * dots)[:, 0]
+
+                tmp = (xo_p[:, None, :] * Ksel[None]).reshape(h4 * s, sib)
+                xo_col = mmf(tmp, E.T)                       # [h4*s, B]
+                gt = g_s[pl.dslice(rows_lo, h4 * s)]
+                xo_s[pl.dslice(rows_lo, h4 * s)] = xo_col * gt
+                return
             else:
                 # verified batched layout: state [h4, S_i, S_j, B]
                 r4 = r3[:, None, :, :]
@@ -1823,13 +1903,17 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
 
 def v7_decode_megakernel_tiled(
     pack: dict, state_t: dict, x0, cfg, interpret: bool = False,
+    packed: bool = False,
 ):
     """Phase-tiled whole-model decode step (any batch; bounded VMEM).
 
     pack: retile_mega_pack(build_mega_pack(...), nh=?, nf=?) output.
     State layout matches the head-op variant, with an extra head-tile dim:
       batch==1 -> heads [L, nh, H/nh, S_j, S_i];
-      batch>1  -> heads [L, nh, H/nh, S_i, S_j, B].
+      batch>1  -> heads [L, nh, H/nh, S_i, S_j, B];
+      packed   -> heads [L, nh, H/nh, S_j, S_i*B] (lane-packed: zero
+                  lane padding for 2 <= B < 128 — the mid-B big-model
+                  serving path; layout moves are 0/1-selection dots).
     att_xx/ffn_xx: [L, C, B]. x0: [C, B] f32. Returns (x, new state)."""
     c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
     n_layer = cfg.n_layer
@@ -1846,9 +1930,10 @@ def v7_decode_megakernel_tiled(
     # tiles | finish]. The kernel factory is the single source of truth
     # for the P_* constants — the BlockSpec index maps below MUST use
     # the same layout the kernel consumes tiles in.
+    assert not (packed and batch == 1), "packed needs B >= 2"
     kernel, n_phase, ph = _make_kernel_tiled(
         c, h, s, d_lora, f_dim, n_layer, quant, batch, nh, nf, nr, no,
-        w4=w4,
+        w4=w4, packed=packed,
     )
     P_WKV0, P_OUT0 = ph["P_WKV0"], ph["P_OUT0"]
     P_FK0, P_FV0 = ph["P_FK0"], ph["P_FV0"]
@@ -1973,20 +2058,41 @@ def v7_decode_megakernel_tiled(
 
     if batch == 1:
         head_shape = (h4, s, s)
+    elif packed:
+        head_shape = (h4, s, s * batch)
     else:
         head_shape = (h4, s, s, batch)
+
+    packed_args, packed_specs = [], []
+    if packed:
+        # ln_x affine in the packed lane layout, per head tile (the
+        # column form's per-channel values live on SUBLANES, but packed
+        # lanes are (i, b) — XLA-side broadcast, tiny)
+        sib = s * batch
+        lnxw_pk = jnp.broadcast_to(
+            pack["att.ln_x.weight"].reshape(n_layer, nh, h4, s, 1),
+            (n_layer, nh, h4, s, batch),
+        ).reshape(n_layer, nh, h4, sib)
+        lnxb_pk = jnp.broadcast_to(
+            pack["att.ln_x.bias"].reshape(n_layer, nh, h4, s, 1),
+            (n_layer, nh, h4, s, batch),
+        ).reshape(n_layer, nh, h4, sib)
+        packed_args = [lnxw_pk, lnxb_pk]
+        packed_specs = [head_spec((h4, sib)), head_spec((h4, sib))]
 
     args = (
         [x0.astype(jnp.float32),
          state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
         + mat_args + vec_args
         + [pack["coeff"], pack["r_k"]]
+        + packed_args
     )
     in_specs = (
         [whole((c, batch)), per_layer((c, batch)), per_layer((c, batch)),
          head_spec(head_shape)]
         + mat_specs + vec_specs
         + [per_layer((1, 6 * c)), per_layer((h, s, 1))]
+        + packed_specs
     )
 
     out_shapes = (
@@ -2026,7 +2132,9 @@ def v7_decode_megakernel_tiled(
             pltpu.VMEM((c, batch), jnp.float32),      # vm_s
             pltpu.VMEM((c, batch), jnp.float32),      # ap_s
         ] + ([pltpu.VMEM((c, batch), jnp.float32)]    # y_s, batched only
-             if batch > 1 else []),
+             if batch > 1 else [])
+          + ([pltpu.VMEM((h, s * batch), jnp.float32)]  # yp_s, packed
+             if packed else []),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # NOTE: the pipeline GROWS its buffering toward this limit

@@ -188,6 +188,45 @@ def main():
             f"{1 / per_tok:7.1f} tok/s",
             flush=True,
         )
+
+        if "--batch" in sys.argv:
+            B = int(sys.argv[sys.argv.index("--batch") + 1])
+
+            @jax.jit
+            def bchain(params, state, logits):
+                def body(carry, _):
+                    state, logits = carry
+                    toks = jnp.argmax(logits, -1).astype(jnp.int32)
+                    logits, state = forward_stacked(
+                        params, state, toks[None, :], cfg, True
+                    )
+                    return (state, logits), None
+
+                (state, logits), _ = jax.lax.scan(
+                    body, (state, logits), None, length=N_GEN
+                )
+                return jnp.sum(logits)
+
+            bstate = jax.tree.map(
+                lambda a: jnp.broadcast_to(
+                    a[:, None], (a.shape[0], B) + a.shape[1:]
+                ),
+                init_state(cfg),
+            )
+            blogits = jnp.zeros((B, cfg.n_vocab), jnp.float32)
+            _ = np.asarray(bchain(params, bstate, blogits))
+            best = 1e9
+            for _i in range(3):
+                t0 = time.perf_counter()
+                _ = np.asarray(bchain(params, bstate, blogits))
+                best = min(best, time.perf_counter() - t0)
+            per_step = max(best - ov, 1e-9) / N_GEN
+            print(
+                f"1.5B {precision:4s} decode B={B}: "
+                f"{per_step * 1e3:7.3f} ms/step  "
+                f"{B / per_step:7.1f} tok/s",
+                flush=True,
+            )
         del params
 
 

@@ -902,3 +902,31 @@ def test_megamodel_inkernel_head_v456(version):
             np.asarray(logits), np.asarray(ref_logits),
             rtol=1e-6, atol=1e-6,
         )
+
+
+def test_megamodel_tiled_packed_batched():
+    """Big-model mid-B routing: decode at 2 <= B < 128 on a _mega_big
+    engine runs the lane-PACKED phase-tiled kernel; logits must match
+    the per-op engine (w8a8 cross-path band)."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    cfg = synth_config("7.0", n_layer=3, n_embed=256, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=11, lora_dim=32)
+    ref = ServingModel((cfg, params), precision="w8a8")
+    mega = ServingModel((cfg, params), precision="w8a8",
+                        megakernel=True)
+    mega._mega_big = True  # force big-model routing at a testable size
+
+    toks = np.array([3, 77, 200, 9], np.int32)
+    st_r = ref.init_state(4)
+    st_m = mega.init_state(4)
+    for _ in range(3):
+        lr, st_r = ref.decode(toks, st_r)
+        lm, st_m = mega.decode(toks, st_m)
+        lr_, lm_ = np.asarray(lr), np.asarray(lm)
+        scale = max(np.abs(lr_).max(), 1e-6)
+        assert np.abs(lm_ - lr_).max() / scale < 5e-2
+        assert (lm_.argmax(-1) == lr_.argmax(-1)).all()
+        toks = lr_.argmax(-1).astype(np.int32)
