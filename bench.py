@@ -110,8 +110,8 @@ def main():
                 return (state_t, logits), None
 
             state_t = {
-                "att_xx": state["att_xx"][0][..., None],
-                "ffn_xx": state["ffn_xx"][0][..., None],
+                "att_xx": state["att_xx"][0][:, None, :],  # [L, 1, C] rows
+                "ffn_xx": state["ffn_xx"][0][:, None, :],
                 "heads": jnp.swapaxes(state["heads"][0], -1, -2),
             }
             (state_t, logits), _ = jax.lax.scan(

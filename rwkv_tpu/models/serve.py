@@ -715,9 +715,11 @@ class ServingModel:
                 x0 = p_ln(
                     params["emb"][token[0]].astype(jnp.float32), *params["ln0"]
                 )
+                # token-shift state as [L, 1, C] ROWS (column windows
+                # are scatter DMAs — see rowify_mega_pack)
                 state_t = {
-                    "att_xx": state["att_xx"][0][..., None],
-                    "ffn_xx": state["ffn_xx"][0][..., None],
+                    "att_xx": state["att_xx"][0][:, None, :],
+                    "ffn_xx": state["ffn_xx"][0][:, None, :],
                     "heads": jnp.swapaxes(state["heads"][0], -1, -2),
                 }
                 if in_kernel_head:
@@ -734,8 +736,8 @@ class ServingModel:
                     xo = p_ln(y[:, 0], *params["ln_out"])
                     logits = G.mm(xo[None, :], params["head"])
                 new_state = {
-                    "att_xx": new_t["att_xx"][None, ..., 0],
-                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
+                    "att_xx": new_t["att_xx"][None, :, 0, :],
+                    "ffn_xx": new_t["ffn_xx"][None, :, 0, :],
                     "heads": jnp.swapaxes(new_t["heads"], -1, -2)[None],
                 }
                 return logits, new_state
@@ -771,8 +773,9 @@ class ServingModel:
                 x0 = p_ln(
                     params["emb"][token[0]].astype(jnp.float32), *params["ln0"]
                 )
+                # all five v4 state vectors as [L, 1, C] rows
                 state_t = {
-                    k: state[k][0][..., None]
+                    k: state[k][0][:, None, :]
                     for k in ("att_xx", "ffn_xx", "aa", "bb", "pp")
                 }
                 if in_kernel_head:
@@ -789,7 +792,7 @@ class ServingModel:
                     xo = p_ln(y[:, 0], *params["ln_out"])
                     logits = G.mm(xo[None, :], params["head"])
                 new_state = {
-                    k: new_t[k][None, ..., 0]
+                    k: new_t[k][None, :, 0, :]
                     for k in ("att_xx", "ffn_xx", "aa", "bb", "pp")
                 }
                 return logits, new_state
@@ -828,8 +831,8 @@ class ServingModel:
                     params["emb"][token[0]].astype(jnp.float32), *params["ln0"]
                 )
                 state_t = {
-                    "att_xx": state["att_xx"][0][..., None],
-                    "ffn_xx": state["ffn_xx"][0][..., None],
+                    "att_xx": state["att_xx"][0][:, None, :],  # rows
+                    "ffn_xx": state["ffn_xx"][0][:, None, :],
                     "heads": jnp.swapaxes(state["heads"][0], -1, -2),
                 }
                 if in_kernel_head:
@@ -846,8 +849,8 @@ class ServingModel:
                     xo = p_ln(y[:, 0], *params["ln_out"])
                     logits = G.mm(xo[None, :], params["head"])
                 new_state = {
-                    "att_xx": new_t["att_xx"][None, ..., 0],
-                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
+                    "att_xx": new_t["att_xx"][None, :, 0, :],
+                    "ffn_xx": new_t["ffn_xx"][None, :, 0, :],
                     "heads": jnp.swapaxes(new_t["heads"], -1, -2)[None],
                 }
                 return logits, new_state
@@ -886,8 +889,8 @@ class ServingModel:
                     params["emb"][token[0]].astype(jnp.float32), *params["ln0"]
                 )
                 state_t = {
-                    "att_xx": state["att_xx"][0][..., None],
-                    "ffn_xx": state["ffn_xx"][0][..., None],
+                    "att_xx": state["att_xx"][0][:, None, :],  # rows
+                    "ffn_xx": state["ffn_xx"][0][:, None, :],
                     "heads": jnp.swapaxes(state["heads"][0], -1, -2),
                 }
                 if in_kernel_head:
@@ -904,8 +907,8 @@ class ServingModel:
                     xo = p_ln(y[:, 0], *params["ln_out"])
                     logits = G.mm(xo[None, :], params["head"])
                 new_state = {
-                    "att_xx": new_t["att_xx"][None, ..., 0],
-                    "ffn_xx": new_t["ffn_xx"][None, ..., 0],
+                    "att_xx": new_t["att_xx"][None, :, 0, :],
+                    "ffn_xx": new_t["ffn_xx"][None, :, 0, :],
                     "heads": jnp.swapaxes(new_t["heads"], -1, -2)[None],
                 }
                 return logits, new_state

@@ -323,7 +323,7 @@ def _emit_head_phases(i, n_layer, head_nt, v_t, quant, rows, ln, qx,
 
 
 def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
-                 head_nt=0, v_t=0, rows=False):
+                 head_nt=0, v_t=0, rows=False, srows=False):
     def mm(w, x):
         """W [N, K] @ x [K, 1] -> [N, 1] f32. quant: W int8 with row scales
         folded by the caller; else bf16 weights."""
@@ -428,8 +428,15 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
 
             # ---- attention ------------------------------------------------
             xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
-            sx = att_in[0] - xl
-            att_out[0] = xl
+            # srows: token-shift state streams as [1, C] rows too (a
+            # [C, 1] column block is a per-element scatter DMA; the
+            # col<->row transposes are exact natively — probe pA and
+            # the col->row store probe)
+            sx = (att_in[0].T if srows else att_in[0]) - xl
+            if srows:
+                att_out[0] = xl.T
+            else:
+                att_out[0] = xl
 
             cf = vec(coeff).reshape(6, c, 1)
             # order in att.x_rwkvag: r, w, k, v, a, g (converter concat order)
@@ -518,8 +525,11 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
 
             # ---- FFN ------------------------------------------------------
             xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
-            sx2 = ffn_in[0] - xl2
-            ffn_out[0] = xl2
+            sx2 = (ffn_in[0].T if srows else ffn_in[0]) - xl2
+            if srows:
+                ffn_out[0] = xl2.T
+            else:
+                ffn_out[0] = xl2
             xk2 = xl2 + sx2 * vec(xkw)
             fk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
             fk = jnp.square(jnp.maximum(fk, 0.0))
@@ -583,9 +593,10 @@ def v7_decode_megakernel(
         )
         head_nt, v_t = plan
 
+    srows = state_t["att_xx"].shape[1] == 1  # [L, 1, C] row state
     kernel = _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant,
                           debug=debug, head_nt=head_nt, v_t=v_t,
-                          rows=rows)
+                          rows=rows, srows=srows)
 
     def blocked(shape):
         if has_head:
@@ -642,6 +653,7 @@ def v7_decode_megakernel(
         head_specs += [whole(pack["ln_out.weight"].shape),
                        whole(pack["ln_out.bias"].shape)]
 
+    sshape = (1, c) if srows else (c, 1)
     args = (
         [x0.astype(jnp.float32),
          state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
@@ -650,7 +662,8 @@ def v7_decode_megakernel(
         + head_args
     )
     in_specs = (
-        [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
+        [whole((c, 1)), blocked(sshape), blocked(sshape),
+         blocked((h, s, s))]
         + mat_specs + vec_specs
         + [blocked(pack["coeff"].shape[1:]), blocked(pack["r_k"].shape[1:])]
         + head_specs
@@ -658,12 +671,13 @@ def v7_decode_megakernel(
 
     out_shapes = (
         jax.ShapeDtypeStruct((c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer,) + sshape, jnp.float32),
+        jax.ShapeDtypeStruct((n_layer,) + sshape, jnp.float32),
         jax.ShapeDtypeStruct((n_layer, h, s, s), jnp.float32),
     )
     out_specs = (
-        whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s)),
+        whole((c, 1)), blocked(sshape), blocked(sshape),
+        blocked((h, s, s)),
     )
     if debug:
         out_shapes = out_shapes + (
@@ -2301,7 +2315,8 @@ def rowify_mega_pack_v4(pack: dict) -> dict:
 
 
 def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
-                    debug=False, rows=False, head_nt=0, v_t=0):
+                    debug=False, rows=False, head_nt=0, v_t=0,
+                    srows=False):
     assert not (debug and head_nt), "debug and head phases are exclusive"
     def mm(w, x):
         return jax.lax.dot_general(
@@ -2398,8 +2413,15 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
 
             # ---- attention ------------------------------------------------
             xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
-            sx = att_in[0] - xl
-            att_out[0] = xl
+            # srows: token-shift state streams as [1, C] rows too (a
+            # [C, 1] column block is a per-element scatter DMA; the
+            # col<->row transposes are exact natively — probe pA and
+            # the col->row store probe)
+            sx = (att_in[0].T if srows else att_in[0]) - xl
+            if srows:
+                att_out[0] = xl.T
+            else:
+                att_out[0] = xl
 
             xxx = xl + sx * vec(maax)
             mixdn = jnp.tanh(
@@ -2481,8 +2503,11 @@ def _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
 
             # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
             xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
-            sx2 = ffn_in[0] - xl2
-            ffn_out[0] = xl2
+            sx2 = (ffn_in[0].T if srows else ffn_in[0]) - xl2
+            if srows:
+                ffn_out[0] = xl2.T
+            else:
+                ffn_out[0] = xl2
             xk2 = xl2 + sx2 * vec(fxk)
             xr2 = xl2 + sx2 * vec(fxr)
             rg = jax.nn.sigmoid(matv(fr_w, fr_d if quant else None, 0, c, xr2))
@@ -2531,9 +2556,10 @@ def v6_decode_megakernel(
             "in-kernel head needs nt <= n_layer — check head_tile_plan()"
         )
         head_nt, v_t = plan
+    srows = state_t["att_xx"].shape[1] == 1  # [L, 1, C] row state
     kernel = _make_kernel_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
                              debug=debug, rows=rows, head_nt=head_nt,
-                             v_t=v_t)
+                             v_t=v_t, srows=srows)
 
     def blocked(shape):
         if has_head:
@@ -2595,8 +2621,10 @@ def v6_decode_megakernel(
         + [pack["maa5"], pack["tdecay"], pack["tf"]]
         + head_args
     )
+    sshape = (1, c) if srows else (c, 1)
     in_specs = (
-        [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
+        [whole((c, 1)), blocked(sshape), blocked(sshape),
+         blocked((h, s, s))]
         + mat_specs + vec_specs
         + [blocked(pack["maa5"].shape[1:]),
            blocked(pack["tdecay"].shape[1:]),
@@ -2606,12 +2634,13 @@ def v6_decode_megakernel(
 
     out_shapes = (
         jax.ShapeDtypeStruct((c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer,) + sshape, jnp.float32),
+        jax.ShapeDtypeStruct((n_layer,) + sshape, jnp.float32),
         jax.ShapeDtypeStruct((n_layer, h, s, s), jnp.float32),
     )
     out_specs = (
-        whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s)),
+        whole((c, 1)), blocked(sshape), blocked(sshape),
+        blocked((h, s, s)),
     )
     if debug:
         out_shapes = out_shapes + (
@@ -3300,7 +3329,7 @@ def build_mega_pack_v5(params: dict, cfg, quant: bool = True,
 
 
 def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
-                    rows=False, head_nt=0, v_t=0):
+                    rows=False, head_nt=0, v_t=0, srows=False):
     n_mix = 4 if has_gate else 3
 
     def mm(w, x):
@@ -3391,8 +3420,11 @@ def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
 
             # ---- attention ------------------------------------------------
             xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
-            prev = att_in[0]
-            att_out[0] = xl
+            prev = att_in[0].T if srows else att_in[0]
+            if srows:
+                att_out[0] = xl.T
+            else:
+                att_out[0] = xl
 
             cf = vec(amix).reshape(n_mix, c, 1)  # order k, v, r(, g)
             def mix(ci):
@@ -3440,8 +3472,11 @@ def _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
 
             # ---- FFN (v4/v5: relu^2 key + sigmoid receptance gate) --------
             xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
-            prev2 = ffn_in[0]
-            ffn_out[0] = xl2
+            prev2 = ffn_in[0].T if srows else ffn_in[0]
+            if srows:
+                ffn_out[0] = xl2.T
+            else:
+                ffn_out[0] = xl2
             fcf = vec(fmix).reshape(2, c, 1)
             xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
             xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
@@ -3489,8 +3524,10 @@ def v5_decode_megakernel(
             "in-kernel head needs nt <= n_layer — check head_tile_plan()"
         )
         head_nt, v_t = plan
+    srows = state_t["att_xx"].shape[1] == 1  # [L, 1, C] row state
     kernel = _make_kernel_v5(c, h, s, f_dim, n_layer, quant, has_gate,
-                             rows=rows, head_nt=head_nt, v_t=v_t)
+                             rows=rows, head_nt=head_nt, v_t=v_t,
+                             srows=srows)
 
     def blocked(shape):
         if has_head:
@@ -3550,8 +3587,10 @@ def v5_decode_megakernel(
         + [pack["amix"], pack["fmix"], pack["td"], pack["tf"]]
         + head_args
     )
+    sshape = (1, c) if srows else (c, 1)
     in_specs = (
-        [whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s))]
+        [whole((c, 1)), blocked(sshape), blocked(sshape),
+         blocked((h, s, s))]
         + mat_specs + vec_specs
         + [blocked(pack["amix"].shape[1:]), blocked(pack["fmix"].shape[1:]),
            blocked(pack["td"].shape[1:]), blocked(pack["tf"].shape[1:])]
@@ -3560,12 +3599,13 @@ def v5_decode_megakernel(
 
     out_shapes = (
         jax.ShapeDtypeStruct((c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer,) + sshape, jnp.float32),
+        jax.ShapeDtypeStruct((n_layer,) + sshape, jnp.float32),
         jax.ShapeDtypeStruct((n_layer, h, s, s), jnp.float32),
     )
     out_specs = (
-        whole((c, 1)), blocked((c, 1)), blocked((c, 1)), blocked((h, s, s)),
+        whole((c, 1)), blocked(sshape), blocked(sshape),
+        blocked((h, s, s)),
     )
     if has_head:
         out_shapes = out_shapes + (
@@ -3676,7 +3716,7 @@ def build_mega_pack_v4(params: dict, cfg, quant: bool = True,
 
 
 def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False,
-                    head_nt=0, v_t=0):
+                    head_nt=0, v_t=0, srows=False):
     def mm(w, x):
         return jax.lax.dot_general(
             w, x,
@@ -3766,8 +3806,11 @@ def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False,
 
             # ---- attention ------------------------------------------------
             xl = ln(x, vec(ln1w), vec(ln1b), 1e-5)
-            prev = att_in[0]
-            att_out[0] = xl
+            prev = att_in[0].T if srows else att_in[0]
+            if srows:
+                att_out[0] = xl.T
+            else:
+                att_out[0] = xl
 
             cf = vec(amix).reshape(3, c, 1)  # order k, v, r
             xk = xl * cf[0] + (prev - prev * cf[0])
@@ -3780,7 +3823,10 @@ def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False,
             v = matv(rkv, rd, 2 * c, 3 * c, xv)
 
             # ---- wkv4 step (max-trick, rwkv_graph.inc:119-161) ------------
-            aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
+            if srows:
+                aa, bb, pp = aa_in[0].T, bb_in[0].T, pp_in[0].T
+            else:
+                aa, bb, pp = aa_in[0], bb_in[0], pp_in[0]
             ww = vec(tf) + k
             qq = jnp.maximum(pp, ww)
             e1 = jnp.exp(pp - qq)
@@ -3790,16 +3836,24 @@ def _make_kernel_v4(c, f_dim, n_layer, quant, rows=False,
             qq2 = jnp.maximum(ww2, k)
             e1b = jnp.exp(ww2 - qq2)
             e2b = jnp.exp(k - qq2)
-            aa_out[0] = e1b * aa + e2b * v
-            bb_out[0] = e1b * bb + e2b
-            pp_out[0] = qq2
+            if srows:
+                aa_out[0] = (e1b * aa + e2b * v).T
+                bb_out[0] = (e1b * bb + e2b).T
+                pp_out[0] = qq2.T
+            else:
+                aa_out[0] = e1b * aa + e2b * v
+                bb_out[0] = e1b * bb + e2b
+                pp_out[0] = qq2
 
             x = x + matv(out_w, out_d if quant else None, 0, c, r * wkv)
 
             # ---- FFN (relu^2 key + sigmoid receptance gate) ---------------
             xl2 = ln(x, vec(ln2w), vec(ln2b), 1e-5)
-            prev2 = ffn_in[0]
-            ffn_out[0] = xl2
+            prev2 = ffn_in[0].T if srows else ffn_in[0]
+            if srows:
+                ffn_out[0] = xl2.T
+            else:
+                ffn_out[0] = xl2
             fcf = vec(fmix).reshape(2, c, 1)
             xk2 = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
             xr2 = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
@@ -3837,6 +3891,7 @@ def v4_decode_megakernel(
     quant = pack["quant"]
 
     rows = pack["ln1.weight"].shape[1] == 1  # rowify_mega_pack_v4
+    srows = state_t["att_xx"].shape[1] == 1  # [L, 1, C] row state
     head_key = "head8" if quant else "headbf16"
     has_head = head_key in pack
     head_nt = v_t = 0
@@ -3847,7 +3902,7 @@ def v4_decode_megakernel(
         )
         head_nt, v_t = plan
     kernel = _make_kernel_v4(c, f_dim, n_layer, quant, rows=rows,
-                             head_nt=head_nt, v_t=v_t)
+                             head_nt=head_nt, v_t=v_t, srows=srows)
 
     def blocked(shape):
         if has_head:
@@ -3909,8 +3964,9 @@ def v4_decode_megakernel(
         + [pack["amix"], pack["fmix"], pack["tf"], pack["td"]]
         + head_args
     )
+    sshape = (1, c) if srows else (c, 1)
     in_specs = (
-        [whole((c, 1))] + [blocked((c, 1))] * 5
+        [whole((c, 1))] + [blocked(sshape)] * 5
         + mat_specs + vec_specs
         + [blocked(pack["amix"].shape[1:]), blocked(pack["fmix"].shape[1:]),
            blocked(pack["tf"].shape[1:]), blocked(pack["td"].shape[1:])]
@@ -3920,9 +3976,10 @@ def v4_decode_megakernel(
     out_shapes = (
         jax.ShapeDtypeStruct((c, 1), jnp.float32),
     ) + tuple(
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32) for _ in range(5)
+        jax.ShapeDtypeStruct((n_layer,) + sshape, jnp.float32)
+        for _ in range(5)
     )
-    out_specs = (whole((c, 1)),) + tuple(blocked((c, 1)) for _ in range(5))
+    out_specs = (whole((c, 1)),) + tuple(blocked(sshape) for _ in range(5))
     if has_head:
         out_shapes = out_shapes + (
             jax.ShapeDtypeStruct((8, head_nt * v_t), jnp.float32),
