@@ -98,9 +98,12 @@ static inline float f16_to_f32(uint16_t h) {
 enum {
     DT_F32 = 0, DT_F16 = 1, DT_Q4_0 = 2, DT_Q4_1 = 3,
     DT_Q5_0 = 7, DT_Q5_1 = 8, DT_Q8_0 = 9,
+    DT_Q4_K = 13, DT_Q5_K = 14,
 };
 
 static const int QK = 32;
+static const int QK_K = 256;      // K-quant superblock elements
+static const int K_SCALE_SIZE = 12;
 
 static int64_t block_bytes(uint32_t dtype) {
     switch (dtype) {
@@ -111,8 +114,14 @@ static int64_t block_bytes(uint32_t dtype) {
         case DT_Q5_0: return 2 + 4 + 16;
         case DT_Q5_1: return 2 + 2 + 4 + 16;
         case DT_Q8_0: return 2 + 32;
+        case DT_Q4_K: return 2 + 2 + K_SCALE_SIZE + QK_K / 2;
+        case DT_Q5_K: return 2 + 2 + K_SCALE_SIZE + QK_K / 8 + QK_K / 2;
         default:      return -1;
     }
+}
+
+static int block_elems(uint32_t dtype) {
+    return (dtype == DT_Q4_K || dtype == DT_Q5_K) ? QK_K : QK;
 }
 
 extern "C" RWKV_NATIVE_API int64_t rwkv_quant_row_size(uint32_t dtype, int64_t n) {
@@ -120,8 +129,9 @@ extern "C" RWKV_NATIVE_API int64_t rwkv_quant_row_size(uint32_t dtype, int64_t n
     if (bb < 0) return -1;
     if (dtype == DT_F32) return n * 4;
     if (dtype == DT_F16) return n * 2;
-    if (n % QK) return -1;
-    return (n / QK) * bb;
+    int be = block_elems(dtype);
+    if (n % be) return -1;
+    return (n / be) * bb;
 }
 
 // Signed absmax, first occurrence winning on strict '>' (ggml semantics).
@@ -227,6 +237,224 @@ static void enc_q8_0(const float *x, uint8_t *dst) {
     }
 }
 
+// ---------------------------------------------------------------------------
+// K-quant superblock codecs (Q4_K / Q5_K), mirroring ggml's reference
+// quantizers (quantize_row_q4_K_ref / q5_K_ref + make_qkx2_quants) with
+// identical f32 arithmetic and accumulation order — byte-compatible with
+// io/quant.py's numpy codecs (gated by tests/test_native.py).
+// ---------------------------------------------------------------------------
+
+static inline int nearest_int(float v) {
+    // round-half-to-even via the 2^22*1.5 magic constant (ggml's trick)
+    float val = v + 12582912.0f;
+    int i;
+    std::memcpy(&i, &val, sizeof(int));
+    return (i & 0x007fffff) - 0x00400000;
+}
+
+static float make_qkx2_quants(int n, int nmax, const float *x,
+                              const float *weights, uint8_t *L,
+                              float *the_min, uint8_t *Laux, float rmin,
+                              float rdelta, int nstep) {
+    float mn = x[0], mx = x[0];
+    float sum_w = weights[0];
+    float sum_x = sum_w * x[0];
+    for (int i = 1; i < n; ++i) {
+        if (x[i] < mn) mn = x[i];
+        if (x[i] > mx) mx = x[i];
+        float w = weights[i];
+        sum_w += w;
+        sum_x += w * x[i];
+    }
+    if (mn > 0) mn = 0;
+    if (mx == mn) {
+        for (int i = 0; i < n; ++i) L[i] = 0;
+        *the_min = -mn;
+        return 0.f;
+    }
+    float iscale = nmax / (mx - mn);
+    float scale = 1 / iscale;
+    float best_mad = 0;
+    for (int i = 0; i < n; ++i) {
+        int l = nearest_int(iscale * (x[i] - mn));
+        L[i] = (uint8_t)std::max(0, std::min(nmax, l));
+        float diff = scale * L[i] + mn - x[i];
+        best_mad += weights[i] * diff * diff;
+    }
+    for (int is = 0; is <= nstep; ++is) {
+        iscale = (rmin + rdelta * is + nmax) / (mx - mn);
+        float sum_l = 0, sum_l2 = 0, sum_xl = 0;
+        for (int i = 0; i < n; ++i) {
+            int l = nearest_int(iscale * (x[i] - mn));
+            l = std::max(0, std::min(nmax, l));
+            Laux[i] = (uint8_t)l;
+            float w = weights[i];
+            sum_l += w * l;
+            sum_l2 += w * l * l;
+            sum_xl += w * l * x[i];
+        }
+        float D = sum_w * sum_l2 - sum_l * sum_l;
+        if (D > 0) {
+            float this_scale = (sum_w * sum_xl - sum_x * sum_l) / D;
+            float this_min = (sum_l2 * sum_x - sum_l * sum_xl) / D;
+            if (this_min > 0) {
+                this_min = 0;
+                this_scale = sum_xl / sum_l2;
+            }
+            float mad = 0;
+            for (int i = 0; i < n; ++i) {
+                float diff = this_scale * Laux[i] + this_min - x[i];
+                mad += weights[i] * diff * diff;
+            }
+            if (mad < best_mad) {
+                for (int i = 0; i < n; ++i) L[i] = Laux[i];
+                best_mad = mad;
+                scale = this_scale;
+                mn = this_min;
+            }
+        }
+    }
+    *the_min = -mn;
+    return scale;
+}
+
+static void get_scale_min_k4(int j, const uint8_t *q, uint8_t *d, uint8_t *m) {
+    if (j < 4) {
+        *d = q[j] & 63;
+        *m = q[j + 4] & 63;
+    } else {
+        *d = (q[j + 4] & 0xF) | ((q[j - 4] >> 6) << 4);
+        *m = (q[j + 4] >> 4) | ((q[j] >> 6) << 4);
+    }
+}
+
+// Shared Q4_K/Q5_K superblock scale fit: fills L[QK_K] codes, the packed
+// 6-bit scales, and the fp16 super-scales at dst[0:4]+dst[4:16].
+static void enc_k_common(const float *x, uint8_t *dst, int nmax, float rmin,
+                         float rdelta, int nstep, uint8_t *L) {
+    float scales[8], mins[8], weights[32];
+    uint8_t Laux[32];
+    float max_scale = 0, max_min = 0;
+    for (int j = 0; j < 8; ++j) {
+        float sum_x2 = 0;
+        for (int l = 0; l < 32; ++l) sum_x2 += x[32 * j + l] * x[32 * j + l];
+        float av_x = std::sqrt(sum_x2 / 32);
+        for (int l = 0; l < 32; ++l) weights[l] = av_x + std::fabs(x[32 * j + l]);
+        scales[j] = make_qkx2_quants(32, nmax, x + 32 * j, weights, L + 32 * j,
+                                     &mins[j], Laux, rmin, rdelta, nstep);
+        if (scales[j] > max_scale) max_scale = scales[j];
+        if (mins[j] > max_min) max_min = mins[j];
+    }
+    float inv_scale = max_scale > 0 ? 63.f / max_scale : 0.f;
+    float inv_min = max_min > 0 ? 63.f / max_min : 0.f;
+    uint8_t *sc = dst + 4;
+    std::memset(sc, 0, K_SCALE_SIZE);
+    for (int j = 0; j < 8; ++j) {
+        uint8_t ls = (uint8_t)std::min(63, nearest_int(inv_scale * scales[j]));
+        uint8_t lm = (uint8_t)std::min(63, nearest_int(inv_min * mins[j]));
+        if (j < 4) {
+            sc[j] = ls;
+            sc[j + 4] = lm;
+        } else {
+            sc[j + 4] = (uint8_t)((ls & 0xF) | ((lm & 0xF) << 4));
+            sc[j - 4] |= (uint8_t)((ls >> 4) << 6);
+            sc[j] |= (uint8_t)((lm >> 4) << 6);
+        }
+    }
+    uint16_t d16 = f32_to_f16(max_scale / 63.f);
+    uint16_t dmin16 = f32_to_f16(max_min / 63.f);
+    std::memcpy(dst, &d16, 2);
+    std::memcpy(dst + 2, &dmin16, 2);
+    // recompute codes against the fp16-rounded super-scales
+    float df = f16_to_f32(d16), dmf = f16_to_f32(dmin16);
+    for (int j = 0; j < 8; ++j) {
+        uint8_t s8v, m8v;
+        get_scale_min_k4(j, sc, &s8v, &m8v);
+        float d = df * s8v;
+        if (!d) continue;
+        float dm = dmf * m8v;
+        for (int ii = 0; ii < 32; ++ii) {
+            int l = nearest_int((x[32 * j + ii] + dm) / d);
+            L[32 * j + ii] = (uint8_t)std::max(0, std::min(nmax, l));
+        }
+    }
+}
+
+static void enc_q4_k(const float *x, uint8_t *dst) {
+    uint8_t L[QK_K];
+    enc_k_common(x, dst, 15, -1.f, 0.1f, 20, L);
+    uint8_t *q = dst + 16;
+    for (int j = 0; j < QK_K; j += 64) {
+        for (int l = 0; l < 32; ++l)
+            q[l] = (uint8_t)(L[j + l] | (L[j + l + 32] << 4));
+        q += 32;
+    }
+}
+
+static void enc_q5_k(const float *x, uint8_t *dst) {
+    uint8_t L[QK_K];
+    enc_k_common(x, dst, 31, -0.5f, 0.1f, 15, L);
+    uint8_t *qh = dst + 16;
+    uint8_t *ql = dst + 48;
+    std::memset(qh, 0, QK_K / 8);
+    uint8_t m1 = 1, m2 = 2;
+    for (int n = 0; n < QK_K; n += 64) {
+        for (int j = 0; j < 32; ++j) {
+            int l1 = L[n + j];
+            if (l1 > 15) { l1 -= 16; qh[j] |= m1; }
+            int l2 = L[n + j + 32];
+            if (l2 > 15) { l2 -= 16; qh[j] |= m2; }
+            ql[j] = (uint8_t)(l1 | (l2 << 4));
+        }
+        ql += 32;
+        m1 <<= 2;
+        m2 <<= 2;
+    }
+}
+
+static void dec_k_block(uint32_t dtype, const uint8_t *src, float *out) {
+    uint16_t dh, mh;
+    std::memcpy(&dh, src, 2);
+    std::memcpy(&mh, src + 2, 2);
+    const float d = f16_to_f32(dh), dmin = f16_to_f32(mh);
+    const uint8_t *sc = src + 4;
+    if (dtype == DT_Q4_K) {
+        const uint8_t *q = src + 16;
+        int is = 0;
+        for (int j = 0; j < QK_K; j += 64) {
+            uint8_t s1, m1v, s2, m2v;
+            get_scale_min_k4(is + 0, sc, &s1, &m1v);
+            get_scale_min_k4(is + 1, sc, &s2, &m2v);
+            const float d1 = d * s1, mm1 = dmin * m1v;
+            const float d2 = d * s2, mm2 = dmin * m2v;
+            for (int l = 0; l < 32; ++l) *out++ = d1 * (q[l] & 0xF) - mm1;
+            for (int l = 0; l < 32; ++l) *out++ = d2 * (q[l] >> 4) - mm2;
+            q += 32;
+            is += 2;
+        }
+    } else {
+        const uint8_t *qh = src + 16;
+        const uint8_t *ql = src + 48;
+        int is = 0;
+        uint8_t u1 = 1, u2 = 2;
+        for (int j = 0; j < QK_K; j += 64) {
+            uint8_t s1, m1v, s2, m2v;
+            get_scale_min_k4(is + 0, sc, &s1, &m1v);
+            get_scale_min_k4(is + 1, sc, &s2, &m2v);
+            const float d1 = d * s1, mm1 = dmin * m1v;
+            const float d2 = d * s2, mm2 = dmin * m2v;
+            for (int l = 0; l < 32; ++l)
+                *out++ = d1 * ((ql[l] & 0xF) + ((qh[l] & u1) ? 16 : 0)) - mm1;
+            for (int l = 0; l < 32; ++l)
+                *out++ = d2 * ((ql[l] >> 4) + ((qh[l] & u2) ? 16 : 0)) - mm2;
+            ql += 32;
+            is += 2;
+            u1 <<= 2;
+            u2 <<= 2;
+        }
+    }
+}
+
 static void dec_block(uint32_t dtype, const uint8_t *src, float *out) {
     switch (dtype) {
         case DT_Q4_0: {
@@ -280,6 +508,10 @@ static void dec_block(uint32_t dtype, const uint8_t *src, float *out) {
             for (int i = 0; i < QK; i++) out[i] = q[i] * d;
             break;
         }
+        case DT_Q4_K:
+        case DT_Q5_K:
+            dec_k_block(dtype, src, out);
+            break;
         default: break;
     }
 }
@@ -293,6 +525,8 @@ static enc_fn encoder_for(uint32_t dtype) {
         case DT_Q5_0: return enc_q5_0;
         case DT_Q5_1: return enc_q5_1;
         case DT_Q8_0: return enc_q8_0;
+        case DT_Q4_K: return enc_q4_k;
+        case DT_Q5_K: return enc_q5_k;
         default:      return nullptr;
     }
 }
@@ -317,10 +551,11 @@ extern "C" RWKV_NATIVE_API int rwkv_quantize_block_data(
     uint32_t dtype, const float *src, uint8_t *dst, int64_t n, int n_threads) {
     enc_fn enc = encoder_for(dtype);
     if (!enc) return set_error("unsupported quant dtype");
-    if (n % QK) return set_error("element count not a multiple of 32");
+    const int be = block_elems(dtype);
+    if (n % be) return set_error("element count not a multiple of the block size");
     const int64_t bb = block_bytes(dtype);
-    parallel_blocks(n / QK, n_threads, [&](int64_t lo, int64_t hi) {
-        for (int64_t b = lo; b < hi; b++) enc(src + b * QK, dst + b * bb);
+    parallel_blocks(n / be, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t b = lo; b < hi; b++) enc(src + b * be, dst + b * bb);
     });
     return 0;
 }
@@ -328,10 +563,11 @@ extern "C" RWKV_NATIVE_API int rwkv_quantize_block_data(
 extern "C" RWKV_NATIVE_API int rwkv_dequantize_block_data(
     uint32_t dtype, const uint8_t *src, float *dst, int64_t n, int n_threads) {
     if (!encoder_for(dtype)) return set_error("unsupported quant dtype");
-    if (n % QK) return set_error("element count not a multiple of 32");
+    const int be = block_elems(dtype);
+    if (n % be) return set_error("element count not a multiple of the block size");
     const int64_t bb = block_bytes(dtype);
-    parallel_blocks(n / QK, n_threads, [&](int64_t lo, int64_t hi) {
-        for (int64_t b = lo; b < hi; b++) dec_block(dtype, src + b * bb, dst + b * QK);
+    parallel_blocks(n / be, n_threads, [&](int64_t lo, int64_t hi) {
+        for (int64_t b = lo; b < hi; b++) dec_block(dtype, src + b * bb, dst + b * be);
     });
     return 0;
 }
@@ -471,9 +707,18 @@ extern "C" RWKV_NATIVE_API int rwkv_quantize_model_file(
         const uint8_t *out_data = raw.data();
         uint64_t out_size = info.nbytes;
 
+        // K-quant superblocks need rows divisible by 256; incompatible
+        // tensors take the llama.cpp-convention per-tensor fallback
+        // (Q4_K -> Q5_0, Q5_K -> Q5_1), matching io/quantize.py.
+        uint32_t t_dtype = target;
+        int64_t row = info.n_dims ? info.shape[info.n_dims - 1] : 0;
+        if (target == DT_Q4_K && (row % QK_K)) t_dtype = DT_Q5_0;
+        if (target == DT_Q5_K && (row % QK_K)) t_dtype = DT_Q5_1;
+
         bool quantize = info.n_dims == 2 &&
                         (info.dtype == DT_F32 || info.dtype == DT_F16) &&
-                        tensor_needs_quant(info.name) && (n % QK) == 0;
+                        tensor_needs_quant(info.name) &&
+                        (n % block_elems(t_dtype)) == 0;
         if (quantize) {
             const float *src;
             if (info.dtype == DT_F16) {
@@ -484,11 +729,11 @@ extern "C" RWKV_NATIVE_API int rwkv_quantize_model_file(
             } else {
                 src = (const float *)raw.data();
             }
-            out_size = (uint64_t)rwkv_quant_row_size(target, n);
+            out_size = (uint64_t)rwkv_quant_row_size(t_dtype, n);
             packed.resize(out_size);
-            if (rwkv_quantize_block_data(target, src, packed.data(), n, n_threads))
+            if (rwkv_quantize_block_data(t_dtype, src, packed.data(), n, n_threads))
                 return -1;
-            out_dtype = target;
+            out_dtype = t_dtype;
             out_data = packed.data();
         }
 

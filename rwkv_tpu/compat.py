@@ -27,10 +27,10 @@ from rwkv_tpu.models.model import RWKVModel as _CoreModel
 
 # The quantized format names the reference binding layer advertises
 # (/root/reference/python/rwkv_cpp/rwkv_cpp_shared_library.py:8-16).
-# Q4_K/Q5_K are listed for surface parity; the 256-element K-superblock
-# codecs are not implemented here, and requesting them raises the same
-# graceful "unsupported data type" error path the reference takes for
-# types its table maps to GGML_TYPE_UNKNOWN (rwkv_file_format.inc:5-24).
+# All seven are fully supported, including the 256-element K-superblock
+# formats Q4_K/Q5_K (io/quant.py codecs bit-matching ggml's reference
+# quantizers; loader decomposes superblocks into per-32 affine
+# sub-blocks, parity matmul consumes q8_K activations).
 QUANTIZED_FORMAT_NAMES: Tuple[str, str, str, str, str, str, str] = (
     "Q4_0",
     "Q4_1",

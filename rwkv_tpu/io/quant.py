@@ -53,10 +53,15 @@ class GgmlDType(enum.IntEnum):
     Q8_K = 16
 
 
+QK_K = 256  # K-quant superblock size (elements)
+K_SCALE_SIZE = 12  # bytes of packed 6-bit scales/mins per superblock
+
+
 @dataclass(frozen=True)
 class _BlockSpec:
-    block_bytes: int  # bytes per 32-element block
+    block_bytes: int  # bytes per `block_elems`-element block
     quantized: bool
+    block_elems: int = QK
 
 
 _SPECS = {
@@ -68,18 +73,27 @@ _SPECS = {
     GgmlDType.Q5_1: _BlockSpec(2 + 2 + 4 + 16, True),
     GgmlDType.Q8_0: _BlockSpec(2 + 32, True),
     GgmlDType.Q8_1: _BlockSpec(2 + 2 + 32, True),
+    # K-quant superblocks: 256 elements; fp16 d/dmin + 12B of 6-bit
+    # sub-block scales/mins (+ 32B high bits for Q5_K) + packed nibbles.
+    GgmlDType.Q4_K: _BlockSpec(2 + 2 + K_SCALE_SIZE + QK_K // 2, True, QK_K),
+    GgmlDType.Q5_K: _BlockSpec(
+        2 + 2 + K_SCALE_SIZE + QK_K // 8 + QK_K // 2, True, QK_K
+    ),
 }
 
-QUANT_FORMATS = ("Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0")
+QUANT_FORMATS = ("Q4_0", "Q4_1", "Q5_0", "Q5_1", "Q8_0", "Q4_K", "Q5_K")
 
-# Names that resolve to a dtype id but have no codec here — the K-quant
-# superblock family. The reference's binding layer advertises Q4_K/Q5_K
-# (rwkv_cpp_shared_library.py:8-16); requesting one must fail with a
-# clear "unsupported" error, mirroring the reference's GGML_TYPE_UNKNOWN
-# mapping path (rwkv_file_format.inc:5-24) rather than a KeyError.
+# 256-element superblock formats: rows must be a multiple of QK_K (the
+# same ggml_quantize_chunk contract the reference inherits — its
+# quantizer passes n_per_row = size0, rwkv_quantize.inc:149).
+K_QUANT_FORMATS = ("Q4_K", "Q5_K")
+
+# Names that resolve to a dtype id but have no codec here. Requesting one
+# must fail with a clear "unsupported" error, mirroring the reference's
+# GGML_TYPE_UNKNOWN mapping path (rwkv_file_format.inc:5-24) rather than
+# a KeyError.
 UNSUPPORTED_FORMATS = (
-    "Q4_1_O", "Q4_2", "Q4_3", "Q2_K", "Q3_K", "Q4_K", "Q5_K", "Q6_K",
-    "Q8_K",
+    "Q4_1_O", "Q4_2", "Q4_3", "Q2_K", "Q3_K", "Q6_K", "Q8_K",
 )
 
 _NAME_TO_DTYPE = {
@@ -92,6 +106,8 @@ _NAME_TO_DTYPE = {
     "Q5_0": GgmlDType.Q5_0,
     "Q5_1": GgmlDType.Q5_1,
     "Q8_0": GgmlDType.Q8_0,
+    "Q4_K": GgmlDType.Q4_K,
+    "Q5_K": GgmlDType.Q5_K,
 }
 _NAME_TO_DTYPE.update({name: GgmlDType[name] for name in UNSUPPORTED_FORMATS})
 
@@ -119,10 +135,11 @@ def tensor_nbytes(dtype: GgmlDType, *sizes: int) -> int:
     for s in sizes:
         n *= int(s)
     spec = _SPECS[GgmlDType(dtype)]
+    be = spec.block_elems
     if spec.quantized:
-        assert n % QK == 0, f"quantized tensor size {n} not a multiple of {QK}"
-        return (n // QK) * spec.block_bytes
-    return n * spec.block_bytes // QK
+        assert n % be == 0, f"quantized tensor size {n} not a multiple of {be}"
+        return (n // be) * spec.block_bytes
+    return n * spec.block_bytes // be
 
 
 def _f16(x: np.ndarray) -> np.ndarray:
@@ -256,6 +273,285 @@ def _encode_q8_0(x: np.ndarray) -> np.ndarray:
     return out.reshape(-1)
 
 
+# ---------------------------------------------------------------------------
+# K-quant superblock codecs (Q4_K / Q5_K)
+#
+# ggml's 256-element superblock family: fp16 super-scales d/dmin plus 8
+# sub-blocks of 32 elements, each with a 6-bit scale and 6-bit min packed
+# into 12 bytes, codes stored as nibbles (+ a 32-byte high-bit plane for
+# Q5_K). Value of element e in sub-block j:  fp16(d)*sc[j]*q - fp16(dmin)*m[j]
+# — i.e. every sub-block is affine in its integer code, which is what lets
+# the loader decompose a superblock into the same per-32 (q, d, m) form the
+# other formats use (ops/parity.py::Weight).
+#
+# The encoders reproduce ggml's reference quantizers
+# (quantize_row_q4_K_ref / quantize_row_q5_K_ref and their weighted
+# least-squares sub-block fit, make_qkx2_quants) with the same f32
+# arithmetic and serial accumulation order, so the emitted bytes match
+# ggml's for the same input. The reference repo maps Q4_K/Q5_K to real
+# ggml types (rwkv_file_format.inc:41-42) and advertises them in its
+# binding layer (rwkv_cpp_shared_library.py:11,14); the codecs live in the
+# un-vendored ggml submodule.
+# ---------------------------------------------------------------------------
+
+
+def _nearest_int(x: np.ndarray) -> np.ndarray:
+    """ggml's nearest_int: round-half-to-even (the 12582912.0f magic-number
+    trick is RNE for |x| < 2^22). NaN/inf inputs (degenerate all-equal
+    blocks divide by zero upstream, as in C) cast to arbitrary ints that
+    the callers' clip+where paths discard."""
+    with np.errstate(invalid="ignore"):
+        return np.rint(x).astype(np.int32)
+
+
+def _make_qkx2_quants(xb: np.ndarray, nmax: int, rmin: float, rdelta: float,
+                      nstep: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized ggml make_qkx2_quants over [B, 32] sub-blocks.
+
+    Weighted least-squares fit of x ~= scale*L + min with L in [0, nmax],
+    weights = av_x + |x| (av_x = rms of the sub-block), iterating nstep+1
+    candidate inverse scales and keeping the best squared-error fit.
+    Serial f32 accumulation order matches the C loops bit-for-bit.
+
+    Returns (L [B, 32] int32 codes, scale [B] f32, the_min [B] f32).
+    """
+    xb = np.ascontiguousarray(xb, dtype=np.float32)
+    B, n = xb.shape
+    assert n == 32
+    # weights[l] = av_x + |x[l]|, av_x = sqrt(sum(x^2)/32)
+    sum_x2 = np.zeros(B, np.float32)
+    for l in range(n):
+        sum_x2 += xb[:, l] * xb[:, l]
+    av_x = np.sqrt(sum_x2 / np.float32(32.0), dtype=np.float32)
+    w = av_x[:, None] + np.abs(xb)
+
+    mn = xb.min(axis=1)
+    mx = xb.max(axis=1)
+    sum_w = np.zeros(B, np.float32)
+    sum_x = np.zeros(B, np.float32)
+    for l in range(n):
+        sum_w += w[:, l]
+        sum_x += w[:, l] * xb[:, l]
+    mn = np.minimum(mn, np.float32(0.0))  # if (min > 0) min = 0
+    degenerate = mx == mn
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iscale = (np.float32(nmax) / (mx - mn)).astype(np.float32)
+        scale = (np.float32(1.0) / iscale).astype(np.float32)
+        L = np.clip(
+            _nearest_int(iscale[:, None] * (xb - mn[:, None])), 0, nmax
+        )
+    best_mad = np.zeros(B, np.float32)
+    for l in range(n):
+        diff = scale * L[:, l].astype(np.float32) + mn - xb[:, l]
+        best_mad += w[:, l] * (diff * diff)
+
+    cur_min = mn.copy()  # mutated on acceptance, feeds later iscales (as C)
+    for is_ in range(nstep + 1):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            iscale = (
+                (np.float32(rmin) + np.float32(rdelta) * np.float32(is_)
+                 + np.float32(nmax)) / (mx - cur_min)
+            ).astype(np.float32)
+        with np.errstate(invalid="ignore"):
+            Laux = np.clip(
+                _nearest_int(iscale[:, None] * (xb - cur_min[:, None])),
+                0, nmax,
+            )
+        sum_l = np.zeros(B, np.float32)
+        sum_l2 = np.zeros(B, np.float32)
+        sum_xl = np.zeros(B, np.float32)
+        for l in range(n):
+            la = Laux[:, l].astype(np.float32)
+            sum_l += w[:, l] * la
+            sum_l2 += w[:, l] * la * la
+            sum_xl += w[:, l] * la * xb[:, l]
+        D = sum_w * sum_l2 - sum_l * sum_l
+        with np.errstate(divide="ignore", invalid="ignore"):
+            this_scale = ((sum_w * sum_xl - sum_x * sum_l) / D).astype(np.float32)
+            this_min = ((sum_l2 * sum_x - sum_l * sum_xl) / D).astype(np.float32)
+            alt_scale = (sum_xl / sum_l2).astype(np.float32)
+        pos = this_min > 0.0
+        this_min = np.where(pos, np.float32(0.0), this_min)
+        this_scale = np.where(pos, alt_scale, this_scale)
+        mad = np.zeros(B, np.float32)
+        for l in range(n):
+            diff = this_scale * Laux[:, l].astype(np.float32) + this_min - xb[:, l]
+            mad += w[:, l] * (diff * diff)
+        accept = (D > 0.0) & (mad < best_mad)
+        L = np.where(accept[:, None], Laux, L)
+        best_mad = np.where(accept, mad, best_mad)
+        scale = np.where(accept, this_scale, scale)
+        cur_min = np.where(accept, this_min, cur_min)
+
+    L = np.where(degenerate[:, None], 0, L)
+    scale = np.where(degenerate, np.float32(0.0), scale)
+    return L, scale, (-cur_min).astype(np.float32)
+
+
+def _pack_k_scales(ls: np.ndarray, lm: np.ndarray) -> np.ndarray:
+    """Pack 8 six-bit (scale, min) pairs into 12 bytes per superblock
+    (ggml block layout; inverse of _unpack_k_scales). ls/lm: [B, 8] uint8."""
+    B = ls.shape[0]
+    sc = np.zeros((B, K_SCALE_SIZE), np.uint8)
+    for j in range(4):
+        sc[:, j] = ls[:, j]
+        sc[:, j + 4] = lm[:, j]
+    for j in range(4, 8):
+        sc[:, j + 4] = (ls[:, j] & 0xF) | ((lm[:, j] & 0xF) << 4)
+        sc[:, j - 4] |= (ls[:, j] >> 4) << 6
+        sc[:, j] |= (lm[:, j] >> 4) << 6
+    return sc
+
+
+def _unpack_k_scales(sc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """12 packed bytes -> (sc [B, 8], m [B, 8]) 6-bit values
+    (ggml's get_scale_min_k4)."""
+    sc = sc.astype(np.uint8)
+    s = np.zeros((sc.shape[0], 8), np.uint8)
+    m = np.zeros((sc.shape[0], 8), np.uint8)
+    for j in range(4):
+        s[:, j] = sc[:, j] & 63
+        m[:, j] = sc[:, j + 4] & 63
+    for j in range(4, 8):
+        s[:, j] = (sc[:, j + 4] & 0xF) | ((sc[:, j - 4] >> 6) << 4)
+        m[:, j] = (sc[:, j + 4] >> 4) | ((sc[:, j] >> 6) << 4)
+    return s, m
+
+
+def _encode_k_common(x: np.ndarray, nmax: int, rmin: float, rdelta: float,
+                     nstep: int):
+    """Shared Q4_K/Q5_K encode: sub-block LS fits, 6-bit scale/min
+    quantization against fp16 super-scales, final code recompute.
+    Returns (L [B, 8, 32] codes, d16 [B] f16, dmin16 [B] f16,
+    scales [B, 12] packed)."""
+    xf = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    assert xf.size % QK_K == 0, f"size {xf.size} not a multiple of {QK_K}"
+    xs = xf.reshape(-1, 8, 32)
+    B = xs.shape[0]
+    L, scales, mins = _make_qkx2_quants(
+        xs.reshape(-1, 32), nmax, rmin, rdelta, nstep
+    )
+    L = L.reshape(B, 8, 32)
+    scales = scales.reshape(B, 8)
+    mins = mins.reshape(B, 8)
+
+    # C: max_scale/max_min start at 0 and only grow — negative can't win.
+    max_scale = np.maximum(scales.max(axis=1), np.float32(0.0))
+    max_min = np.maximum(mins.max(axis=1), np.float32(0.0))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        inv_scale = np.where(
+            max_scale > 0, np.float32(63.0) / max_scale, np.float32(0.0)
+        ).astype(np.float32)
+        inv_min = np.where(
+            max_min > 0, np.float32(63.0) / max_min, np.float32(0.0)
+        ).astype(np.float32)
+    ls = np.minimum(63, _nearest_int(inv_scale[:, None] * scales)).astype(np.uint8)
+    lm = np.minimum(63, _nearest_int(inv_min[:, None] * mins)).astype(np.uint8)
+    packed_scales = _pack_k_scales(ls, lm)
+    d16 = _f16(max_scale / np.float32(63.0))
+    dmin16 = _f16(max_min / np.float32(63.0))
+
+    # Recompute codes against the fp16-rounded super-scales (C ref: skips
+    # sub-blocks whose effective scale d*sc is zero, keeping the LS codes).
+    sc_u, m_u = _unpack_k_scales(packed_scales)
+    d_eff = d16.astype(np.float32)[:, None] * sc_u.astype(np.float32)
+    dm = dmin16.astype(np.float32)[:, None] * m_u.astype(np.float32)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        l_new = _nearest_int((xs + dm[:, :, None]) / d_eff[:, :, None])
+    l_new = np.clip(l_new, 0, nmax)
+    L = np.where((d_eff != 0.0)[:, :, None], l_new, L)
+    return L, d16, dmin16, packed_scales
+
+
+def _encode_q4_k(x: np.ndarray) -> np.ndarray:
+    L, d16, dmin16, scales = _encode_k_common(x, 15, -1.0, 0.1, 20)
+    B = L.shape[0]
+    out = np.zeros((B, _SPECS[GgmlDType.Q4_K].block_bytes), np.uint8)
+    out[:, 0:2] = d16.view(np.uint8).reshape(B, 2)
+    out[:, 2:4] = dmin16.view(np.uint8).reshape(B, 2)
+    out[:, 4:16] = scales
+    # nibble layout: per 64-element group g, byte l = L[g, l] | L[g, l+32]<<4
+    Lg = L.reshape(B, 4, 64)
+    qs = (Lg[:, :, :32] | (Lg[:, :, 32:] << 4)).astype(np.uint8)
+    out[:, 16:] = qs.reshape(B, 128)
+    return out.reshape(-1)
+
+
+def _encode_q5_k(x: np.ndarray) -> np.ndarray:
+    L, d16, dmin16, scales = _encode_k_common(x, 31, -0.5, 0.1, 15)
+    B = L.shape[0]
+    out = np.zeros((B, _SPECS[GgmlDType.Q5_K].block_bytes), np.uint8)
+    out[:, 0:2] = d16.view(np.uint8).reshape(B, 2)
+    out[:, 2:4] = dmin16.view(np.uint8).reshape(B, 2)
+    out[:, 4:16] = scales
+    # per 64-element group g: low 4 bits as Q4_K nibbles; 5th bit of
+    # elem l -> qh[l] bit 2g, of elem l+32 -> qh[l] bit 2g+1
+    Lg = L.reshape(B, 4, 64)
+    lo = Lg & 0xF
+    qs = (lo[:, :, :32] | (lo[:, :, 32:] << 4)).astype(np.uint8)
+    out[:, 48:] = qs.reshape(B, 128)
+    qh = np.zeros((B, 32), np.uint8)
+    for g in range(4):
+        qh |= ((Lg[:, g, :32] >> 4) << (2 * g)).astype(np.uint8)
+        qh |= ((Lg[:, g, 32:] >> 4) << (2 * g + 1)).astype(np.uint8)
+    out[:, 16:48] = qh
+    return out.reshape(-1)
+
+
+def _unpack_k_blocks(b: np.ndarray, dtype: GgmlDType) -> dict[str, np.ndarray]:
+    """K-quant superblocks -> per-32 affine sub-blocks.
+
+    Returns q [nb*8, 32] int32 codes, d [nb*8] f32 per-sub-block scale,
+    m [nb*8] f32 per-sub-block offset, with value = q*d + m (m is the
+    NEGATED ggml min so the affine form matches the `_1` formats)."""
+    nb = b.shape[0]
+    d16 = b[:, 0:2].copy().view(np.float16).reshape(nb).astype(np.float32)
+    dmin16 = b[:, 2:4].copy().view(np.float16).reshape(nb).astype(np.float32)
+    sc_u, m_u = _unpack_k_scales(b[:, 4:16])
+    d_sub = d16[:, None] * sc_u.astype(np.float32)
+    m_sub = -(dmin16[:, None] * m_u.astype(np.float32))
+    if dtype == GgmlDType.Q4_K:
+        qs = b[:, 16:].reshape(nb, 4, 32)
+        q = np.stack([qs & 0xF, qs >> 4], axis=2).reshape(nb, 8, 32)
+    else:
+        qh = b[:, 16:48].reshape(nb, 1, 32)
+        qs = b[:, 48:].reshape(nb, 4, 32)
+        lo = np.stack([qs & 0xF, qs >> 4], axis=2).reshape(nb, 8, 32)
+        g = np.arange(4)[None, :, None]
+        hb0 = (qh >> (2 * g)) & 1
+        hb1 = (qh >> (2 * g + 1)) & 1
+        hi = np.stack([hb0, hb1], axis=2).reshape(nb, 8, 32)
+        q = lo | (hi << 4)
+    return {
+        "q": q.reshape(nb * 8, 32).astype(np.int32),
+        "d": d_sub.reshape(nb * 8),
+        "m": m_sub.reshape(nb * 8),
+    }
+
+
+def quantize_q8_k_blocks(x: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Activation quantization for K-quant dot products (ggml's q8_K):
+    per-256 blocks, signed-max scale (iscale = -127/max where max is the
+    signed value of largest magnitude), f32 scale (NOT fp16-rounded).
+
+    Returns (q: int32 [nb, 256], d: f32 [nb])."""
+    xf = np.ascontiguousarray(x, dtype=np.float32).reshape(-1)
+    assert xf.size % QK_K == 0
+    xb = xf.reshape(-1, QK_K)
+    idx = np.argmax(np.abs(xb), axis=1)
+    smax = xb[np.arange(xb.shape[0]), idx]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        iscale = np.where(
+            smax != 0.0, np.float32(-127.0) / smax, np.float32(0.0)
+        ).astype(np.float32)
+        d = np.where(
+            smax != 0.0, np.float32(1.0) / iscale, np.float32(0.0)
+        ).astype(np.float32)
+    q = np.clip(_nearest_int(iscale[:, None] * xb), -128, 127)
+    return q, d
+
+
 def quantize_q8_1_blocks(x: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Activation quantization for Q4_1/Q5_1 dot products (ggml's q8_1).
 
@@ -299,6 +595,9 @@ def unpack_blocks(data: np.ndarray, dtype: GgmlDType) -> dict[str, np.ndarray]:
          (q4_0: 0..15, q5_0: 0..31, q8_0: -128..127)
       d: f32 [nb] — scale
       m: f32 [nb] — min/offset (q4_1/q5_1 only)
+
+    K-quant superblocks decompose into 8 per-32 affine sub-blocks
+    (value = q*d + m with m pre-negated), so nb counts SUB-blocks.
     """
     dtype = GgmlDType(dtype)
     spec = _SPECS[dtype]
@@ -306,6 +605,9 @@ def unpack_blocks(data: np.ndarray, dtype: GgmlDType) -> dict[str, np.ndarray]:
     assert raw.size % spec.block_bytes == 0
     nb = raw.size // spec.block_bytes
     b = raw.reshape(nb, spec.block_bytes)
+
+    if dtype in (GgmlDType.Q4_K, GgmlDType.Q5_K):
+        return _unpack_k_blocks(b, dtype)
 
     def f16_at(off: int) -> np.ndarray:
         return (
@@ -373,6 +675,8 @@ _ENCODERS = {
     GgmlDType.Q5_0: _encode_q5_0,
     GgmlDType.Q5_1: _encode_q5_1,
     GgmlDType.Q8_0: _encode_q8_0,
+    GgmlDType.Q4_K: _encode_q4_k,
+    GgmlDType.Q5_K: _encode_q5_k,
 }
 
 

@@ -81,13 +81,27 @@ def quantize_model_file(
                 and len(t.shape) == 2
                 and tensor_needs_quant(t.name)
             ):
+                # K-quant superblocks need rows divisible by 256 (the
+                # ggml_quantize_chunk n_per_row contract the reference
+                # inherits, rwkv_quantize.inc:149). Tensors with
+                # incompatible rows take the same per-tensor fallback
+                # llama.cpp's quantize tool uses: Q4_K -> Q5_0,
+                # Q5_K -> Q5_1.
+                t_dtype = out_dtype
+                row = t.shape[-1]
+                if out_dtype == GgmlDType.Q4_K and row % 256:
+                    t_dtype = GgmlDType.Q5_0
+                elif out_dtype == GgmlDType.Q5_K and row % 256:
+                    t_dtype = GgmlDType.Q5_1
                 f32 = t.to_f32()
-                packed = quantize_rows(f32, out_dtype)
-                t = GgmfTensor(t.name, out_dtype, t.shape, packed.tobytes())
+                packed = quantize_rows(f32, t_dtype)
+                t = GgmfTensor(t.name, t_dtype, t.shape, packed.tobytes())
                 new_size = t.nbytes
                 if verbose:
+                    from rwkv_tpu.io.quant import dtype_name
+
                     print(
-                        f"{t.name} {list(t.shape)} -> {format_name} "
+                        f"{t.name} {list(t.shape)} -> {dtype_name(t_dtype)} "
                         f"{orig_size / 1048576:.2f} MB -> {new_size / 1048576:.2f} MB"
                     )
             write_ggmf_tensor(fout, t)

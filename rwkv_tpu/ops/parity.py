@@ -31,6 +31,10 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 # (the ones with an explicit per-block minimum): Q4_1, Q5_1.
 _Q8_1_ACT = (GgmlDType.Q4_1, GgmlDType.Q5_1)
 
+# K-quant superblock formats consume q8_K activations: per-256 blocks,
+# signed-max f32 scale (ggml's vec_dot_q4_K_q8_K / _q5_K contract).
+_Q8_K_ACT = (GgmlDType.Q4_K, GgmlDType.Q5_K)
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass
@@ -51,15 +55,19 @@ class Weight:
     m: Optional[jnp.ndarray] = None
     q8_1_act: bool = False
     fmt: str = ""  # on-disk format name for quant weights (e.g. "Q4_0")
+    q8_k_act: bool = False  # K-quant weights: q8_K (per-256, f32-scale) acts
 
     def tree_flatten(self):
-        return (self.w, self.q, self.d, self.m), (self.kind, self.q8_1_act, self.fmt)
+        return (self.w, self.q, self.d, self.m), (
+            self.kind, self.q8_1_act, self.fmt, self.q8_k_act
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         w, q, d, m = children
-        kind, q8_1_act, fmt = aux
-        return cls(kind=kind, w=w, q=q, d=d, m=m, q8_1_act=q8_1_act, fmt=fmt)
+        kind, q8_1_act, fmt, q8_k_act = aux
+        return cls(kind=kind, w=w, q=q, d=d, m=m, q8_1_act=q8_1_act,
+                   fmt=fmt, q8_k_act=q8_k_act)
 
     @property
     def shape(self):
@@ -91,6 +99,7 @@ class Weight:
             m=m,
             q8_1_act=dtype in _Q8_1_ACT,
             fmt=dtype_name(dtype),
+            q8_k_act=dtype in _Q8_K_ACT,
         )
 
 
@@ -117,6 +126,31 @@ def _quant_matmul(x: jnp.ndarray, w: Weight) -> jnp.ndarray:
     in_dim = x.shape[-1]
     nb = in_dim // 32
     xb = x.reshape(*t_shape, nb, 32)
+    if w.q8_k_act:
+        # q8_K activations (ggml's K-quant dot contract): per-256 blocks,
+        # iscale = -127/smax where smax is the SIGNED value of largest
+        # magnitude, scale d = 1/iscale kept in f32 (not fp16-rounded).
+        nbk = in_dim // 256
+        xk = x.reshape(*t_shape, nbk, 256)
+        amaxk = jnp.max(jnp.abs(xk), axis=-1)
+        idx = jnp.argmax(jnp.abs(xk), axis=-1)
+        smax = jnp.take_along_axis(xk, idx[..., None], axis=-1)[..., 0]
+        iscale = jnp.where(
+            amaxk != 0.0, jnp.float32(-127.0) / smax, jnp.float32(0.0)
+        )
+        d_k = jnp.where(
+            amaxk != 0.0, jnp.float32(1.0) / iscale, jnp.float32(0.0)
+        )
+        q_x = jnp.round(xk * iscale[..., None]).reshape(*t_shape, nb, 32)
+        p = jnp.einsum(
+            "...bi,obi->...ob", q_x, w.q.astype(jnp.float32),
+            precision=_HIGHEST,
+        )
+        d_x32 = jnp.repeat(d_k, 8, axis=-1)  # per-32 view of the 256 scale
+        y = jnp.sum(p * (d_x32[..., None, :] * w.d), axis=-1)
+        s_x = d_x32 * jnp.sum(q_x, axis=-1)
+        y = y + jnp.sum(w.m * s_x[..., None, :], axis=-1)
+        return y
     amax = jnp.max(jnp.abs(xb), axis=-1)
     d_x = amax / jnp.float32(127.0)
     # ggml's runtime (SIMD) activation quantizers compute the inverse scale

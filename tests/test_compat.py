@@ -86,8 +86,7 @@ def test_system_info():
 
 def test_quantized_format_names_surface():
     """The binding layer advertises the same format-name tuple as the
-    reference (rwkv_cpp_shared_library.py:8-16), including the K-quants
-    it cannot encode."""
+    reference (rwkv_cpp_shared_library.py:8-16), K-quants included."""
     from rwkv_tpu.compat import QUANTIZED_FORMAT_NAMES
 
     assert QUANTIZED_FORMAT_NAMES == (
@@ -95,8 +94,8 @@ def test_quantized_format_names_surface():
     )
 
 
-def test_kquant_request_rejected_gracefully(tmp_path):
-    """Requesting a K-quant target fails with the reference's clear
+def test_legacy_format_request_rejected_gracefully(tmp_path):
+    """Requesting a format with no codec fails with the reference's clear
     'unsupported data type' error path (rwkv_file_format.inc:5-24), not
     an internal KeyError."""
     import pytest
@@ -105,6 +104,6 @@ def test_kquant_request_rejected_gracefully(tmp_path):
     from tests.conftest import fixture_path
 
     src = fixture_path("tiny-rwkv-5v2-730K-FP32.bin")
-    for name in ("Q4_K", "Q5_K"):
+    for name in ("Q4_2", "Q6_K"):
         with pytest.raises(ValueError, match="[Uu]nsupported"):
             quantize_model_file(src, str(tmp_path / "out.bin"), name)

@@ -97,3 +97,36 @@ def test_native_tokenizer_matches_python(native):
     raw = bytes(range(256))
     assert nat.encode_bytes(raw) == py.encode_bytes(raw)
     assert nat.decode_bytes(nat.encode_bytes(raw)) == raw
+
+
+def test_native_kquant_codecs_match_numpy(native):
+    """The C++ Q4_K/Q5_K codecs are byte-exact with io/quant.py's numpy
+    implementations (both ports of ggml's reference quantizers, with
+    serial f32 accumulation orders that must agree exactly)."""
+    from rwkv_tpu.io.quant import GgmlDType, dequantize_rows, quantize_rows
+
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(8 * 1024) * 0.4).astype(np.float32)
+    for dt in (GgmlDType.Q4_K, GgmlDType.Q5_K):
+        py = quantize_rows(x, dt)
+        nat = np.asarray(native.quantize_rows(x, int(dt))).view(np.uint8)
+        np.testing.assert_array_equal(py, nat)
+        dec = np.asarray(native.dequantize_rows(nat, int(dt), x.size))
+        np.testing.assert_array_equal(dec, dequantize_rows(py, dt, (x.size,)))
+
+
+def test_native_kquant_model_file_matches_python(native, tmp_path):
+    """Native rwkv_quantize_model_file with a K target produces the same
+    bytes as the Python path, including the per-tensor row-divisibility
+    fallback."""
+    from rwkv_tpu.io.quant import dtype_from_name
+    from rwkv_tpu.io.quantize import quantize_model_file
+
+    src = require_fixture("tiny-rwkv-5v2-730K-FP32.bin")
+    for fmt in ("Q4_K", "Q5_K"):
+        py_out = tmp_path / f"py-{fmt}.bin"
+        nat_out = tmp_path / f"nat-{fmt}.bin"
+        quantize_model_file(str(src), str(py_out), fmt, verbose=False)
+        native.quantize_model_file(str(src), str(nat_out),
+                                   int(dtype_from_name(fmt)))
+        assert py_out.read_bytes() == nat_out.read_bytes()

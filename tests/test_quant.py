@@ -97,3 +97,127 @@ def test_read_reference_tiny_model_header():
     assert header.n_layer >= 1
     names = {t.name for t in tensors}
     assert "emb.weight" in names and "head.weight" in names
+
+
+# ---------------------------------------------------------------------------
+# K-quant superblock formats (Q4_K / Q5_K)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("fmt,block_bytes", [("Q4_K", 144), ("Q5_K", 176)])
+def test_kquant_block_math(fmt, block_bytes):
+    """Superblock sizes match ggml's block_q4_K/block_q5_K layouts."""
+    from rwkv_tpu.io.quant import tensor_nbytes
+
+    dt = dtype_from_name(fmt)
+    assert tensor_nbytes(dt, 256, 3) == 3 * block_bytes
+    assert tensor_nbytes(dt, 512) == 2 * block_bytes
+
+
+def test_kquant_scale_pack_roundtrip():
+    """6-bit scale/min packing (ggml get_scale_min_k4) is a bijection."""
+    from rwkv_tpu.io.quant import _pack_k_scales, _unpack_k_scales
+
+    rng = np.random.default_rng(7)
+    ls = rng.integers(0, 64, (50, 8)).astype(np.uint8)
+    lm = rng.integers(0, 64, (50, 8)).astype(np.uint8)
+    s2, m2 = _unpack_k_scales(_pack_k_scales(ls, lm))
+    np.testing.assert_array_equal(ls, s2)
+    np.testing.assert_array_equal(lm, m2)
+
+
+@pytest.mark.parametrize("fmt", ["Q4_K", "Q5_K"])
+def test_kquant_roundtrip_error_bounded(fmt):
+    """Encode/decode error is bounded AND beats the legacy format of the
+    same bit width on gaussian data (the weighted-LS sub-block fit)."""
+    rng = np.random.default_rng(3)
+    x = (rng.standard_normal((64, 512)) * 0.4).astype(np.float32)
+    dt = dtype_from_name(fmt)
+    y = dequantize_rows(quantize_rows(x, dt), dt, x.shape)
+    rmse_k = float(np.sqrt(np.mean((y - x) ** 2)))
+    legacy = dtype_from_name(fmt.replace("_K", "_1"))
+    yl = dequantize_rows(quantize_rows(x, legacy), legacy, x.shape)
+    rmse_legacy = float(np.sqrt(np.mean((yl - x) ** 2)))
+    assert rmse_k < rmse_legacy, (rmse_k, rmse_legacy)
+
+
+@pytest.mark.parametrize("fmt", ["Q4_K", "Q5_K"])
+def test_kquant_degenerate_blocks(fmt):
+    """Constant and all-zero superblocks encode without NaN/Inf."""
+    dt = dtype_from_name(fmt)
+    z = np.full((1, 256), 3.25, np.float32)
+    y = dequantize_rows(quantize_rows(z, dt), dt, z.shape)
+    assert np.all(np.isfinite(y)) and abs(float((y - z).max())) < 1e-3
+    zn = np.zeros((2, 256), np.float32)
+    y0 = dequantize_rows(quantize_rows(zn, dt), dt, zn.shape)
+    np.testing.assert_array_equal(y0, zn)
+    neg = np.full((1, 256), -1.5, np.float32)  # min>0 clamp path
+    yn = dequantize_rows(quantize_rows(neg, dt), dt, neg.shape)
+    assert np.all(np.isfinite(yn)) and abs(float((yn - neg).max())) < 1e-3
+
+
+@pytest.mark.parametrize("fmt", ["Q4_K", "Q5_K"])
+def test_kquant_weight_from_packed_affine(fmt):
+    """A K superblock decomposes into 8 per-32 affine sub-blocks: the
+    Weight(q, d, m) reconstruction equals dequantize_rows exactly."""
+    from rwkv_tpu.ops.parity import Weight
+
+    rng = np.random.default_rng(11)
+    dt = dtype_from_name(fmt)
+    w = (rng.standard_normal((16, 512)) * 0.3).astype(np.float32)
+    packed = quantize_rows(w, dt)
+    W = Weight.from_packed(packed.tobytes(), dt, (16, 512))
+    assert W.q8_k_act and not W.q8_1_act
+    rec = (
+        np.asarray(W.q, np.float32) * np.asarray(W.d)[..., None]
+        + np.asarray(W.m)[..., None]
+    ).reshape(16, 512)
+    np.testing.assert_array_equal(rec, dequantize_rows(packed, dt, (16, 512)))
+
+
+def test_kquant_q8k_activation_blocks():
+    """q8_K activation quantizer: per-256 signed-max scale, f32 d."""
+    from rwkv_tpu.io.quant import quantize_q8_k_blocks
+
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(512).astype(np.float32)
+    q, d = quantize_q8_k_blocks(x)
+    assert q.shape == (2, 256) and d.shape == (2,)
+    # the max-magnitude element quantizes to exactly -127 (signed-max trick)
+    for b in range(2):
+        i = np.argmax(np.abs(x[256 * b : 256 * (b + 1)]))
+        assert q[b, i] == -127
+    # zero block
+    q0, d0 = quantize_q8_k_blocks(np.zeros(256, np.float32))
+    assert np.all(q0 == 0) and np.all(d0 == 0)
+
+
+@pytest.mark.parametrize("fmt", ["Q4_K", "Q5_K"])
+def test_kquant_model_file_roundtrip(tmp_path, fmt):
+    """quantize_model_file with a K target produces a loadable mixed file:
+    256-multiple rows get the K codec, others the documented fallback
+    (Q4_K -> Q5_0, Q5_K -> Q5_1 — llama.cpp's convention), skip-list
+    tensors stay dense."""
+    src = require_fixture("tiny-rwkv-5v2-730K-FP32.bin")
+    out = tmp_path / f"m-{fmt}.bin"
+    quantize_model_file(str(src), str(out), fmt, verbose=False)
+    hdr, tensors = ggmf.read_ggmf(str(out), with_data=True)
+    assert hdr.data_type == dtype_from_name(fmt)
+    by_dtype = {}
+    for t in tensors:
+        by_dtype.setdefault(t.dtype, []).append(t.name)
+    kdt = dtype_from_name(fmt)
+    fallback = dtype_from_name("Q5_0" if fmt == "Q4_K" else "Q5_1")
+    assert any(t.dtype == kdt for t in tensors), by_dtype
+    for t in tensors:
+        if t.dtype == kdt:
+            assert t.shape[-1] % 256 == 0, (t.name, t.shape)
+        elif t.dtype == fallback:
+            assert t.shape[-1] % 256 != 0, (t.name, t.shape)
+    # loads and evals through the parity engine
+    from rwkv_tpu.models.model import RWKVModel
+
+    model = RWKVModel(str(out))
+    state = model.init_state()
+    logits, state = model.eval(34, state)
+    assert np.all(np.isfinite(np.asarray(logits)))
