@@ -99,24 +99,38 @@ def _quantize_rows(w, four: bool):
 
 def _pack_nibbles_split_half(a):
     """Unpacked int4 codes [..., K] -> packed bytes [..., K/2] in the
-    SPLIT-HALF layout: byte s holds code[s] (low nibble) and
-    code[s + K/2] (high nibble), so a matvec is two contiguous half-K
-    dots (see the tiled kernels' matv4)."""
+    SPLIT-HALF BIASED-LO layout: byte s holds code[s] + 8 in the low
+    nibble (values 1..15 for codes in [-7, 7]) and code[s + K/2] in the
+    high nibble, so a matvec is two contiguous half-K dots whose unpack
+    is TWO int8 AND masks (see _w4_acc). The round-3 two's-complement
+    low nibble needed an int32 sign-fix chain (~8 VPU ops per element at
+    4-byte width) that left the w4 kernels compute-bound at 312 GB/s
+    effective (docs/STATUS.md round-3 table)."""
     kh = a.shape[-1] // 2
-    lo = a[..., :kh].astype(jnp.int32)
+    lo = a[..., :kh].astype(jnp.int32) + 8
     hi = a[..., kh:].astype(jnp.int32)
     return (((hi & 0xF) << 4) | (lo & 0xF)).astype(jnp.int8)
 
 
-def _nibble_halves(w):
-    """Packed bytes -> (lo, hi) int8 code planes. Nibble math in int32:
-    Mosaic cannot legalize shifts on int8 vectors; i32 >> sign-extends
-    the high nibble, the low nibble signs via bit 3."""
-    q32 = w.astype(jnp.int32)
-    lo_u = q32 & 0xF
-    lo = (lo_u - ((lo_u & 0x8) << 1)).astype(jnp.int8)
-    hi = (q32 >> 4).astype(jnp.int8)
-    return lo, hi
+def _w4_acc(mm, w, x8_lo, x8_hi):
+    """Packed split-half biased-lo matvec accumulate; returns 16x the
+    true integer accumulation (callers fold the /16 into the f32 scale).
+
+    Derivation: byte b = 16*hi + (lo + 8) in two's complement, so
+      b & 0x0F == lo + 8       (unsigned low nibble)
+      b & 0xF0 == 16*hi        (exact as int8: hi in [-8, 7])
+    and  acc = hi.x_hi + lo.x_lo
+             = (1/16)*[(b&0xF0).x_hi + 16*(b&0x0F).x_lo - 128*sum(x_lo)].
+    Both masks legalize as int8 vector ops in Mosaic (int8 shifts and
+    subs do NOT — scripts/probe_w4_unpack.py), so the unpack costs two
+    1-byte-wide VPU ops per element instead of ~8 4-byte-wide ones."""
+    lo_u = w & jnp.int8(15)
+    hi16 = w & jnp.int8(-16)
+    sx = jnp.sum(x8_lo.astype(jnp.int32), axis=0, keepdims=True)
+    return mm(hi16, x8_hi) + 16 * mm(lo_u, x8_lo) - 128 * sx
+
+
+_W4_INV16 = 1.0 / 16.0
 
 
 def _attach_head(pack: dict, params: dict, cfg, quant: bool) -> None:
@@ -1388,13 +1402,20 @@ def unpack_batched_state(heads_p, b, h, s):
 
 
 def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
-                  n_proj: int = 3, packed: bool = False) -> tuple:
+                  n_proj: int = 3, packed: bool = False,
+                  w4: bool = False) -> tuple:
     """(nh, nf, nr, no) so that each phase's double-buffered blocks stay
     small: head-tile state block <= ~8MB batched / ~2MB at B=1 (lane dim
     pads to 128 for B>1), fk/fv tile <= ~4.5MB, rkv/out row tiles <= ~8MB
     (nr counts tiles over the whole fused input-projection block — always
     a multiple of n_proj so tiles never straddle a projection boundary;
-    n_proj=3 for v7's r/k/v, 4 for v6's r/k/v/g)."""
+    n_proj=3 for v7's r/k/v, 4 for v6's r/k/v/g).
+
+    w4=True budgets the big mats at HALF a byte per element (split-half
+    nibble pairs), so windows keep the SAME byte size as w8a8 and the
+    phase count halves — the round-3 w4 kernels inherited w8's row
+    counts, doubling per-phase fixed overhead per streamed byte (one of
+    the two causes of the 312 GB/s effective w4 stream)."""
     h, s, c = cfg.head_count, cfg.head_size, cfg.n_embed
     f = f_dim if f_dim is not None else 4 * c
     # Tile budgets shrink at 7B-class widths: the fixed VMEM costs
@@ -1432,12 +1453,13 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
         if nh > h:
             nh = h
             break
-    wbytes = 1 if quant else 2
+    # weight bytes per element, in half-bytes (w4 packs nibble pairs)
+    whb = 1 if (quant and w4) else (2 if quant else 4)
     nf = 1
-    while (f * c * wbytes) // nf > mm_budget or f % nf:
+    while (f * c * whb) // (2 * nf) > mm_budget or f % nf:
         nf += 1
     m = 1
-    while (c // m) * c * wbytes > mm_budget or c % m:
+    while ((c // m) * c * whb) // 2 > mm_budget or c % m:
         m += 1
     return nh, nf, n_proj * m, m
 
@@ -1620,15 +1642,15 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             )
 
         def matv4(w, d, xcol):
-            """w [N, K/2] split-half-packed int4 pairs (see
-            retile_mega_pack), d [N, 1] row scales. Nibble math runs in
-            int32 (Mosaic cannot legalize int8 vector shifts); the two
-            half-K s8 dots consume contiguous activation slices."""
+            """w [N, K/2] split-half biased-lo packed int4 pairs (see
+            _pack_nibbles_split_half / _w4_acc), d [N, 1] row scales.
+            The unpack is two int8 AND masks; the /16 of the scaled-up
+            accumulate folds into the (scalar-sized) dx multiply."""
             kh = w.shape[1]
             x8, dx = qx(xcol)
-            lo, hi = _nibble_halves(w)
-            acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
-            return acc.astype(jnp.float32) * dx * d
+            acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+            return acc16.astype(jnp.float32) * (
+                dx * jnp.float32(_W4_INV16)) * d
 
         mv_big = matv4 if w4 else matv
 
@@ -2840,12 +2862,12 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
             )
 
         def matv4(w, d, xcol):
-            """split-half-packed int4 (see _pack_nibbles_split_half)."""
+            """split-half biased-lo packed int4 (see _w4_acc)."""
             kh = w.shape[1]
             x8, dx = qx(xcol)
-            lo, hi = _nibble_halves(w)
-            acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
-            return acc.astype(jnp.float32) * dx * d
+            acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+            return acc16.astype(jnp.float32) * (
+                dx * jnp.float32(_W4_INV16)) * d
 
         mv_big = matv4 if w4 else matv
 
@@ -4146,12 +4168,12 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
             )
 
         def matv4(w, d, xcol):
-            """split-half-packed int4 (see _pack_nibbles_split_half)."""
+            """split-half biased-lo packed int4 (see _w4_acc)."""
             kh = w.shape[1]
             x8, dx = qx(xcol)
-            lo, hi = _nibble_halves(w)
-            acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
-            return acc.astype(jnp.float32) * dx * d
+            acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+            return acc16.astype(jnp.float32) * (
+                dx * jnp.float32(_W4_INV16)) * d
 
         mv_big = matv4 if w4 else matv
 
@@ -4598,12 +4620,12 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
             )
 
         def matv4(w, d, xcol):
-            """split-half-packed int4 (see _pack_nibbles_split_half)."""
+            """split-half biased-lo packed int4 (see _w4_acc)."""
             kh = w.shape[1]
             x8, dx = qx(xcol)
-            lo, hi = _nibble_halves(w)
-            acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
-            return acc.astype(jnp.float32) * dx * d
+            acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+            return acc16.astype(jnp.float32) * (
+                dx * jnp.float32(_W4_INV16)) * d
 
         mv_big = matv4 if w4 else matv
 

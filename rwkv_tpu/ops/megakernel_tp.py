@@ -32,7 +32,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rwkv_tpu.ops.megakernel import (
-    _nibble_halves, _pack_nibbles_split_half,
+    _pack_nibbles_split_half, _w4_acc, _W4_INV16,
 )
 
 # Vectors stored as [L, 1, N] rows (lane-padding rule — an [N, 1] f32
@@ -181,12 +181,12 @@ def _math_helpers(quant):
         )
 
     def matv4(w, dd, xcol):
-        """split-half-packed int4 (see megakernel._pack_nibbles_...)."""
+        """split-half biased-lo packed int4 (see megakernel._w4_acc)."""
         kh = w.shape[1]
         x8, dx = qx(xcol)
-        lo, hi = _nibble_halves(w)
-        acc = mm(lo, x8[:kh]) + mm(hi, x8[kh:])
-        return acc.astype(jnp.float32) * dx * dd
+        acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+        return acc16.astype(jnp.float32) * (
+            dx * jnp.float32(_W4_INV16)) * dd
 
     return mm, qx, ln, matv, matv4
 

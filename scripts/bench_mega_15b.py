@@ -181,7 +181,7 @@ def main():
         "7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD
     )
     h, s = cfg.head_count, cfg.head_size
-    nh, nf, nr, no = choose_tiling(cfg, True, BATCH)
+    nh, nf, nr, no = choose_tiling(cfg, True, BATCH, w4="--w4" in sys.argv)
     print(f"tiling: nh={nh} nf={nf} nr={nr} no={no} batch={BATCH}",
           flush=True)
 
