@@ -1299,6 +1299,128 @@ class ServingModel:
             self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
+    def decode_loop_fns(self, b: int):
+        """Kernel-native state-layout closures for a multi-step decode scan.
+
+        Returns ``(pack, step, unpack, arrs)``: ``pack(state)`` converts the
+        serving-layout state pool [B, L, ...] into the decode kernel's native
+        layout ONCE, ``step(params, arrs, ps, tokens)`` runs one decode step
+        entirely in that layout, and ``unpack(ps)`` converts back.  The
+        per-call :meth:`decode` wrappers perform pack+unpack around EVERY
+        step (~2 state-sized transposes per token at the kernel boundary);
+        hoisting them outside the batcher's sync_every-step scan makes the
+        layout moves O(1) per host sync instead of O(n_steps).  Routing
+        mirrors :meth:`decode`; configurations it serves per-op fall back to
+        ``forward_stacked`` on the layer-major layout.
+        """
+        key = ("loopfns", b)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        cfg = self.config
+        interpret = jax.default_backend() != "tpu"
+        from rwkv_tpu.ops.parity import layer_norm as p_ln
+
+        use_packed_small = (
+            self._mega is not None and cfg.version_major == 7
+            and not self._mega_big and 2 <= b <= 32
+            and self._mega_rows is not None
+        )
+        use_packed_tiled = (
+            self._mega is not None and cfg.version_major == 7
+            and self._mega_big and 2 <= b < 128
+        )
+
+        if use_packed_small:
+            from rwkv_tpu.ops.megakernel import (
+                pack_batched_state,
+                unpack_batched_state,
+                v7_decode_megakernel_batched_packed,
+            )
+
+            h, s = cfg.head_count, cfg.head_size
+            pack_src = self._mega_rows
+            meta = {k: pack_src[k] for k in ("quant", "w4", "d_lora", "f_dim")}
+            arrs = {k: v for k, v in pack_src.items()
+                    if k not in meta and not k.startswith(("head", "ln_out"))}
+
+            def pack(state):
+                return {
+                    "att_xx": jnp.transpose(state["att_xx"], (1, 2, 0)),
+                    "ffn_xx": jnp.transpose(state["ffn_xx"], (1, 2, 0)),
+                    "heads": pack_batched_state(state["heads"], h, s),
+                }
+
+            def unpack(ps):
+                return {
+                    "att_xx": jnp.transpose(ps["att_xx"], (2, 0, 1)),
+                    "ffn_xx": jnp.transpose(ps["ffn_xx"], (2, 0, 1)),
+                    "heads": unpack_batched_state(ps["heads"], b, h, s),
+                }
+
+            def step(params, pack_arrs, ps, tokens):
+                pk = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][tokens].astype(jnp.float32), *params["ln0"]
+                )
+                y, ps = v7_decode_megakernel_batched_packed(
+                    pk, ps, x0.T, cfg, interpret=interpret
+                )
+                xo = p_ln(y.T, *params["ln_out"])
+                logits = G.mm(xo, params["head"])
+                return logits, ps
+
+        elif use_packed_tiled:
+            from rwkv_tpu.ops.megakernel import v7_decode_megakernel_tiled
+
+            pack_full, nh, nf = self._mega_tiled_pack(b, packed=True)
+            meta = {k: pack_full[k]
+                    for k in ("quant", "w4", "d_lora", "f_dim",
+                              "nh", "nf", "nr", "no")}
+            arrs = {k: v for k, v in pack_full.items() if k not in meta}
+            L, H = cfg.n_layer, cfg.head_count
+            S = cfg.head_size
+
+            def pack(state):
+                hp = jnp.transpose(state["heads"], (1, 2, 4, 3, 0))
+                return {
+                    "att_xx": jnp.transpose(state["att_xx"], (1, 2, 0)),
+                    "ffn_xx": jnp.transpose(state["ffn_xx"], (1, 2, 0)),
+                    "heads": hp.reshape(L, nh, H // nh, S, S * b),
+                }
+
+            def unpack(ps):
+                nh_ = ps["heads"].reshape(L, H, S, S, b)
+                return {
+                    "att_xx": jnp.transpose(ps["att_xx"], (2, 0, 1)),
+                    "ffn_xx": jnp.transpose(ps["ffn_xx"], (2, 0, 1)),
+                    "heads": jnp.transpose(nh_, (4, 0, 1, 3, 2)),
+                }
+
+            def step(params, pack_arrs, ps, tokens):
+                pk = {**pack_arrs, **meta}
+                x0 = p_ln(
+                    params["emb"][tokens].astype(jnp.float32), *params["ln0"]
+                )
+                y, ps = v7_decode_megakernel_tiled(
+                    pk, ps, x0.T, cfg, interpret=interpret, packed=True
+                )
+                xo = p_ln(y.T, *params["ln_out"])
+                logits = G.mm(xo, params["head"])
+                return logits, ps
+
+        else:
+            def pack(state):
+                return jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+
+            unpack = pack  # swapaxes(0, 1) is an involution
+            arrs = {}
+
+            def step(params, _arrs, ps, tokens):
+                return forward_stacked(params, ps, tokens[None, :], cfg, True)
+
+        self._jit_cache[key] = (pack, step, unpack, arrs)
+        return self._jit_cache[key]
+
     def score(self, tokens, state):
         """Sequence-score: per-position logits. tokens [B, t] ->
         (logits [B, t, V], new_state). Position i's logits predict token

@@ -225,8 +225,12 @@ class ContinuousBatcher:
             top_k = min(self.DEVICE_TOP_K, cfg.n_vocab)
             mm_force = model._mm_force
 
+            pack_fn, step_fn, unpack_fn, loop_arrs = model.decode_loop_fns(
+                self.max_batch
+            )
+
             @jax.jit
-            def run(params, state, logits, counts, ctl, key):
+            def run(params, loop_arrs, state, logits, counts, ctl, key):
                 # ctl: dict of per-slot arrays — temperature, top_p,
                 # presence, frequency [B] f32; remaining [B] i32;
                 # active [B] bool; stops [B, n_stop] i32 (pad -1).
@@ -234,10 +238,13 @@ class ContinuousBatcher:
 
                 fm = force_mode(mm_force)
                 fm.__enter__()  # trace-time; spans the scan below
-                state = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+                # Kernel-native state layout is carried ACROSS the scan:
+                # pack once here, unpack once after (decode_loop_fns) —
+                # not 2 state-sized layout moves per decoded token.
+                ps = pack_fn(state)
 
                 def step(carry, key_i):
-                    state, logits, counts, remaining, active = carry
+                    ps, logits, counts, remaining, active = carry
                     pen = device_penalized_logits(
                         logits, counts, ctl["presence"], ctl["frequency"]
                     )
@@ -253,24 +260,20 @@ class ContinuousBatcher:
                     now_done = active & (hit_stop | (remaining <= 0))
                     emitted = active
                     active = active & ~now_done
-                    from rwkv_tpu.models.serve import forward_stacked
-
-                    logits, state = forward_stacked(
-                        params, state, tok[None, :], cfg, True
-                    )
-                    return (state, logits, counts, remaining, active), (tok, emitted)
+                    logits, ps = step_fn(params, loop_arrs, ps, tok)
+                    return (ps, logits, counts, remaining, active), (tok, emitted)
 
                 keys = jax.random.split(key, n_steps + 1)
-                carry = (state, logits, counts, ctl["remaining"], ctl["active"])
-                (state, logits, counts, remaining, active), (toks, emitted) = (
+                carry = (ps, logits, counts, ctl["remaining"], ctl["active"])
+                (ps, logits, counts, remaining, active), (toks, emitted) = (
                     jax.lax.scan(step, carry, keys[1:])
                 )
-                state = jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+                state = unpack_fn(ps)
                 fm.__exit__(None, None, None)
                 return (state, logits, counts, remaining, active,
                         toks.T, emitted.T, keys[0])
 
-            self._jit_cache[key_cache] = run
+            self._jit_cache[key_cache] = (run, loop_arrs)
         return self._jit_cache[key_cache]
 
     def _run_device(self) -> None:
@@ -308,10 +311,11 @@ class ContinuousBatcher:
                 if r is not None and r.stop_tokens:
                     ctl["stops"][i, : len(r.stop_tokens)] = list(r.stop_tokens)
 
-            fn = self._multi_step_fn(self.sync_every, n_stop)
+            fn, loop_arrs = self._multi_step_fn(self.sync_every, n_stop)
             (self.state, logits, counts, _remaining, _active, toks, emitted,
              self._key) = fn(
-                self.model.params, self.state, jnp.asarray(self._logits),
+                self.model.params, loop_arrs, self.state,
+                jnp.asarray(self._logits),
                 counts, {k: jnp.asarray(v) for k, v in ctl.items()}, self._key,
             )
             # ONE host sync for sync_every tokens:

@@ -48,6 +48,7 @@ _SLOW_PATTERNS = (
     "test_megamodel_synth_multilayer",
     "test_megamodel_batched",
     "test_packed_matches_plain_batched",
+    "test_device_loop_packed_megakernel",
     "test_mega_pack_save_load_roundtrip",
     "test_serving_mega_pack_cache",
     # TP megakernels on the virtual mesh

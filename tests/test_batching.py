@@ -132,3 +132,37 @@ def test_stop_tokens_and_slot_reuse(srv):
     assert len(results[rid_short].generated) == 1
     assert len(results[rid_third].generated) == 2
     assert batcher.n_active == 0
+
+
+def test_device_loop_packed_megakernel_matches_host():
+    """The batcher's on-device scan carries the lane-packed kernel state
+    layout across steps (ServingModel.decode_loop_fns): greedy tokens must
+    match the host per-token path, which packs/unpacks around every
+    decode() call instead."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.parallel.batching import ContinuousBatcher
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=128, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=11, lora_dim=32)
+    srv = ServingModel((cfg, params), precision="w8a8", megakernel=True)
+    srv.mega_min_batch = 2
+    # this config must route the batcher through the packed kernel (the
+    # fallback route has no pack arrays)
+    _, _, _, arrs = srv.decode_loop_fns(2)
+    assert arrs, "expected the lane-packed kernel route for B=2 v7 mega"
+
+    prompts = [[3, 77, 200], [9, 4]]
+    kwargs = dict(max_new_tokens=5, temperature=0.0)
+
+    host = ContinuousBatcher(srv, max_batch=2, sync_every=2)
+    rids_h = [host.submit(p, **kwargs) for p in prompts]
+    res_h = host.run(on_device=False)
+
+    dev = ContinuousBatcher(srv, max_batch=2, sync_every=2)
+    rids_d = [dev.submit(p, **kwargs) for p in prompts]
+    res_d = dev.run(on_device=True)
+
+    for rh, rd in zip(rids_h, rids_d):
+        assert res_d[rd].generated == res_h[rh].generated
