@@ -523,6 +523,13 @@ class ServingModel:
                     base, cfg, tp_n, mesh
                 )
             self.mega_min_batch = 64
+            # B>1 under a TP mesh is the GSPMD per-op sharded route
+            # (_perop_decode); no bf16 shadow or single-chip packs here.
+            self._mega_big = False
+            self._mega_rows = None
+            self._batch_bf16_shadow = False
+            self._shadow_params = None
+            self._shadow_src = None
             self._jit_cache = {}
             return
         if megakernel:

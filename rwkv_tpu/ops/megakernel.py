@@ -124,6 +124,12 @@ def _w4_acc(mm, w, x8_lo, x8_hi):
     Both masks legalize as int8 vector ops in Mosaic (int8 shifts and
     subs do NOT — scripts/probe_w4_unpack.py), so the unpack costs two
     1-byte-wide VPU ops per element instead of ~8 4-byte-wide ones."""
+    import os as _os
+    _abl = _os.environ.get("RWKV_W4_ABLATE", "")
+    if _abl == "nomask":   # timing ablation: raw bytes, wrong math
+        return mm(w, x8_hi) + 16 * mm(w, x8_lo)
+    if _abl == "onedot":   # timing ablation: single half-K dot
+        return 17 * mm(w, x8_lo)
     lo_u = w & jnp.int8(15)
     hi16 = w & jnp.int8(-16)
     sx = jnp.sum(x8_lo.astype(jnp.int32), axis=0, keepdims=True)

@@ -182,6 +182,9 @@ def main():
     )
     h, s = cfg.head_count, cfg.head_size
     nh, nf, nr, no = choose_tiling(cfg, True, BATCH, w4="--w4" in sys.argv)
+    if os.environ.get("RWKV_TILING"):   # "nh,nf,nr,no" override (probes)
+        nh, nf, nr, no = (int(v) for v in
+                          os.environ["RWKV_TILING"].split(","))
     print(f"tiling: nh={nh} nf={nf} nr={nr} no={no} batch={BATCH}",
           flush=True)
 
