@@ -127,6 +127,7 @@ def speculative_generate_device(
     prompt_tokens: Sequence[int],
     n_tokens: int,
     k: int = 4,
+    force_accept: bool = False,
 ) -> Tuple[np.ndarray, dict]:
     """Greedy speculative generation with the ENTIRE round loop on device
     (one host sync for the whole generation, vs ~3k+2 syncs/round for the
@@ -163,7 +164,8 @@ def speculative_generate_device(
     t_force, d_force = target._mm_force, draft._mm_force
     n_cap = n_tokens + k + 2
     # cached on the TARGET model (bounded lifetime), keyed semantically
-    key = ("specdev", _model_sig(target), _model_sig(draft), n_tokens, k)
+    key = ("specdev", _model_sig(target), _model_sig(draft), n_tokens, k,
+           force_accept)
 
     if key not in target._jit_cache:
 
@@ -200,6 +202,16 @@ def speculative_generate_device(
 
                 matches = (greedy[:k] == draft_toks[:k]).astype(jnp.int32)
                 j = jnp.sum(jnp.cumprod(matches))
+                if force_accept:
+                    # BENCHMARK-ONLY knob: pretend every drafted token
+                    # was accepted. Output is NOT the target's greedy
+                    # chain; this measures the end-to-end acceptance=1
+                    # throughput ceiling of the round machinery with a
+                    # real (cheap) draft — random synth weight pairs
+                    # have ~0 natural acceptance, so the honest perf
+                    # story is the measured [random, forced] bracket
+                    # plus the component-derived crossover.
+                    j = jnp.int32(k)
 
                 state_t = jax.tree.map(lambda a: a[:, j], trace)
                 state_d = jax.tree.map(lambda a: a[j], d_states)

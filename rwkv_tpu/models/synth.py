@@ -8,6 +8,7 @@ Mirrors the parameter inventory of rwkv_model_loading.inc:1-73 per version.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from rwkv_tpu.models.config import ModelConfig
@@ -168,3 +169,79 @@ def synth_config(
         head_count=head_count,
         head_size=head_size,
     )
+
+
+def synth_params_device(cfg: ModelConfig, seed: int = 0,
+                        dtype=jnp.bfloat16, lora_dim: int = 64):
+    """synth_params, but every array is generated ON DEVICE with
+    jax.random (v7 only). Purpose: big-model benchmarks through the
+    remote-TPU tunnel (~36 MB/s host->device) — a 1.5B host pytree
+    would take ~40 minutes to transfer; this builds it in seconds where
+    it will run. Same pytree structure as synth_params (Weight leaves,
+    per-layer block dicts), so ServingModel/stack_layer_params work
+    unchanged (quantization then also runs on device)."""
+    if cfg.version_major != 7:
+        raise NotImplementedError("synth_params_device is v7-only")
+    c, vocab = cfg.n_embed, cfg.n_vocab
+    h, s = cfg.head_count, cfg.head_size
+    d = lora_dim
+    key = jax.random.PRNGKey(seed)
+
+    def nk():
+        nonlocal key
+        key, k = jax.random.split(key)
+        return k
+
+    def w(shape, scale=None):
+        scale = scale if scale is not None else (1.0 / np.sqrt(shape[-1]))
+        return Weight(kind="dense", w=(
+            jax.random.normal(nk(), shape, jnp.float32) * scale
+        ).astype(dtype))
+
+    def vec(*shape, scale=0.1, offset=0.0):
+        return jax.random.normal(nk(), shape, jnp.float32) * scale + offset
+
+    params = {
+        "emb": (jax.random.normal(nk(), (vocab, c), jnp.float32) * 0.02
+                ).astype(dtype),
+        "ln0": (vec(c, offset=1.0, scale=0.02), vec(c, scale=0.02)),
+        "ln_out": (vec(c, offset=1.0, scale=0.02), vec(c, scale=0.02)),
+        "head": w((vocab, c)),
+        "blocks": [],
+    }
+    for i in range(cfg.n_layer):
+        lyr = {
+            "ln1.weight": vec(c, offset=1.0, scale=0.02),
+            "ln1.bias": vec(c, scale=0.02),
+            "ln2.weight": vec(c, offset=1.0, scale=0.02),
+            "ln2.bias": vec(c, scale=0.02),
+            "att.key.weight": w((c, c)),
+            "att.value.weight": w((c, c)),
+            "att.receptance.weight": w((c, c)),
+            "att.output.weight": w((c, c)),
+            "ffn.key.weight": w((4 * c, c)),
+            "ffn.value.weight": w((c, 4 * c)),
+            "att.x_rwkvag": vec(6, c, scale=0.2, offset=0.5),
+            "att.w0": vec(c, scale=0.3),
+            "att.w1": w((d, c)),
+            "att.w2": w((c, d)),
+            "att.a0": vec(c, scale=0.3),
+            "att.a1": w((d, c)),
+            "att.a2": w((c, d)),
+            "att.g1": w((d, c)),
+            "att.g2": w((c, d)),
+            "att.k_k": vec(c, scale=0.3, offset=0.5),
+            "att.k_a": vec(c, scale=0.3, offset=0.5),
+            "att.r_k": vec(h, s, scale=0.3),
+            "att.ln_x.weight": vec(c, offset=1.0, scale=0.02),
+            "att.ln_x.bias": vec(c, scale=0.02),
+            "ffn.x_k": vec(c, scale=0.2, offset=0.5),
+        }
+        if i != 0:
+            lyr.update({
+                "att.v0": vec(c, scale=0.3),
+                "att.v1": w((d, c)),
+                "att.v2": w((c, d)),
+            })
+        params["blocks"].append(lyr)
+    return params

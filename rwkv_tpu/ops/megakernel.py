@@ -80,6 +80,37 @@ def _np_dense(w) -> np.ndarray:
     return np.asarray(w, np.float32)
 
 
+def _jnp_dense(w):
+    """Device-side _np_dense: used when the param leaves already live on
+    an accelerator (benchmark pytrees synthesized on chip — the ~36 MB/s
+    remote-TPU tunnel makes a host round-trip of a 1.5B pytree take ~40
+    minutes)."""
+    from rwkv_tpu.ops.parity import Weight
+
+    if isinstance(w, Weight):
+        if w.kind == "dense":
+            return jnp.asarray(w.w, jnp.float32)
+        arr = w.q.astype(jnp.float32) * w.d.astype(jnp.float32)[..., None]
+        if w.m is not None:
+            arr = arr + w.m.astype(jnp.float32)[..., None]
+        return arr.reshape(arr.shape[0], -1)
+    return jnp.asarray(w, jnp.float32)
+
+
+def _params_on_accel(params) -> bool:
+    """True when the pytree's weight leaves live on a non-CPU device —
+    pack building then stays in jnp ops on device."""
+    w = params["blocks"][0].get("att.key.weight", params.get("head"))
+    arr = getattr(w, "w", None)
+    if arr is None:
+        arr = getattr(w, "q", w)
+    try:
+        return (isinstance(arr, jax.Array)
+                and next(iter(arr.devices())).platform != "cpu")
+    except Exception:  # noqa: BLE001 — non-jax leaves are host arrays
+        return False
+
+
 _V7_RKV = ("att.receptance.weight", "att.key.weight", "att.value.weight")
 _V7_L1 = ("att.w1", "att.a1", "att.g1", "att.v1")
 _V7_L2 = ("att.w2", "att.a2", "att.g2", "att.v2")
@@ -90,6 +121,12 @@ def _quantize_rows(w, four: bool):
     four=True: int4 codes in [-7, 7] (scale amax/7) — stored unpacked
     here; the retile functions pack nibble pairs along K."""
     qmax = 7.0 if four else 127.0
+    if isinstance(w, jax.Array):  # device path (same formula in jnp)
+        amax = jnp.max(jnp.abs(w), axis=-1, keepdims=True)
+        d = amax / qmax
+        inv = jnp.where(d > 0, 1.0 / jnp.maximum(d, 1e-30), 0.0)
+        q = jnp.clip(jnp.rint(w * inv), -qmax, qmax).astype(jnp.int8)
+        return q, d.astype(jnp.float32)
     amax = np.abs(w).max(axis=-1, keepdims=True)
     d = amax / qmax
     inv = np.where(d > 0, 1.0 / np.maximum(d, 1e-30), 0.0)
@@ -146,7 +183,8 @@ def _attach_head(pack: dict, params: dict, cfg, quant: bool) -> None:
     un-overlapped stream. Scales live as a [1, V] ROW (a [V, 1] column
     would lane-pad 1 -> 128)."""
     c = cfg.n_embed
-    hw = _np_dense(params["head"])
+    hw = (_jnp_dense if _params_on_accel(params) else _np_dense)(
+        params["head"])
     if quant:
         q, dd = _quantize_rows(hw[None], False)
         pack["head8"], pack["head_d"] = q[0], dd[0].T
@@ -179,22 +217,26 @@ def build_mega_pack(params: dict, cfg, quant: bool = True,
     h, s = cfg.head_count, cfg.head_size
     blocks = [dict(b) for b in params["blocks"]]
     n_layer = len(blocks)
+    # device mode: leaves on an accelerator stack/quantize in jnp there
+    dev = _params_on_accel(params)
+    dense = _jnp_dense if dev else _np_dense
+    xp = jnp if dev else np
     # layer 0 has no v0/v1/v2 (selected away by the i==0 branch)
     if n_layer > 1:
         for key in ("att.v0", "att.v1", "att.v2"):
             if key not in blocks[0]:
-                blocks[0][key] = np.zeros_like(_np_dense(blocks[1][key]))
+                blocks[0][key] = xp.zeros_like(dense(blocks[1][key]))
 
     def stack(keys_or_key):
         if isinstance(keys_or_key, tuple):
-            return np.stack([
-                np.concatenate([_np_dense(b[k]) for k in keys_or_key])
+            return xp.stack([
+                xp.concatenate([dense(b[k]) for k in keys_or_key])
                 for b in blocks
             ])
-        return np.stack([_np_dense(b[keys_or_key]) for b in blocks])
+        return xp.stack([dense(b[keys_or_key]) for b in blocks])
 
-    d_lora = _np_dense(blocks[-1]["att.w1"]).shape[0]
-    f_dim = _np_dense(blocks[0]["ffn.key.weight"]).shape[0]
+    d_lora = dense(blocks[-1]["att.w1"]).shape[0]
+    f_dim = dense(blocks[0]["ffn.key.weight"]).shape[0]
 
     mats = {
         "rkv": stack(_V7_RKV),

@@ -29,6 +29,10 @@ import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if "--small" in sys.argv:
+    # CPU smoke must actually run on CPU: this image's jaxlib
+    # force-registers the axon TPU and ignores JAX_PLATFORMS.
+    jax.config.update("jax_platforms", "cpu")
 
 from rwkv_tpu.models.serve import ServingModel
 from rwkv_tpu.models.speculative import speculative_generate_device
@@ -56,20 +60,36 @@ def null_overhead():
 
 def main():
     print(f"backend: {jax.default_backend()}", flush=True)
+    big = "--15b" in sys.argv
     if SMALL:
         cfg_t = synth_config("7.0", n_layer=4, n_embed=256, n_vocab=1024,
                              head_size=64)
         cfg_d = synth_config("7.0", n_layer=2, n_embed=128, n_vocab=1024,
                              head_size=32)
+    elif big:
+        # the motivating scale: 1.5B-class target, 169M-class draft,
+        # params synthesized on device (w8a8 serving precision)
+        cfg_t = synth_config("7.0", n_layer=24, n_embed=2048,
+                             n_vocab=65536, head_size=64)
+        cfg_d = synth_config("7.0", n_layer=12, n_embed=768,
+                             n_vocab=65536, head_size=64)
     else:
         cfg_t = synth_config("7.0", n_layer=12, n_embed=768,
                              n_vocab=65536, head_size=64)
         cfg_d = synth_config("7.0", n_layer=4, n_embed=256,
                              n_vocab=65536, head_size=64)
-    params_t = synth_params(cfg_t, seed=0)
-    params_d = synth_params(cfg_d, seed=1)
-    target = ServingModel((cfg_t, params_t), precision="bf16")
-    draft = ServingModel((cfg_d, params_d), precision="bf16")
+    if big:
+        from rwkv_tpu.models.synth import synth_params_device
+
+        params_t = synth_params_device(cfg_t, seed=0, lora_dim=96)
+        params_d = synth_params_device(cfg_d, seed=1)
+        target = ServingModel((cfg_t, params_t), precision="w8a8")
+        draft = ServingModel((cfg_d, params_d), precision="w8a8")
+    else:
+        params_t = synth_params(cfg_t, seed=0)
+        params_d = synth_params(cfg_d, seed=1)
+        target = ServingModel((cfg_t, params_t), precision="bf16")
+        draft = ServingModel((cfg_d, params_d), precision="bf16")
     ov = null_overhead()
     print(f"sync overhead: {ov * 1e3:.1f} ms", flush=True)
 
@@ -86,16 +106,23 @@ def main():
     print(f"plain greedy decode: {base * 1e3:6.3f} ms/tok "
           f"({1 / base:7.1f} tok/s)", flush=True)
 
-    for label, d in (("weak-draft", draft), ("perfect-draft", target)):
+    # weak-draft = real acceptance of the random-weight pair (~0, the
+    # honest lower bound); forced-accept = acceptance-1 ceiling with the
+    # SAME cheap draft (benchmark knob); perfect-draft (draft==target)
+    # validates acceptance-1 semantics but with an expensive draft.
+    modes = [("weak-draft", draft, False), ("forced-accept", draft, True)]
+    if not big:
+        modes.append(("perfect-draft", target, False))
+    for label, d, force in modes:
         for k in ((4,) if SMALL else (2, 4, 8)):
             out, stats = speculative_generate_device(
-                target, d, PROMPT, N_GEN, k=k
+                target, d, PROMPT, N_GEN, k=k, force_accept=force
             )  # compile + acceptance measurement
             best = 1e9
             for _ in range(3):
                 t0 = time.perf_counter()
                 out, stats = speculative_generate_device(
-                    target, d, PROMPT, N_GEN, k=k
+                    target, d, PROMPT, N_GEN, k=k, force_accept=force
                 )
                 best = min(best, time.perf_counter() - t0)
             per = (best - ov) / N_GEN
