@@ -930,3 +930,33 @@ def test_megamodel_tiled_packed_batched():
         assert np.abs(lm_ - lr_).max() / scale < 5e-2
         assert (lm_.argmax(-1) == lr_.argmax(-1)).all()
         toks = lr_.argmax(-1).astype(np.int32)
+
+
+def test_device_pack_build_matches_host():
+    """build_mega_pack's device path (jnp stack/densify/quantize, used
+    when the param leaves live on an accelerator) must produce the SAME
+    pack as the host numpy path — int8 codes bit-identical, scales and
+    vectors exact."""
+    from unittest import mock
+
+    from rwkv_tpu.models.synth import synth_config, synth_params
+    from rwkv_tpu.ops import megakernel as mk
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=128, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=23, lora_dim=32)
+    host = mk.build_mega_pack(params, cfg, quant=True, head=True)
+    with mock.patch.object(mk, "_params_on_accel", return_value=True):
+        dev = mk.build_mega_pack(params, cfg, quant=True, head=True)
+    assert host.keys() == dev.keys()
+    for k in host:
+        a, b = host[k], dev[k]
+        if not hasattr(a, "shape"):
+            assert a == b, k
+            continue
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype == np.int8:
+            assert np.array_equal(a, b), k  # codes bit-identical
+        else:
+            np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7,
+                                       err_msg=k)
