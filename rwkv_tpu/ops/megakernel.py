@@ -1459,11 +1459,11 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
     a multiple of n_proj so tiles never straddle a projection boundary;
     n_proj=3 for v7's r/k/v, 4 for v6's r/k/v/g).
 
-    w4=True budgets the big mats at HALF a byte per element (split-half
-    nibble pairs), so windows keep the SAME byte size as w8a8 and the
-    phase count halves — the round-3 w4 kernels inherited w8's row
-    counts, doubling per-phase fixed overhead per streamed byte (one of
-    the two causes of the 312 GB/s effective w4 stream)."""
+    w4 windows keep w8a8's ROW counts (same tile shapes, half the bytes
+    per window after nibble packing): measured on chip, halving the
+    phase count instead ("byte-sized" 2x-row windows) loses 3x at 7B.
+    The `w4` flag is accepted for call-site stability but no longer
+    changes the tiling."""
     h, s, c = cfg.head_count, cfg.head_size, cfg.n_embed
     f = f_dim if f_dim is not None else 4 * c
     # Tile budgets shrink at 7B-class widths: the fixed VMEM costs
@@ -1477,9 +1477,15 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
         # 4-projection layers (v6/v5.2) keep more concurrent weight
         # windows resident than v7 (rkvg + out + fr + fk/fv, plus v6's
         # decay/maa chain); at C=2048 and C=4096 the default windows
-        # overflow the 128MB VMEM by 4-6MB on chip (v5e) — halve the
-        # window budget.
-        mm_budget //= 2
+        # overflow the 128MB VMEM by 4-6MB on chip (v5e) — shrink the
+        # window budget (RWKV_V6_BUDGET_NUM/DEN override for on-chip
+        # probing — the halving costs 7B v6 ~170 GB/s of stream, and the
+        # measured overflow was only 3-5% of VMEM).
+        import os as _os
+
+        num = int(_os.environ.get("RWKV_V6_BUDGET_NUM", "1"))
+        den = int(_os.environ.get("RWKV_V6_BUDGET_DEN", "2"))
+        mm_budget = mm_budget * num // den
     if packed and batch > 1 and c >= 2048:
         # the packed-batch scratch columns ([C, B] f32, lane-padded)
         # plus a fused [3C, C] rkv window overflow VMEM by ~1.5MB at
@@ -1501,8 +1507,13 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
         if nh > h:
             nh = h
             break
-    # weight bytes per element, in half-bytes (w4 packs nibble pairs)
-    whb = 1 if (quant and w4) else (2 if quant else 4)
+    # weight ELEMENTS per window match w8a8 (w4 windows then hold half
+    # the bytes). The round-4 "w4 windows keep w8's byte size" variant
+    # (whb=1: 2x rows per window, half the phases) measured 2% faster
+    # at 1.5B but 3x SLOWER at 7B (35.5 vs 11.5 ms/tok — the doubled-row
+    # windows starve the wide row-tiled pipeline); element-parity wins
+    # at both sizes (1.5B 2.234 ms, 7B 11.51 ms on chip).
+    whb = 2 if quant else 4
     nf = 1
     while (f * c * whb) // (2 * nf) > mm_budget or f % nf:
         nf += 1
