@@ -109,10 +109,18 @@ def main():
                 )
                 return (state_t, logits), None
 
+            heads_t = jnp.swapaxes(state["heads"][0], -1, -2)
+            L_, h_, s_ = cfg.n_layer, cfg.head_count, cfg.head_size
+            if h_ % 2 == 0:
+                # head-pair layout [L, H/2, S_j, 2*S_i]: exact 128
+                # lanes — the [H, S_j, S_i] block pads S_i 64 -> 128
+                hp = heads_t.reshape(L_, h_ // 2, 2, s_, s_)
+                heads_t = jnp.transpose(hp, (0, 1, 3, 2, 4)).reshape(
+                    L_, h_ // 2, s_, 2 * s_)
             state_t = {
                 "att_xx": state["att_xx"][0][:, None, :],  # [L, 1, C] rows
                 "ffn_xx": state["ffn_xx"][0][:, None, :],
-                "heads": jnp.swapaxes(state["heads"][0], -1, -2),
+                "heads": heads_t,
             }
             (state_t, logits), _ = jax.lax.scan(
                 body, (state_t, logits), None, length=n_gen

@@ -716,6 +716,11 @@ class ServingModel:
                 for k in ("quant", "w4", "d_lora", "f_dim")
             }
 
+            L = cfg.n_layer
+            h, s = cfg.head_count, cfg.head_size
+            # head-pair kernel state (exact 128 lanes; see _make_kernel)
+            paired = h % 2 == 0
+
             @jax.jit
             def run(params, pack_arrs, state, token):  # state [1, L, ...]
                 pack = {**pack_arrs, **meta}
@@ -724,10 +729,16 @@ class ServingModel:
                 )
                 # token-shift state as [L, 1, C] ROWS (column windows
                 # are scatter DMAs — see rowify_mega_pack)
+                heads_t = jnp.swapaxes(state["heads"][0], -1, -2)
+                if paired:
+                    # [L, H, S_j, S_i] -> [L, H/2, S_j, 2*S_i]
+                    hp = heads_t.reshape(L, h // 2, 2, s, s)
+                    heads_t = jnp.transpose(hp, (0, 1, 3, 2, 4)).reshape(
+                        L, h // 2, s, 2 * s)
                 state_t = {
                     "att_xx": state["att_xx"][0][:, None, :],
                     "ffn_xx": state["ffn_xx"][0][:, None, :],
-                    "heads": jnp.swapaxes(state["heads"][0], -1, -2),
+                    "heads": heads_t,
                 }
                 if in_kernel_head:
                     y, new_t, lg = v7_decode_megakernel(
@@ -742,10 +753,15 @@ class ServingModel:
                     )
                     xo = p_ln(y[:, 0], *params["ln_out"])
                     logits = G.mm(xo[None, :], params["head"])
+                nh_ = new_t["heads"]
+                if paired:
+                    hp = nh_.reshape(L, h // 2, s, 2, s)
+                    nh_ = jnp.transpose(hp, (0, 1, 3, 2, 4)).reshape(
+                        L, h, s, s)
                 new_state = {
                     "att_xx": new_t["att_xx"][None, :, 0, :],
                     "ffn_xx": new_t["ffn_xx"][None, :, 0, :],
-                    "heads": jnp.swapaxes(new_t["heads"], -1, -2)[None],
+                    "heads": jnp.swapaxes(nh_, -1, -2)[None],
                 }
                 return logits, new_state
 

@@ -385,7 +385,15 @@ def _emit_head_phases(i, n_layer, head_nt, v_t, quant, rows, ln, qx,
 
 
 def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
-                 head_nt=0, v_t=0, rows=False, srows=False):
+                 head_nt=0, v_t=0, rows=False, srows=False, flat=False):
+    # flat=True: HEAD-PAIR wkv state [H/2, S_j, 2*S_i] — lane half p
+    # holds head 2hh+p, so the lane dim is exactly 128 at S=64 where
+    # the [H, S_j, S_i] layout pads S_i 64->128 and streams 2x the
+    # state bytes (~6% of the B=1 HBM stream at 169M). Layout moves
+    # are stride-2 slices of the UNTILED head dim + lane-half masks —
+    # pure VPU (an earlier [S_j, H*S_i] design needed f32-HIGHEST
+    # permutation matmuls that cost more than the padding saved).
+    assert not flat or h % 2 == 0, "head-pair state needs even H"
     def mm(w, x):
         """W [N, K] @ x [K, 1] -> [N, 1] f32. quant: W int8 with row scales
         folded by the caller; else bf16 weights."""
@@ -546,7 +554,7 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
             v_pre = v
             v = jnp.where(i == 0, v, v_mixed)
 
-            # ---- wkv7 step (transposed state [H, S_j, S_i]) ---------------
+            # ---- wkv7 step ------------------------------------------------
             def col3(vec):
                 return vec.reshape(h, s, 1)
 
@@ -557,26 +565,88 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
             r3, w3, k3, v3 = col3(r), col3(w_dec), col3(k), col3(v)
             a3 = -kk
             b3 = kk * col3(a_gate.reshape(c, 1))
-
-            st = heads_in[0]
-            sa_row = jnp.sum(st * a3, axis=1, keepdims=True)       # [H, 1, S_i]
-            v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)       # col -> row
-            st = st * w3 + k3 * v_row + b3 * sa_row
-            out_row = jnp.sum(st * r3, axis=1, keepdims=True)      # [H, 1, S_i]
-            heads_out[0] = st
-
-            # group norm per head over S (lanes of out_row), eps 64e-5
-            mu = jnp.mean(out_row, axis=2, keepdims=True)
-            yc = out_row - mu
-            var = jnp.mean(yc * yc, axis=2, keepdims=True)
-            y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
-            y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)    # row -> col
-            xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
-
             rk3 = vec(rk).reshape(h, s, 1) if rows else rk[0]
             dots = jnp.sum(k3 * r3 * rk3, axis=1, keepdims=True)  # [H, 1, 1]
-            bonus = (v3 * dots).reshape(c, 1)
-            xo = (xo + bonus) * g
+
+            if flat:
+                # HEAD-PAIR state [H/2, S_j, 2*S_i]: lane half p holds
+                # head 2*hh+p, so the lane dim is exactly 128 at S=64 —
+                # the [H, S_j, S_i] layout pads S_i 64->128 and streams
+                # 2x the state bytes (the round-3 "last ~6%"). Every
+                # layout move here is a stride-2 slice of the UNTILED
+                # head dim plus a lane-half select — pure VPU, no
+                # permutation matmuls, no lane-dim reshapes.
+                lane_m = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, 2 * s), 2)
+                lane2 = lane_m < s
+                # per-half row<->col selection masks (m == i / m == i+s);
+                # 64-lane slices and (2, s) lane reshapes both relayout,
+                # masks + reduces stay pure VPU
+                i2 = jax.lax.broadcasted_iota(jnp.int32, (s, 2 * s), 0)
+                m2 = jax.lax.broadcasted_iota(jnp.int32, (s, 2 * s), 1)
+                eye_l = (m2 == i2).astype(jnp.float32)[None]
+                eye_r = (m2 == i2 + s).astype(jnp.float32)[None]
+
+                def pair_j(op3):
+                    # [h, s_j, 1] -> [h/2, s_j, 2s]: head 2hh+p on half p
+                    return jnp.where(lane2, op3[0::2], op3[1::2])
+
+                # v as [h/2, 1, 2s] rows: v3 pair columns -> per-half rows
+                v_col_e = v3[0::2]                    # [h/2, s, 1]
+                v_col_o = v3[1::2]
+                v_row2 = jnp.sum(
+                    v_col_e * eye_l + v_col_o * eye_r,
+                    axis=1, keepdims=True,
+                )                                     # [h/2, 1, 2s]
+                st = heads_in[0]                     # [h/2, s_j, 2s]
+                a2 = pair_j(a3)
+                sa2 = jnp.sum(st * a2, axis=1, keepdims=True)
+                st = (st * pair_j(w3) + pair_j(k3) * v_row2
+                      + pair_j(b3) * sa2)
+                out2 = jnp.sum(st * pair_j(r3), axis=1, keepdims=True)
+                heads_out[0] = st
+
+                # group norm per head = stats over each 64-lane HALF
+                inv_s = jnp.float32(1.0 / s)
+                msk = lane2.astype(jnp.float32)
+                mu_l = jnp.sum(out2 * msk, axis=2, keepdims=True) * inv_s
+                mu_r = jnp.sum(out2 * (1.0 - msk), axis=2,
+                               keepdims=True) * inv_s
+                mu = jnp.where(lane2, mu_l, mu_r)
+                yc = out2 - mu
+                var_l = jnp.sum(yc * yc * msk, axis=2,
+                                keepdims=True) * inv_s
+                var_r = jnp.sum(yc * yc * (1.0 - msk), axis=2,
+                                keepdims=True) * inv_s
+                var = jnp.where(lane2, var_l, var_r)
+                y_row2 = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+                # back to [h, s, 1] columns: per-half row->col masked
+                # reduces, then re-interleave pairs on the untiled dim
+                y_l = jnp.sum(y_row2 * eye_l, axis=2,
+                              keepdims=True)          # [h/2, s, 1]
+                y_r = jnp.sum(y_row2 * eye_r, axis=2, keepdims=True)
+                y_col = jnp.stack([y_l, y_r], axis=1).reshape(h, s, 1)
+                xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
+                bonus = (v3 * dots).reshape(c, 1)
+                xo = (xo + bonus) * g
+            else:
+                st = heads_in[0]
+                sa_row = jnp.sum(st * a3, axis=1, keepdims=True)   # [H, 1, S_i]
+                v_row = jnp.sum(v3 * eye, axis=1, keepdims=True)   # col -> row
+                st = st * w3 + k3 * v_row + b3 * sa_row
+                out_row = jnp.sum(st * r3, axis=1, keepdims=True)  # [H, 1, S_i]
+                heads_out[0] = st
+
+                # group norm per head over S (lanes of out_row), eps 64e-5
+                mu = jnp.mean(out_row, axis=2, keepdims=True)
+                yc = out_row - mu
+                var = jnp.mean(yc * yc, axis=2, keepdims=True)
+                y_row = yc * jax.lax.rsqrt(var + jnp.float32(64e-5))
+                y_col = jnp.sum(y_row * eye, axis=2, keepdims=True)    # row -> col
+                xo = y_col.reshape(c, 1) * vec(lnxw) + vec(lnxb)
+
+                bonus = (v3 * dots).reshape(c, 1)
+                xo = (xo + bonus) * g
 
             att_proj = matv(out_w, out_d if quant else None, 0, c, xo)
             if debug:
@@ -656,9 +726,12 @@ def v7_decode_megakernel(
         head_nt, v_t = plan
 
     srows = state_t["att_xx"].shape[1] == 1  # [L, 1, C] row state
+    # head-pair state [L, H/2, S_j, 2*S_i] (exact 128 lanes at S=64)
+    flat = state_t["heads"].shape[1] == h // 2
+    hshape = (h // 2, s, 2 * s) if flat else (h, s, s)
     kernel = _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant,
                           debug=debug, head_nt=head_nt, v_t=v_t,
-                          rows=rows, srows=srows)
+                          rows=rows, srows=srows, flat=flat)
 
     def blocked(shape):
         if has_head:
@@ -725,7 +798,7 @@ def v7_decode_megakernel(
     )
     in_specs = (
         [whole((c, 1)), blocked(sshape), blocked(sshape),
-         blocked((h, s, s))]
+         blocked(hshape)]
         + mat_specs + vec_specs
         + [blocked(pack["coeff"].shape[1:]), blocked(pack["r_k"].shape[1:])]
         + head_specs
@@ -735,11 +808,11 @@ def v7_decode_megakernel(
         jax.ShapeDtypeStruct((c, 1), jnp.float32),
         jax.ShapeDtypeStruct((n_layer,) + sshape, jnp.float32),
         jax.ShapeDtypeStruct((n_layer,) + sshape, jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, h, s, s), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer,) + hshape, jnp.float32),
     )
     out_specs = (
         whole((c, 1)), blocked(sshape), blocked(sshape),
-        blocked((h, s, s)),
+        blocked(hshape),
     )
     if debug:
         out_shapes = out_shapes + (
