@@ -475,6 +475,8 @@ class ServingModel:
         # pallas_call for all layers, weights double-buffered per layer.
         self._mega = None
         self._mega_tp = None
+        self._mega_big = False
+        self._mega_rows = None
         if megakernel and mesh is not None:
             # Multi-chip decode: per-layer TP Pallas kernels + psum under
             # shard_map (ops/megakernel_tp.py). v4-v7, B=1, w8a8/bf16.

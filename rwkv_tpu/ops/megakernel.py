@@ -587,13 +587,20 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
                 eye_l = (m2 == i2).astype(jnp.float32)[None]
                 eye_r = (m2 == i2 + s).astype(jnp.float32)[None]
 
+                def halves_of(op3):
+                    # [h, s, 1] -> two [h/2, s, 1]: reshape the UNTILED
+                    # head dim and index it (a stride-2 slice lowers to
+                    # a >2-D gather Mosaic rejects natively)
+                    hp = op3.reshape(h // 2, 2, s, 1)
+                    return hp[:, 0], hp[:, 1]
+
                 def pair_j(op3):
                     # [h, s_j, 1] -> [h/2, s_j, 2s]: head 2hh+p on half p
-                    return jnp.where(lane2, op3[0::2], op3[1::2])
+                    ev, od = halves_of(op3)
+                    return jnp.where(lane2, ev, od)
 
                 # v as [h/2, 1, 2s] rows: v3 pair columns -> per-half rows
-                v_col_e = v3[0::2]                    # [h/2, s, 1]
-                v_col_o = v3[1::2]
+                v_col_e, v_col_o = halves_of(v3)      # [h/2, s, 1] each
                 v_row2 = jnp.sum(
                     v_col_e * eye_l + v_col_o * eye_r,
                     axis=1, keepdims=True,
@@ -3375,7 +3382,9 @@ def v6_decode_megakernel_tiled(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
             # see the v7 tiled kernel's note on this limit
-            vmem_limit_bytes=120 * 1024 * 1024,
+            # (RWKV_VMEM_MB: on-chip probing override)
+            vmem_limit_bytes=int(__import__("os").environ.get(
+                "RWKV_VMEM_MB", "120")) * 1024 * 1024,
         ),
         interpret=interpret,
     )(*args)

@@ -117,13 +117,13 @@ def synth_pack_device(cfg, nf, nr, no, seed=0):
         return sub
 
     def qmat(shape):
-        # int8 codes WITHOUT the int32 transient: randint materializes
-        # an int32 array first (4x bytes - at 14B a single mat's
-        # transient is ~8GB and eagerly OOMs the 16GB chip). uint8
-        # random bits -> int8 bitcast -> clip keeps peak = 2x int8.
-        bits = jax.lax.bitcast_convert_type(
-            jax.random.bits(nxt(), shape, jnp.uint8), jnp.int8)
-        return jnp.clip(bits, -127, 127)
+        # leading-dim chunks: randint materializes an int32 transient
+        # (4x the int8 output) - one-shot at 14B that is ~8GB and OOMs
+        # the chip; per-slice it is a few MB. (random.bits+bitcast hit
+        # a remote-compile failure on this stack.)
+        parts = [jax.random.randint(nxt(), shape[1:], -127, 128, jnp.int8)
+                 for _ in range(shape[0])]
+        return jnp.stack(parts)
 
     def scale(shape):
         return jnp.full(shape, 0.01, jnp.float32)
