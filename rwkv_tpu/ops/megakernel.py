@@ -2978,84 +2978,105 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         i = pl.program_id(0)
         p = pl.program_id(1)
 
-        def cv(ref):
-            """Row-stored vector block [1, N] -> column [N, 1] (exact
-            natively — probe_row_layout.py pA)."""
-            return ref[0].T
+        # FULL-ROW data plane: activations, scratches and matvec
+        # outputs are [1, N] rows end to end. A [N, 1] f32 scratch
+        # lane-pads 1 -> 128 (2MB each at C=4096 - the 17 column
+        # scratches cost ~42MB of VMEM and forced the halved weight
+        # windows that held 7B v6 at 333 GB/s), and per-access
+        # row<->column transposes measured ~12 ms/tok at nf=64. Row
+        # matvecs contract both operands on the LANE dim (the
+        # in-kernel LM head's verified form); the only remaining
+        # columns are the per-head wkv tiles and the tiny maa mixdn.
 
-        def matv(w, d, xcol):
-            """w [N, K] (already sliced), d [N, 1] row scales or None."""
-            if quant:
-                x8, dx = qx(xcol)
-                acc = mm(w, x8)
-                return acc.astype(jnp.float32) * dx * d
-            # bf16 weights upcast in-register: Mosaic's single-pass
-            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
-            # accumulates exactly like the XLA per-op path and the
-            # extra MXU passes are free in a bandwidth-bound decode.
+        def mmr(x8row, w):
+            """[1, K] x [N, K] -> [1, N]."""
             return jax.lax.dot_general(
-                w.astype(jnp.float32), xcol,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                x8row, w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32 if quant else jnp.float32,
+            )
+
+        def matv(w, d_row, xrow):
+            """w [N, K], d_row [1, N] row scales or None; xrow [1, K]."""
+            if quant:
+                x8, dx = qx(xrow)
+                return mmr(x8, w).astype(jnp.float32) * dx * d_row
+            return jax.lax.dot_general(
+                xrow, w.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        def matv4(w, d, xcol):
-            """split-half biased-lo packed int4 (see _w4_acc)."""
+        def matv4(w, d_row, xrow):
+            """split-half biased-lo packed int4 (see _w4_acc), row form."""
             kh = w.shape[1]
-            x8, dx = qx(xcol)
-            acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+            x8, dx = qx(xrow)
+            lo8 = x8[:, :kh]
+            hi8 = x8[:, kh:]
+            lo_u = w & jnp.int8(15)
+            hi16 = w & jnp.int8(-16)
+            sx8 = jnp.sum(lo8.astype(jnp.int32))
+            acc16 = mmr(hi8, hi16) + 16 * mmr(lo8, lo_u) - 128 * sx8
             return acc16.astype(jnp.float32) * (
-                dx * jnp.float32(_W4_INV16)) * d
+                dx * jnp.float32(_W4_INV16)) * d_row
 
         mv_big = matv4 if w4 else matv
+
+        def lnr(v, w_row, b_row, eps):
+            mu = jnp.mean(v, axis=1, keepdims=True)
+            vc = v - mu
+            var = jnp.mean(vc * vc, axis=1, keepdims=True)
+            return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w_row + b_row
 
         # ---- phase 0: token shift + maa/decay LoRA chains -------------
         @pl.when(p == 0)
         def _shift_loras():
             @pl.when(i == 0)
             def _():
-                x_s[:] = x0_ref[:]
+                x_s[:] = x0_ref[:].T        # [C, 1] -> row, once/token
 
-            x = x_s[:]
-            xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
+            x = x_s[:]                      # [1, c]
+            xl = lnr(x, ln1w[0], ln1b[0], 1e-5)
             sx = att_in[0] - xl
             att_out[0] = xl
 
-            xxx = xl + sx * cv(maax)
+            xxx = xl + sx * maax[0]
+            # mixdn as a [5d, 1] column: its per-projection slices are
+            # sublane slices (d=32-aligned); a [1, 5d] row would need
+            # misaligned lane slices
             mixdn = jnp.tanh(
-                matv(maa1[0], maa1_d[0].T if quant else None, xxx)
-            )
+                matv(maa1[0], maa1_d[0] if quant else None, xxx)
+            ).T
             d = d_maa
 
             def maa_up(lo_c, lo_d):
                 # always-f32 up-projection at HIGHEST precision (see the
-                # _V6_MAT_KEYS note — Mosaic's default f32 matmul is a
-                # single bf16 MXU pass natively). maa2 is stored
-                # TRANSPOSED [d, 5C] (see retile_mega_pack_v6) so the
-                # window doesn't lane-pad d -> 128; contract on dim 0.
+                # _V6_MAT_KEYS note). maa2 is stored TRANSPOSED [d, 5C]
+                # (retile_mega_pack_v6); contracting its dim 0 with the
+                # mixdn column emits the [1, c] ROW directly.
                 return jax.lax.dot_general(
-                    maa2[0][:, lo_c:lo_c + c], mixdn[lo_d:lo_d + d],
+                    mixdn[lo_d:lo_d + d], maa2[0][:, lo_c:lo_c + c],
                     dimension_numbers=(((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )
 
-            cf = maa5[0].T.reshape(5, c, 1)  # order w, k, v, r, g
-            xw = xl + sx * (cf[0] + maa_up(0 * c, 0 * d))
-            xk_in_s[:] = xl + sx * (cf[1] + maa_up(1 * c, 1 * d))
-            xv_in_s[:] = xl + sx * (cf[2] + maa_up(2 * c, 2 * d))
-            xr_in_s[:] = xl + sx * (cf[3] + maa_up(3 * c, 3 * d))
-            xg_in_s[:] = xl + sx * (cf[4] + maa_up(4 * c, 4 * d))
+            cf = maa5[0]                    # [1, 5c] row; order w,k,v,r,g
+            xw = xl + sx * (cf[:, 0 * c:1 * c] + maa_up(0 * c, 0 * d))
+            xk_in_s[:] = xl + sx * (cf[:, 1 * c:2 * c] + maa_up(1 * c, 1 * d))
+            xv_in_s[:] = xl + sx * (cf[:, 2 * c:3 * c] + maa_up(2 * c, 2 * d))
+            xr_in_s[:] = xl + sx * (cf[:, 3 * c:4 * c] + maa_up(3 * c, 3 * d))
+            xg_in_s[:] = xl + sx * (cf[:, 4 * c:5 * c] + maa_up(4 * c, 4 * d))
 
-            w_dn = jnp.tanh(matv(dw1[0], dw1_d[0].T if quant else None, xw))
-            w_l = matv(dw2[0], dw2_d[0].T if quant else None, w_dn)
-            wd_s[:] = jnp.exp(-jnp.exp(w_l + cv(tdecay)))
+            w_dn = jnp.tanh(matv(dw1[0], dw1_d[0] if quant else None, xw))
+            w_l = matv(dw2[0], dw2_d[0] if quant else None, w_dn)
+            wd_s[:] = jnp.exp(-jnp.exp(w_l + tdecay[0]))
 
             if fused:
                 def proj(q, xin):
                     return mv_big(
-                        rkvg[0, q], rkvg_d[0, q].T if quant else None, xin
+                        rkvg[0, q], rkvg_d[0, q] if quant else None, xin
                     )
 
                 r_s[:] = proj(0, xr_in_s[:])
@@ -3072,29 +3093,30 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
                 q = t // m          # projection: 0=r, 1=k, 2=v, 3=g
                 sft = (t % m) * c_g
                 w = rkvg[0, 0]                              # [c_g, C]
-                dd = rkvg_d[0, 0].T if quant else None      # [c_g, 1]
+                dd = rkvg_d[0, 0] if quant else None        # [1, c_g]
                 xin = jnp.where(
                     q == 0, xr_in_s[:],
                     jnp.where(q == 1, xk_in_s[:],
-                              jnp.where(q == 2, xv_in_s[:], xg_in_s[:])),
+                              jnp.where(q == 2, xv_in_s[:],
+                                        xg_in_s[:])),
                 )
                 acc = mv_big(w, dd, xin)
 
                 @pl.when(q == 0)
                 def _():
-                    r_s[pl.dslice(sft, c_g)] = acc
+                    r_s[:, pl.dslice(sft, c_g)] = acc
 
                 @pl.when(q == 1)
                 def _():
-                    k_s[pl.dslice(sft, c_g)] = acc
+                    k_s[:, pl.dslice(sft, c_g)] = acc
 
                 @pl.when(q == 2)
                 def _():
-                    v_s[pl.dslice(sft, c_g)] = acc
+                    v_s[:, pl.dslice(sft, c_g)] = acc
 
                 @pl.when(q == 3)
                 def _():
-                    g_s[pl.dslice(sft, c_g)] = acc * jax.nn.sigmoid(acc)
+                    g_s[:, pl.dslice(sft, c_g)] = acc * jax.nn.sigmoid(acc)
 
         # ---- phases P_WKV0..: wkv6 + group norm + gate per head tile --
         @pl.when((p >= P_WKV0) & (p < P_WKV0 + nh))
@@ -3103,7 +3125,10 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
             rows_lo = t * h4 * s
 
             def tile(ref):
-                return ref[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, 1)
+                # row scratch slice -> per-head [h4, s, 1] columns (the
+                # only row->column move left; [1, h4*s] is small)
+                return ref[:, pl.dslice(rows_lo, h4 * s)].T.reshape(
+                    h4, s, 1)
 
             r3, k3, v3, w3 = tile(r_s), tile(k_s), tile(v_s), tile(wd_s)
             tf3 = tf[0, pl.dslice(t * h4, h4)]             # [h4, s, 1]
@@ -3128,26 +3153,26 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
 
             lw = lnxw[0, pl.dslice(rows_lo, h4 * s)]
             lb = lnxb[0, pl.dslice(rows_lo, h4 * s)]
-            gt = g_s[pl.dslice(rows_lo, h4 * s)]
-            xo_s[pl.dslice(rows_lo, h4 * s)] = (yn * lw + lb) * gt
+            gt = g_s[:, pl.dslice(rows_lo, h4 * s)].T
+            xo_s[:, pl.dslice(rows_lo, h4 * s)] = ((yn * lw + lb) * gt).T
 
         # ---- phases P_OUT0..: att out-projection row tiles ------------
         @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
         def _out_tile():
             t = p - P_OUT0
             w = out_w[0, 0]                                 # [c_o, C]
-            d = out_d[0, 0].T if quant else None
-            ap_s[pl.dslice(t * c_o, c_o)] = mv_big(w, d, xo_s[:])
+            d = out_d[0, 0] if quant else None
+            ap_s[:, pl.dslice(t * c_o, c_o)] = mv_big(w, d, xo_s[:])
 
         # ---- phase P_FSH: residual + FFN token shift ------------------
         @pl.when(p == P_FSH)
         def _ffn_shift():
             x = x_s[:] + ap_s[:]
-            xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
+            xl2 = lnr(x, ln2w[0], ln2b[0], 1e-5)
             sx2 = ffn_in[0] - xl2
             ffn_out[0] = xl2
-            xk2_s[:] = xl2 + sx2 * cv(fxk)
-            xr2_s[:] = xl2 + sx2 * cv(fxr)
+            xk2_s[:] = xl2 + sx2 * fxk[0]
+            xr2_s[:] = xl2 + sx2 * fxr[0]
             x_s[:] = x
             acc_s[:] = jnp.zeros_like(acc_s)
 
@@ -3156,8 +3181,8 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         def _fr_tile():
             t = p - P_FR0
             w = fr_w[0, 0]                                  # [c_o, C]
-            d = fr_d[0, 0].T if quant else None
-            rg_s[pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
+            d = fr_d[0, 0] if quant else None
+            rg_s[:, pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
                 mv_big(w, d, xr2_s[:])
             )
 
@@ -3166,18 +3191,18 @@ def _make_kernel_tiled_v6(c, h, s, d_maa, d_dec, f_dim, n_layer, quant,
         def _fk_tile():
             t = p - P_FK0
             hk = mv_big(
-                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
+                fk_w[0][0], fk_d[0][0] if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
-            h_s[pl.dslice(t * f4, f4)] = hk
+            h_s[:, pl.dslice(t * f4, f4)] = hk
 
         # ---- phases P_FV0..: fv tiles consume hidden slices -----------
         @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
         def _fv_tile():
             t = p - P_FV0
-            hk = h_s[pl.dslice(t * f4, f4)]
-            acc_s[:] += mv_big(
-                fv_w[0][0], fv_d[0].T if quant else None, hk
+            hk = h_s[:, pl.dslice(t * f4, f4)]
+            acc_s[:] = acc_s[:] + mv_big(
+                fv_w[0][0], fv_d[0] if quant else None, hk
             )
 
         # ---- finalize layer (same grid step as the last fv tile) ------
@@ -3199,7 +3224,10 @@ def v6_decode_megakernel_tiled(
 
     pack: retile_mega_pack_v6(build_mega_pack_v6(...)) output. State:
     att_xx/ffn_xx [L, C, 1], heads [L, nh, H/nh, S_j, S_i]. x0: [C, 1]
-    f32. Returns (x [C, 1], new state)."""
+    f32. Returns (x [C, 1], new state). Internally the kernel runs a
+    FULL-ROW data plane (token-shift state and scratches as [1, C]
+    rows - see _make_kernel_tiled_v6); the [L, C, 1] external contract
+    is converted at this boundary."""
     c, h, s = cfg.n_embed, cfg.head_count, cfg.head_size
     n_layer = cfg.n_layer
     d_maa, d_dec = pack["d_maa"], pack["d_dec"]
@@ -3332,25 +3360,27 @@ def v6_decode_megakernel_tiled(
     head_shape = (h4, s, s)
     args = (
         [x0.astype(jnp.float32),
-         state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
+         jnp.swapaxes(state_t["att_xx"], 1, 2),
+         jnp.swapaxes(state_t["ffn_xx"], 1, 2),
+         state_t["heads"]]
         + mat_args + vec_args
         + [pack["maa5"], pack["tdecay"], pack["tf"]]
     )
     in_specs = (
-        [whole((c, 1)), per_layer((c, 1)), per_layer((c, 1)),
+        [whole((c, 1)), per_layer((1, c)), per_layer((1, c)),
          head_spec(head_shape)]
         + mat_specs + vec_specs
         + [per_layer((1, 5 * c)), per_layer((1, c)), per_layer((h, s, 1))]
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, 1, c), jnp.float32),
         jax.ShapeDtypeStruct((n_layer, nh) + head_shape, jnp.float32),
     )
     out_specs = (
-        whole((c, 1)), per_layer((c, 1)), per_layer((c, 1)),
+        whole((1, c)), per_layer((1, c)), per_layer((1, c)),
         head_spec(head_shape),
     )
 
@@ -3361,23 +3391,25 @@ def v6_decode_megakernel_tiled(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((c, 1), jnp.float32),      # x_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xo_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xk2_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xr2_s
-            pltpu.VMEM((c, 1), jnp.float32),      # acc_s
-            pltpu.VMEM((f_dim, 1), jnp.float32),  # h_s
-            pltpu.VMEM((c, 1), jnp.float32),      # r_s
-            pltpu.VMEM((c, 1), jnp.float32),      # k_s
-            pltpu.VMEM((c, 1), jnp.float32),      # v_s
-            pltpu.VMEM((c, 1), jnp.float32),      # g_s
-            pltpu.VMEM((c, 1), jnp.float32),      # wd_s
-            pltpu.VMEM((c, 1), jnp.float32),      # rg_s
-            pltpu.VMEM((c, 1), jnp.float32),      # ap_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xr_in_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xk_in_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xv_in_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xg_in_s
+            # [1, N] ROWS: a [N, 1] f32 scratch lane-pads 1 -> 128
+            # (~2MB each at C=4096; 17 columns were ~42MB of VMEM)
+            pltpu.VMEM((1, c), jnp.float32),      # x_s
+            pltpu.VMEM((1, c), jnp.float32),      # xo_s
+            pltpu.VMEM((1, c), jnp.float32),      # xk2_s
+            pltpu.VMEM((1, c), jnp.float32),      # xr2_s
+            pltpu.VMEM((1, c), jnp.float32),      # acc_s
+            pltpu.VMEM((1, f_dim), jnp.float32),  # h_s
+            pltpu.VMEM((1, c), jnp.float32),      # r_s
+            pltpu.VMEM((1, c), jnp.float32),      # k_s
+            pltpu.VMEM((1, c), jnp.float32),      # v_s
+            pltpu.VMEM((1, c), jnp.float32),      # g_s
+            pltpu.VMEM((1, c), jnp.float32),      # wd_s
+            pltpu.VMEM((1, c), jnp.float32),      # rg_s
+            pltpu.VMEM((1, c), jnp.float32),      # ap_s
+            pltpu.VMEM((1, c), jnp.float32),      # xr_in_s
+            pltpu.VMEM((1, c), jnp.float32),      # xk_in_s
+            pltpu.VMEM((1, c), jnp.float32),      # xv_in_s
+            pltpu.VMEM((1, c), jnp.float32),      # xg_in_s
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -3388,7 +3420,9 @@ def v6_decode_megakernel_tiled(
         ),
         interpret=interpret,
     )(*args)
-    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+    return (y.T, {"att_xx": jnp.swapaxes(att_xx, 1, 2),
+                  "ffn_xx": jnp.swapaxes(ffn_xx, 1, 2),
+                  "heads": heads})
 
 
 # ---------------------------------------------------------------------------

@@ -44,8 +44,10 @@ PRECISION = "w8a8" if "--w8a8" in sys.argv else "bf16"
 PEAK = 197e12  # v5e bf16 (int8 ~394, but the prefill path is bf16 MXU)
 
 
-def synth_stacked_device(cfg, seed=0):
-    """Stacked serving params (v7) on device, bf16 mats / f32 vectors."""
+def synth_stacked_device(cfg, seed=0, big_mats=True):
+    """Stacked serving params (v7) on device, bf16 mats / f32 vectors.
+    big_mats=False skips the six big projections (the w8a8 mode fills
+    them with direct int8 synth — a 7B bf16 pytree alone is ~14GB)."""
     key = jax.random.PRNGKey(seed)
 
     def nk():
@@ -67,12 +69,6 @@ def synth_stacked_device(cfg, seed=0):
         "ln1.bias": v(C, scale=0.02),
         "ln2.weight": v(C, offset=1.0, scale=0.02),
         "ln2.bias": v(C, scale=0.02),
-        "att.key.weight": w((C, C)),
-        "att.value.weight": w((C, C)),
-        "att.receptance.weight": w((C, C)),
-        "att.output.weight": w((C, C)),
-        "ffn.key.weight": w((4 * C, C)),
-        "ffn.value.weight": w((C, 4 * C)),
         "att.x_rwkvag": v(6, C, scale=0.2, offset=0.5),
         "att.w0": v(C, scale=0.3),
         "att.w1": w((LORA, C)),
@@ -92,6 +88,16 @@ def synth_stacked_device(cfg, seed=0):
         "att.ln_x.bias": v(C, scale=0.02),
         "ffn.x_k": v(C, scale=0.2, offset=0.5),
     }
+
+    if big_mats:
+        blocks.update({
+            "att.key.weight": w((C, C)),
+            "att.value.weight": w((C, C)),
+            "att.receptance.weight": w((C, C)),
+            "att.output.weight": w((C, C)),
+            "ffn.key.weight": w((4 * C, C)),
+            "ffn.value.weight": w((C, 4 * C)),
+        })
 
     def v1(*shape, scale=0.1, offset=0.0):
         return (jax.random.normal(nk(), shape, jnp.float32) * scale + offset)
@@ -136,19 +142,35 @@ def main():
     print(f"sync overhead: {ov * 1e3:.1f} ms", flush=True)
 
     t0 = time.perf_counter()
-    params = synth_stacked_device(cfg)
+    params = synth_stacked_device(cfg, big_mats=PRECISION != "w8a8")
     if PRECISION == "w8a8":
-        # quantize the big mats on device (per-row int8, w8a8 layout)
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        from bench_15b import quantize_device
+        # big mats as DIRECT int8 synth (a 7B bf16 pytree is ~14GB and
+        # OOMs the 16GB chip before any quantization could run)
+        from rwkv_tpu.ops.kernels import PackedQuantWeight
 
-        for k, a in list(params["blocks"].items()):
-            if a.dtype == jnp.bfloat16 and a.ndim == 3:
-                lw = [quantize_device(a[i].astype(jnp.float32), "w8a8")
-                      for i in range(a.shape[0])]
-                params["blocks"][k] = jax.tree.map(
-                    lambda *xs: jnp.stack(xs), *lw)
-    jax.block_until_ready(params["blocks"]["att.key.weight"])
+        key = jax.random.PRNGKey(7)
+
+        def wq(out, kin):
+            nonlocal key
+            qs = []
+            for _ in range(L):
+                key, k1 = jax.random.split(key)
+                qs.append(jax.random.randint(
+                    k1, (kin, out), -127, 128, jnp.int8))
+            q = jnp.stack(qs)
+            d = jnp.full((L, 1, out), 1.0 / (127.0 * np.sqrt(kin)),
+                         jnp.float32)
+            return PackedQuantWeight(q=q, d=d, pack4=False, signed4=True,
+                                     rowwise=True, int8_act=True)
+
+        shapes = {
+            "att.key.weight": (C, C), "att.value.weight": (C, C),
+            "att.receptance.weight": (C, C), "att.output.weight": (C, C),
+            "ffn.key.weight": (4 * C, C), "ffn.value.weight": (C, 4 * C),
+        }
+        for k, (out, kin) in shapes.items():
+            params["blocks"][k] = wq(out, kin)
+    jax.block_until_ready(params["blocks"]["ln1.weight"])
     print(f"params on device in {time.perf_counter() - t0:.1f}s",
           flush=True)
 
