@@ -27,12 +27,19 @@ import jax
 
 jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if "--small" in sys.argv:
+    # this image's jaxlib force-registers the axon TPU; config override
+    # is the only way to actually run on CPU
+    jax.config.update("jax_platforms", "cpu")
 
 from rwkv_tpu.models.serve import ServingModel
 from rwkv_tpu.models.synth import synth_config, synth_params_device
 from rwkv_tpu.parallel.batching import ContinuousBatcher
 
-L, C, VOCAB, HEAD, LORA = 24, 2048, 65536, 64, 96
+if "--small" in sys.argv:   # CPU smoke (forces the cpu backend)
+    L, C, VOCAB, HEAD, LORA = 2, 256, 512, 64, 32
+else:
+    L, C, VOCAB, HEAD, LORA = 24, 2048, 65536, 64, 96
 PRECISION = "w4a8" if "--w4a8" in sys.argv else "w8a8"
 BATCHES = ([int(b) for b in
             sys.argv[sys.argv.index("--batches") + 1].split(",")]
@@ -44,7 +51,8 @@ SYNC = int(sys.argv[sys.argv.index("--sync") + 1]) if "--sync" in sys.argv \
 
 
 def main():
-    print(f"1.5B v7 {PRECISION} ContinuousBatcher sweep on "
+    size = "small" if "--small" in sys.argv else "1.5B"
+    print(f"{size} v7 {PRECISION} ContinuousBatcher sweep on "
           f"{jax.devices()[0]}", flush=True)
 
     @jax.jit
