@@ -1691,6 +1691,15 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
     P_FV0 = P_FK0 + 1
     n_phase = P_FK0 + nf + 1
 
+    # FULL-ROW B=1 data plane (same rewrite as _make_kernel_tiled_v6,
+    # measured 2.06x at 7B v6): [1, N] activations/scratches (a [N, 1]
+    # f32 scratch lane-pads 1 -> 128 — ~40MB of VMEM at C=4096),
+    # lane-contracting matvecs, row scales consumed as stored. The
+    # batched/packed variants keep the column plane (their lane dim is
+    # the batch).
+    rowp = (batch == 1) and not packed
+    red_ax = 1 if rowp else 0
+
     def mm(w, x):
         return jax.lax.dot_general(
             w, x,
@@ -1699,16 +1708,16 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         )
 
     def qx(x):
-        amax = jnp.max(jnp.abs(x), axis=0, keepdims=True)
+        amax = jnp.max(jnp.abs(x), axis=red_ax, keepdims=True)
         dx = amax / 127.0
         inv = jnp.where(dx > 0.0, 1.0 / jnp.maximum(dx, 1e-30), 0.0)
         x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
         return x8, dx
 
     def ln(v, w, b, eps):
-        mu = jnp.mean(v, axis=0, keepdims=True)
+        mu = jnp.mean(v, axis=red_ax, keepdims=True)
         vc = v - mu
-        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        var = jnp.mean(vc * vc, axis=red_ax, keepdims=True)
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
     def kernel(*refs):
@@ -1754,54 +1763,101 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         p = pl.program_id(1)
 
         def cv(ref):
-            """Row-stored vector block [1, N] -> column [N, 1] (exact
-            natively — probe_row_layout.py pA)."""
-            return ref[0].T
+            """Row-stored vector block [1, N]: column for the column
+            plane (exact natively — probe pA), as-is for the row
+            plane."""
+            return ref[0] if rowp else ref[0].T
 
         def slc(w_ref, d_ref, lo, hi):
             w = w_ref[0][lo:hi]
-            d = d_ref[0].T[lo:hi] if quant else None
-            return w, d
+            if not quant:
+                return w, None
+            if rowp:
+                # row scale [1, n]; the sublane-sliced transpose keeps
+                # the (possibly lane-misaligned) LoRA slices legal
+                return w, d_ref[0].T[lo:hi].T
+            return w, d_ref[0].T[lo:hi]
 
-        def matv(w, d, xcol):
-            """w [N, K] (already sliced), d [N, 1] row scales or None."""
+        def mmr(x8row, w):
+            """[1, K] x [N, K] -> [1, N] (row plane)."""
+            return jax.lax.dot_general(
+                x8row, w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32 if quant else jnp.float32,
+            )
+
+        def matv(w, d, xv):
+            """w [N, K]; row plane: xv [1, K] -> [1, N], d [1, N];
+            column plane: xv [K, B] -> [N, B], d [N, 1]."""
             if quant:
-                x8, dx = qx(xcol)
-                acc = mm(w, x8)
+                x8, dx = qx(xv)
+                acc = mmr(x8, w) if rowp else mm(w, x8)
                 return acc.astype(jnp.float32) * dx * d
             # bf16 weights upcast in-register: Mosaic's single-pass
             # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
             # accumulates exactly like the XLA per-op path and the
             # extra MXU passes are free in a bandwidth-bound decode.
+            if rowp:
+                return jax.lax.dot_general(
+                    xv, w.astype(jnp.float32),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             return jax.lax.dot_general(
-                w.astype(jnp.float32), xcol,
+                w.astype(jnp.float32), xv,
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        def matv4(w, d, xcol):
+        def matv4(w, d, xv):
             """w [N, K/2] split-half biased-lo packed int4 pairs (see
-            _pack_nibbles_split_half / _w4_acc), d [N, 1] row scales.
-            The unpack is two int8 AND masks; the /16 of the scaled-up
-            accumulate folds into the (scalar-sized) dx multiply."""
+            _pack_nibbles_split_half / _w4_acc); d/x layouts as matv."""
             kh = w.shape[1]
-            x8, dx = qx(xcol)
-            acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+            x8, dx = qx(xv)
+            if rowp:
+                lo8 = x8[:, :kh]
+                hi8 = x8[:, kh:]
+                lo_u = w & jnp.int8(15)
+                hi16 = w & jnp.int8(-16)
+                sx8 = jnp.sum(lo8.astype(jnp.int32))
+                acc16 = (mmr(hi8, hi16) + 16 * mmr(lo8, lo_u)
+                         - 128 * sx8)
+            else:
+                acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
             return acc16.astype(jnp.float32) * (
                 dx * jnp.float32(_W4_INV16)) * d
 
         mv_big = matv4 if w4 else matv
+
+        def sload(ref, lo, n):
+            return ref[:, pl.dslice(lo, n)] if rowp \
+                else ref[pl.dslice(lo, n)]
+
+        def sstore(ref, lo, n, val):
+            if rowp:
+                ref[:, pl.dslice(lo, n)] = val
+            else:
+                ref[pl.dslice(lo, n)] = val
 
         def _post_body():
             k = k_s[:]
             v = v_s[:]
             a_gate = ag_s[:]
 
-            kkv = (k * cv(kkw)).reshape(h, s, batch)
-            nrm = jnp.sqrt(jnp.sum(kkv * kkv, axis=1, keepdims=True))
-            kkv = kkv / jnp.maximum(nrm, jnp.float32(1e-12))
-            kk_s[:] = kkv.reshape(c, batch)
+            if rowp:
+                # per-head L2 norm needs the (h, s) split: one small
+                # [1, C] <-> [C, 1] transpose pair round-trips it
+                kkv = (k * cv(kkw)).T.reshape(h, s, 1)
+                nrm = jnp.sqrt(jnp.sum(kkv * kkv, axis=1, keepdims=True))
+                kkv = kkv / jnp.maximum(nrm, jnp.float32(1e-12))
+                kk_s[:] = kkv.reshape(c, 1).T
+            else:
+                kkv = (k * cv(kkw)).reshape(h, s, batch)
+                nrm = jnp.sqrt(jnp.sum(kkv * kkv, axis=1, keepdims=True))
+                kkv = kkv / jnp.maximum(nrm, jnp.float32(1e-12))
+                kk_s[:] = kkv.reshape(c, batch)
 
             ka = k * cv(kaw)
             k_s[:] = k + (a_gate * ka - ka)
@@ -1820,14 +1876,18 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         def _shift_loras():
             @pl.when(i == 0)
             def _():
-                x_s[:] = x0_ref[:]
+                x_s[:] = x0_ref[:].T if rowp else x0_ref[:]
 
             x = x_s[:]
             xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
             sx = att_in[0] - xl
             att_out[0] = xl
 
-            cf = coeff[0].T.reshape(6, c, 1)
+            if rowp:
+                cfr = coeff[0]                       # [1, 6c] row
+                cf = [cfr[:, q * c:(q + 1) * c] for q in range(6)]
+            else:
+                cf = coeff[0].T.reshape(6, c, 1)
             xr_s[:] = xl + sx * cf[0]
             xw = xl + sx * cf[1]
             xk_in_s[:] = xl + sx * cf[2]
@@ -1855,17 +1915,14 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             ag_s[:] = jax.nn.sigmoid(a_l + cv(a0))
 
             if fused:
-                r_s[:] = mv_big(
-                    rkv[0, 0], rkv_d[0, 0].T if quant else None, xr_s[:]
-                )
-                k_s[:] = mv_big(
-                    rkv[0, 1], rkv_d[0, 1].T if quant else None,
-                    xk_in_s[:],
-                )
-                v_s[:] = mv_big(
-                    rkv[0, 2], rkv_d[0, 2].T if quant else None,
-                    xv_in_s[:],
-                )
+                def dsc(q):
+                    if not quant:
+                        return None
+                    return rkv_d[0, q] if rowp else rkv_d[0, q].T
+
+                r_s[:] = mv_big(rkv[0, 0], dsc(0), xr_s[:])
+                k_s[:] = mv_big(rkv[0, 1], dsc(1), xk_in_s[:])
+                v_s[:] = mv_big(rkv[0, 2], dsc(2), xv_in_s[:])
                 _post_body()
 
         if not fused:
@@ -1876,7 +1933,8 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
                 q = t // m          # projection: 0=r, 1=k, 2=v
                 sft = (t % m) * c_r
                 w = rkv[0, 0]                               # [c_r, C]
-                d = rkv_d[0, 0].T if quant else None        # [c_r, 1]
+                d = ((rkv_d[0, 0] if rowp else rkv_d[0, 0].T)
+                     if quant else None)
                 xin = jnp.where(
                     q == 0, xr_s[:],
                     jnp.where(q == 1, xk_in_s[:], xv_in_s[:]),
@@ -1885,15 +1943,15 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
 
                 @pl.when(q == 0)
                 def _():
-                    r_s[pl.dslice(sft, c_r)] = acc
+                    sstore(r_s, sft, c_r, acc)
 
                 @pl.when(q == 1)
                 def _():
-                    k_s[pl.dslice(sft, c_r)] = acc
+                    sstore(k_s, sft, c_r, acc)
 
                 @pl.when(q == 2)
                 def _():
-                    v_s[pl.dslice(sft, c_r)] = acc
+                    sstore(v_s, sft, c_r, acc)
 
             # ---- phase P_POST: k-transform + value residual -----------
             @pl.when(p == P_POST)
@@ -1907,7 +1965,13 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
             rows_lo = t * h4 * s
 
             def tile(ref):
-                return ref[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, batch)
+                if rowp:
+                    # row scratch slice -> per-head columns (the only
+                    # row->column move left; [1, h4*s] is small)
+                    return sload(ref, rows_lo, h4 * s).T.reshape(
+                        h4, s, 1)
+                return ref[pl.dslice(rows_lo, h4 * s)].reshape(
+                    h4, s, batch)
 
             r3 = tile(r_s)
             k3 = tile(k_s)
@@ -2022,17 +2086,23 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
 
             rkt = rk[0, pl.dslice(t * h4, h4)]
             dots = jnp.sum(k3 * r3 * rkt, axis=1, keepdims=True)
-            bonus = (v3 * dots).reshape(h4 * s, batch)
-            gt = g_s[pl.dslice(rows_lo, h4 * s)]
-            xo_s[pl.dslice(rows_lo, h4 * s)] = (xo + bonus) * gt
+            if rowp:
+                bonus = (v3 * dots).reshape(h4 * s, 1)
+                gt = sload(g_s, rows_lo, h4 * s).T
+                sstore(xo_s, rows_lo, h4 * s, ((xo + bonus) * gt).T)
+            else:
+                bonus = (v3 * dots).reshape(h4 * s, batch)
+                gt = g_s[pl.dslice(rows_lo, h4 * s)]
+                xo_s[pl.dslice(rows_lo, h4 * s)] = (xo + bonus) * gt
 
         # ---- phases P_OUT0..: att out-projection row tiles ------------
         @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
         def _out_tile():
             t = p - P_OUT0
             w = out_w[0, 0]                                 # [c_o, C]
-            d = out_d[0, 0].T if quant else None
-            ap_s[pl.dslice(t * c_o, c_o)] = mv_big(w, d, xo_s[:])
+            d = (out_d[0, 0] if rowp else out_d[0, 0].T) \
+                if quant else None
+            sstore(ap_s, t * c_o, c_o, mv_big(w, d, xo_s[:]))
 
         # ---- phase P_FSH: residual + FFN token shift ------------------
         @pl.when(p == P_FSH)
@@ -2050,18 +2120,23 @@ def _make_kernel_tiled(c, h, s, d_lora, f_dim, n_layer, quant, batch,
         def _fk_tile():
             t = p - P_FK0
             hk = mv_big(
-                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
+                fk_w[0][0],
+                (fk_d[0][0] if rowp else fk_d[0][0].T)
+                if quant else None,
+                xk2_s[:],
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
-            h_s[pl.dslice(t * f4, f4)] = hk
+            sstore(h_s, t * f4, f4, hk)
 
         # ---- phases P_FV0..: fv tiles consume hidden slices -----------
         @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
         def _fv_tile():
             t = p - P_FV0
-            hk = h_s[pl.dslice(t * f4, f4)]
-            acc_s[:] += mv_big(
-                fv_w[0][0], fv_d[0].T if quant else None, hk
+            hk = sload(h_s, t * f4, f4)
+            acc_s[:] = acc_s[:] + mv_big(
+                fv_w[0][0],
+                (fv_d[0] if rowp else fv_d[0].T) if quant else None,
+                hk,
             )
 
         # ---- finalize layer (same grid step as the last fv tile) ------
@@ -2099,6 +2174,8 @@ def v7_decode_megakernel_tiled(
     nr, no = pack["nr"], pack["no"]
     h4 = h // nh
     batch = x0.shape[1]
+    # row-plane B=1 state layout (see _make_kernel_tiled's rowp note)
+    rowp = (batch == 1) and not packed
 
     # phase layout: [shift+loras | (nr rkv tiles | post, non-fused only)
     # | nh wkv tiles | no out tiles | ffn-shift | nf fk tiles // nf fv
@@ -2255,15 +2332,21 @@ def v7_decode_megakernel_tiled(
         packed_args = [lnxw_pk, lnxb_pk]
         packed_specs = [head_spec((h4, sib)), head_spec((h4, sib))]
 
+    att_xx_in = state_t["att_xx"]
+    ffn_xx_in = state_t["ffn_xx"]
+    if rowp:
+        att_xx_in = jnp.swapaxes(att_xx_in, 1, 2)   # [L, 1, C] rows
+        ffn_xx_in = jnp.swapaxes(ffn_xx_in, 1, 2)
+    sr = (1, c) if rowp else (c, batch)
     args = (
         [x0.astype(jnp.float32),
-         state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
+         att_xx_in, ffn_xx_in, state_t["heads"]]
         + mat_args + vec_args
         + [pack["coeff"], pack["r_k"]]
         + packed_args
     )
     in_specs = (
-        [whole((c, batch)), per_layer((c, batch)), per_layer((c, batch)),
+        [whole((c, batch)), per_layer(sr), per_layer(sr),
          head_spec(head_shape)]
         + mat_specs + vec_specs
         + [per_layer((1, 6 * c)), per_layer((h, s, 1))]
@@ -2271,13 +2354,13 @@ def v7_decode_megakernel_tiled(
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((c, batch), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, batch), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, batch), jnp.float32),
+        jax.ShapeDtypeStruct(sr if rowp else (c, batch), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer,) + sr, jnp.float32),
+        jax.ShapeDtypeStruct((n_layer,) + sr, jnp.float32),
         jax.ShapeDtypeStruct((n_layer, nh) + head_shape, jnp.float32),
     )
     out_specs = (
-        whole((c, batch)), per_layer((c, batch)), per_layer((c, batch)),
+        whole(sr if rowp else (c, batch)), per_layer(sr), per_layer(sr),
         head_spec(head_shape),
     )
 
@@ -2288,24 +2371,26 @@ def v7_decode_megakernel_tiled(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((c, batch), jnp.float32),      # x_s
-            pltpu.VMEM((c, batch), jnp.float32),      # vf_s
-            pltpu.VMEM((c, batch), jnp.float32),      # xo_s
-            pltpu.VMEM((c, batch), jnp.float32),      # xk2_s
-            pltpu.VMEM((c, batch), jnp.float32),      # acc_s
-            pltpu.VMEM((f_dim, batch), jnp.float32),  # h_s
-            pltpu.VMEM((c, batch), jnp.float32),      # r_s
-            pltpu.VMEM((c, batch), jnp.float32),      # k_s
-            pltpu.VMEM((c, batch), jnp.float32),      # v_s
-            pltpu.VMEM((c, batch), jnp.float32),      # wd_s
-            pltpu.VMEM((c, batch), jnp.float32),      # ag_s
-            pltpu.VMEM((c, batch), jnp.float32),      # kk_s
-            pltpu.VMEM((c, batch), jnp.float32),      # g_s
-            pltpu.VMEM((c, batch), jnp.float32),      # xr_s
-            pltpu.VMEM((c, batch), jnp.float32),      # xk_in_s
-            pltpu.VMEM((c, batch), jnp.float32),      # xv_in_s
-            pltpu.VMEM((c, batch), jnp.float32),      # vm_s
-            pltpu.VMEM((c, batch), jnp.float32),      # ap_s
+            # rowp: [1, N] rows (a [N, 1] f32 scratch lane-pads 1->128)
+            pltpu.VMEM(sr, jnp.float32),              # x_s
+            pltpu.VMEM(sr, jnp.float32),              # vf_s
+            pltpu.VMEM(sr, jnp.float32),              # xo_s
+            pltpu.VMEM(sr, jnp.float32),              # xk2_s
+            pltpu.VMEM(sr, jnp.float32),              # acc_s
+            pltpu.VMEM((1, f_dim) if rowp else (f_dim, batch),
+                       jnp.float32),                  # h_s
+            pltpu.VMEM(sr, jnp.float32),              # r_s
+            pltpu.VMEM(sr, jnp.float32),              # k_s
+            pltpu.VMEM(sr, jnp.float32),              # v_s
+            pltpu.VMEM(sr, jnp.float32),              # wd_s
+            pltpu.VMEM(sr, jnp.float32),              # ag_s
+            pltpu.VMEM(sr, jnp.float32),              # kk_s
+            pltpu.VMEM(sr, jnp.float32),              # g_s
+            pltpu.VMEM(sr, jnp.float32),              # xr_s
+            pltpu.VMEM(sr, jnp.float32),              # xk_in_s
+            pltpu.VMEM(sr, jnp.float32),              # xv_in_s
+            pltpu.VMEM(sr, jnp.float32),              # vm_s
+            pltpu.VMEM(sr, jnp.float32),              # ap_s
         ] + ([pltpu.VMEM((c, batch), jnp.float32)]    # y_s, batched only
              if batch > 1 else [])
           + ([pltpu.VMEM((h, s * batch), jnp.float32)]  # yp_s, packed
@@ -2320,6 +2405,10 @@ def v7_decode_megakernel_tiled(
         ),
         interpret=interpret,
     )(*args)
+    if rowp:
+        return y.T, {"att_xx": jnp.swapaxes(att_xx, 1, 2),
+                     "ffn_xx": jnp.swapaxes(ffn_xx, 1, 2),
+                     "heads": heads}
     return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
 
 
@@ -4290,6 +4379,10 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
             preferred_element_type=jnp.int32 if quant else jnp.float32,
         )
 
+    # FULL-ROW data plane (same rewrite as _make_kernel_tiled_v6):
+    # [1, N] activations/scratches, lane-contracting matvecs, row
+    # scales as stored; v4's scalar-state wkv is pure elementwise so
+    # it runs on rows unchanged.
     def qx(x):
         amax = jnp.max(jnp.abs(x))
         dx = amax / 127.0
@@ -4298,9 +4391,9 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
         return x8, dx
 
     def ln(v, w, b, eps):
-        mu = jnp.mean(v, axis=0, keepdims=True)
+        mu = jnp.mean(v, axis=1, keepdims=True)
         vc = v - mu
-        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        var = jnp.mean(vc * vc, axis=1, keepdims=True)
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
     def kernel(*refs):
@@ -4324,31 +4417,40 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
         p = pl.program_id(1)
 
         def cv(ref):
-            return ref[0].T
+            return ref[0]        # [1, N] row, used as stored
 
-        def matv(w, d, xcol):
-            if quant:
-                x8, dx = qx(xcol)
-                acc = mm(w, x8)
-                return acc.astype(jnp.float32) * dx * d
-            # bf16 weights upcast in-register: Mosaic's single-pass
-            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
-            # accumulates exactly like the XLA per-op path and the
-            # extra MXU passes are free in a bandwidth-bound decode.
+        def mmr(x8row, w):
+            """[1, K] x [N, K] -> [1, N]."""
             return jax.lax.dot_general(
-                w.astype(jnp.float32), xcol,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                x8row, w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32 if quant else jnp.float32,
+            )
+
+        def matv(w, d_row, xrow):
+            if quant:
+                x8, dx = qx(xrow)
+                return mmr(x8, w).astype(jnp.float32) * dx * d_row
+            # bf16 weights upcast in-register (see the v6 row kernel)
+            return jax.lax.dot_general(
+                xrow, w.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        def matv4(w, d, xcol):
-            """split-half biased-lo packed int4 (see _w4_acc)."""
+        def matv4(w, d_row, xrow):
+            """split-half biased-lo packed int4 (see _w4_acc), rows."""
             kh = w.shape[1]
-            x8, dx = qx(xcol)
-            acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+            x8, dx = qx(xrow)
+            lo8 = x8[:, :kh]
+            hi8 = x8[:, kh:]
+            lo_u = w & jnp.int8(15)
+            hi16 = w & jnp.int8(-16)
+            sx8 = jnp.sum(lo8.astype(jnp.int32))
+            acc16 = mmr(hi8, hi16) + 16 * mmr(lo8, lo_u) - 128 * sx8
             return acc16.astype(jnp.float32) * (
-                dx * jnp.float32(_W4_INV16)) * d
+                dx * jnp.float32(_W4_INV16)) * d_row
 
         mv_big = matv4 if w4 else matv
 
@@ -4379,14 +4481,15 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
         def _shift():
             @pl.when(i == 0)
             def _():
-                x_s[:] = x0_ref[:]
+                x_s[:] = x0_ref[:].T
 
             x = x_s[:]
             xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
             prev = att_in[0]
             att_out[0] = xl
 
-            cf = amix[0].T.reshape(3, c, 1)  # order k, v, r
+            cfr = amix[0]                    # [1, 3c] row; order k, v, r
+            cf = [cfr[:, q * c:(q + 1) * c] for q in range(3)]
             xk_s[:] = xl * cf[0] + (prev - prev * cf[0])
             xv_s[:] = xl * cf[1] + (prev - prev * cf[1])
             xr_s[:] = xl * cf[2] + (prev - prev * cf[2])
@@ -4394,7 +4497,7 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
             if fused:
                 def proj(q, xin):
                     return mv_big(
-                        rkv[0, q], rkv_d[0, q].T if quant else None, xin
+                        rkv[0, q], rkv_d[0, q] if quant else None, xin
                     )
 
                 r_s[:] = jax.nn.sigmoid(proj(0, xr_s[:]))
@@ -4410,7 +4513,7 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
                 q = t // m          # projection: 0=r, 1=k, 2=v
                 sft = (t % m) * c_r
                 w = rkv[0, 0]
-                dd = rkv_d[0, 0].T if quant else None
+                dd = rkv_d[0, 0] if quant else None
                 xin = jnp.where(
                     q == 0, xr_s[:],
                     jnp.where(q == 1, xk_s[:], xv_s[:]),
@@ -4419,15 +4522,15 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
 
                 @pl.when(q == 0)
                 def _():
-                    r_s[pl.dslice(sft, c_r)] = jax.nn.sigmoid(acc)
+                    r_s[:, pl.dslice(sft, c_r)] = jax.nn.sigmoid(acc)
 
                 @pl.when(q == 1)
                 def _():
-                    k_s[pl.dslice(sft, c_r)] = acc
+                    k_s[:, pl.dslice(sft, c_r)] = acc
 
                 @pl.when(q == 2)
                 def _():
-                    v_s[pl.dslice(sft, c_r)] = acc
+                    v_s[:, pl.dslice(sft, c_r)] = acc
 
             # ---- phase P_WKV: scalar-state wkv ------------------------
             @pl.when(p == P_WKV)
@@ -4439,8 +4542,8 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
         def _out_tile():
             t = p - P_OUT0
             w = out_w[0, 0]
-            d = out_d[0, 0].T if quant else None
-            ap_s[pl.dslice(t * c_o, c_o)] = mv_big(w, d, wr_s[:])
+            d = out_d[0, 0] if quant else None
+            ap_s[:, pl.dslice(t * c_o, c_o)] = mv_big(w, d, wr_s[:])
 
         # ---- phase P_FSH: residual + FFN token shift ------------------
         @pl.when(p == P_FSH)
@@ -4449,7 +4552,8 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
             xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
             prev2 = ffn_in[0]
             ffn_out[0] = xl2
-            fcf = fmix[0].T.reshape(2, c, 1)  # order k, r
+            fcr = fmix[0]                     # [1, 2c] row; order k, r
+            fcf = [fcr[:, q * c:(q + 1) * c] for q in range(2)]
             xk2_s[:] = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
             xr2_s[:] = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
             x_s[:] = x
@@ -4460,8 +4564,8 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
         def _fr_tile():
             t = p - P_FR0
             w = fr_w[0, 0]
-            d = fr_d[0, 0].T if quant else None
-            rg_s[pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
+            d = fr_d[0, 0] if quant else None
+            rg_s[:, pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
                 mv_big(w, d, xr2_s[:])
             )
 
@@ -4470,18 +4574,18 @@ def _make_kernel_tiled_v4(c, f_dim, n_layer, quant, nf, nr, no,
         def _fk_tile():
             t = p - P_FK0
             hk = mv_big(
-                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
+                fk_w[0][0], fk_d[0][0] if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
-            h_s[pl.dslice(t * f4, f4)] = hk
+            h_s[:, pl.dslice(t * f4, f4)] = hk
 
         # ---- phases P_FV0..: fv tiles consume hidden slices -----------
         @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
         def _fv_tile():
             t = p - P_FV0
-            hk = h_s[pl.dslice(t * f4, f4)]
-            acc_s[:] += mv_big(
-                fv_w[0][0], fv_d[0].T if quant else None, hk
+            hk = h_s[:, pl.dslice(t * f4, f4)]
+            acc_s[:] = acc_s[:] + mv_big(
+                fv_w[0][0], fv_d[0] if quant else None, hk
             )
 
         # ---- finalize layer -------------------------------------------
@@ -4601,26 +4705,30 @@ def v4_decode_megakernel_tiled(
     vec_args = [pack[k] for k in _V4_TILED_ROW_VECS]
     vec_specs = [per_layer(pack[k].shape[1:]) for k in _V4_TILED_ROW_VECS]
 
+    def rowst(a):
+        return jnp.swapaxes(a, 1, 2)     # [L, C, 1] -> [L, 1, C] rows
+
     args = (
         [x0.astype(jnp.float32),
-         state_t["att_xx"], state_t["ffn_xx"],
-         state_t["aa"], state_t["bb"], state_t["pp"]]
+         rowst(state_t["att_xx"]), rowst(state_t["ffn_xx"]),
+         rowst(state_t["aa"]), rowst(state_t["bb"]),
+         rowst(state_t["pp"])]
         + mat_args + vec_args
         + [pack["amix"], pack["fmix"], pack["tf"], pack["td"]]
     )
     in_specs = (
-        [whole((c, 1))] + [per_layer((c, 1))] * 5
+        [whole((c, 1))] + [per_layer((1, c))] * 5
         + mat_specs + vec_specs
         + [per_layer((1, 3 * c)), per_layer((1, 2 * c)),
            per_layer((1, c)), per_layer((1, c))]
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
     ) + tuple(
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32) for _ in range(5)
+        jax.ShapeDtypeStruct((n_layer, 1, c), jnp.float32) for _ in range(5)
     )
-    out_specs = (whole((c, 1)),) + tuple(per_layer((c, 1)) for _ in range(5))
+    out_specs = (whole((1, c)),) + tuple(per_layer((1, c)) for _ in range(5))
 
     y, att_xx, ffn_xx, aa, bb, pp = pl.pallas_call(
         kernel,
@@ -4629,20 +4737,21 @@ def v4_decode_megakernel_tiled(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((c, 1), jnp.float32),      # x_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xk_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xv_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xr_s
-            pltpu.VMEM((c, 1), jnp.float32),      # r_s
-            pltpu.VMEM((c, 1), jnp.float32),      # k_s
-            pltpu.VMEM((c, 1), jnp.float32),      # v_s
-            pltpu.VMEM((c, 1), jnp.float32),      # wr_s
-            pltpu.VMEM((c, 1), jnp.float32),      # ap_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xk2_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xr2_s
-            pltpu.VMEM((c, 1), jnp.float32),      # rg_s
-            pltpu.VMEM((c, 1), jnp.float32),      # acc_s
-            pltpu.VMEM((f_dim, 1), jnp.float32),  # h_s
+            # [1, N] rows (a [N, 1] f32 scratch lane-pads 1 -> 128)
+            pltpu.VMEM((1, c), jnp.float32),      # x_s
+            pltpu.VMEM((1, c), jnp.float32),      # xk_s
+            pltpu.VMEM((1, c), jnp.float32),      # xv_s
+            pltpu.VMEM((1, c), jnp.float32),      # xr_s
+            pltpu.VMEM((1, c), jnp.float32),      # r_s
+            pltpu.VMEM((1, c), jnp.float32),      # k_s
+            pltpu.VMEM((1, c), jnp.float32),      # v_s
+            pltpu.VMEM((1, c), jnp.float32),      # wr_s
+            pltpu.VMEM((1, c), jnp.float32),      # ap_s
+            pltpu.VMEM((1, c), jnp.float32),      # xk2_s
+            pltpu.VMEM((1, c), jnp.float32),      # xr2_s
+            pltpu.VMEM((1, c), jnp.float32),      # rg_s
+            pltpu.VMEM((1, c), jnp.float32),      # acc_s
+            pltpu.VMEM((1, f_dim), jnp.float32),  # h_s
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -4650,8 +4759,8 @@ def v4_decode_megakernel_tiled(
         ),
         interpret=interpret,
     )(*args)
-    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx,
-               "aa": aa, "bb": bb, "pp": pp}
+    return (y.T, {"att_xx": rowst(att_xx), "ffn_xx": rowst(ffn_xx),
+                  "aa": rowst(aa), "bb": rowst(bb), "pp": rowst(pp)})
 
 
 # ---------------------------------------------------------------------------
@@ -4745,10 +4854,12 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
         x8 = jnp.clip(jnp.rint(x * inv), -127.0, 127.0).astype(jnp.int8)
         return x8, dx
 
+    # FULL-ROW data plane (see _make_kernel_tiled_v6): [1, N]
+    # activations/scratches, lane-contracting matvecs, row scales.
     def ln(v, w, b, eps):
-        mu = jnp.mean(v, axis=0, keepdims=True)
+        mu = jnp.mean(v, axis=1, keepdims=True)
         vc = v - mu
-        var = jnp.mean(vc * vc, axis=0, keepdims=True)
+        var = jnp.mean(vc * vc, axis=1, keepdims=True)
         return vc * jax.lax.rsqrt(var + jnp.float32(eps)) * w + b
 
     def kernel(*refs):
@@ -4776,31 +4887,40 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
         p = pl.program_id(1)
 
         def cv(ref):
-            return ref[0].T
+            return ref[0]        # [1, N] row, used as stored
 
-        def matv(w, d, xcol):
-            if quant:
-                x8, dx = qx(xcol)
-                acc = mm(w, x8)
-                return acc.astype(jnp.float32) * dx * d
-            # bf16 weights upcast in-register: Mosaic's single-pass
-            # bf16 matmul loses ~1.4e-3 rel (measured); f32 HIGHEST
-            # accumulates exactly like the XLA per-op path and the
-            # extra MXU passes are free in a bandwidth-bound decode.
+        def mmr(x8row, w):
+            """[1, K] x [N, K] -> [1, N]."""
             return jax.lax.dot_general(
-                w.astype(jnp.float32), xcol,
-                dimension_numbers=(((1,), (0,)), ((), ())),
+                x8row, w,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32 if quant else jnp.float32,
+            )
+
+        def matv(w, d_row, xrow):
+            if quant:
+                x8, dx = qx(xrow)
+                return mmr(x8, w).astype(jnp.float32) * dx * d_row
+            # bf16 weights upcast in-register (see the v6 row kernel)
+            return jax.lax.dot_general(
+                xrow, w.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
-        def matv4(w, d, xcol):
-            """split-half biased-lo packed int4 (see _w4_acc)."""
+        def matv4(w, d_row, xrow):
+            """split-half biased-lo packed int4 (see _w4_acc), rows."""
             kh = w.shape[1]
-            x8, dx = qx(xcol)
-            acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+            x8, dx = qx(xrow)
+            lo8 = x8[:, :kh]
+            hi8 = x8[:, kh:]
+            lo_u = w & jnp.int8(15)
+            hi16 = w & jnp.int8(-16)
+            sx8 = jnp.sum(lo8.astype(jnp.int32))
+            acc16 = mmr(hi8, hi16) + 16 * mmr(lo8, lo_u) - 128 * sx8
             return acc16.astype(jnp.float32) * (
-                dx * jnp.float32(_W4_INV16)) * d
+                dx * jnp.float32(_W4_INV16)) * d_row
 
         mv_big = matv4 if w4 else matv
 
@@ -4809,17 +4929,18 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
         def _shift():
             @pl.when(i == 0)
             def _():
-                x_s[:] = x0_ref[:]
+                x_s[:] = x0_ref[:].T
 
             x = x_s[:]
             xl = ln(x, cv(ln1w), cv(ln1b), 1e-5)
             prev = att_in[0]
             att_out[0] = xl
 
-            cf = amix[0].T.reshape(n_mix, c, 1)  # order k, v, r(, g)
+            cfr = amix[0]           # [1, n_mix*c] row; order k, v, r(, g)
 
             def mix(ci):
-                return xl * cf[ci] + (prev - prev * cf[ci])
+                cfi = cfr[:, ci * c:(ci + 1) * c]
+                return xl * cfi + (prev - prev * cfi)
 
             xk_in_s[:] = mix(0)
             xv_in_s[:] = mix(1)
@@ -4830,7 +4951,7 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
             if fused:
                 def proj(q, xin):
                     return mv_big(
-                        rkvg[0, q], rkvg_d[0, q].T if quant else None, xin
+                        rkvg[0, q], rkvg_d[0, q] if quant else None, xin
                     )
 
                 r_s[:] = proj(0, xr_in_s[:])
@@ -4848,7 +4969,7 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
                 q = t // m          # projection: 0=r, 1=k, 2=v(, 3=g)
                 sft = (t % m) * c_g
                 w = rkvg[0, 0]
-                dd = rkvg_d[0, 0].T if quant else None
+                dd = rkvg_d[0, 0] if quant else None
                 xin = jnp.where(
                     q == 0, xr_in_s[:],
                     jnp.where(q == 1, xk_in_s[:],
@@ -4858,20 +4979,20 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
 
                 @pl.when(q == 0)
                 def _():
-                    r_s[pl.dslice(sft, c_g)] = acc
+                    r_s[:, pl.dslice(sft, c_g)] = acc
 
                 @pl.when(q == 1)
                 def _():
-                    k_s[pl.dslice(sft, c_g)] = acc
+                    k_s[:, pl.dslice(sft, c_g)] = acc
 
                 @pl.when(q == 2)
                 def _():
-                    v_s[pl.dslice(sft, c_g)] = acc
+                    v_s[:, pl.dslice(sft, c_g)] = acc
 
                 if has_gate:
                     @pl.when(q == 3)
                     def _():
-                        g_s[pl.dslice(sft, c_g)] = (
+                        g_s[:, pl.dslice(sft, c_g)] = (
                             acc * jax.nn.sigmoid(acc)
                         )
 
@@ -4882,7 +5003,9 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
             rows_lo = t * h4 * s
 
             def tile(ref):
-                return ref[pl.dslice(rows_lo, h4 * s)].reshape(h4, s, 1)
+                # row slice -> per-head columns (small transpose)
+                return ref[:, pl.dslice(rows_lo, h4 * s)].T.reshape(
+                    h4, s, 1)
 
             r3, k3, v3 = tile(r_s), tile(k_s), tile(v_s)
             td3 = td[0, pl.dslice(t * h4, h4)]              # [h4, s, 1]
@@ -4910,16 +5033,16 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
             lb = lnxb[0, pl.dslice(rows_lo, h4 * s)]
             xo = yn * lw + lb
             if has_gate:
-                xo = xo * g_s[pl.dslice(rows_lo, h4 * s)]
-            xo_s[pl.dslice(rows_lo, h4 * s)] = xo
+                xo = xo * g_s[:, pl.dslice(rows_lo, h4 * s)].T
+            xo_s[:, pl.dslice(rows_lo, h4 * s)] = xo.T
 
         # ---- phases P_OUT0..: att out-projection row tiles ------------
         @pl.when((p >= P_OUT0) & (p < P_OUT0 + no))
         def _out_tile():
             t = p - P_OUT0
             w = out_w[0, 0]
-            d = out_d[0, 0].T if quant else None
-            ap_s[pl.dslice(t * c_o, c_o)] = mv_big(w, d, xo_s[:])
+            d = out_d[0, 0] if quant else None
+            ap_s[:, pl.dslice(t * c_o, c_o)] = mv_big(w, d, xo_s[:])
 
         # ---- phase P_FSH: residual + FFN token shift ------------------
         @pl.when(p == P_FSH)
@@ -4928,9 +5051,11 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
             xl2 = ln(x, cv(ln2w), cv(ln2b), 1e-5)
             prev2 = ffn_in[0]
             ffn_out[0] = xl2
-            fcf = fmix[0].T.reshape(2, c, 1)  # order k, r
-            xk2_s[:] = xl2 * fcf[0] + (prev2 - prev2 * fcf[0])
-            xr2_s[:] = xl2 * fcf[1] + (prev2 - prev2 * fcf[1])
+            fcr = fmix[0]                     # [1, 2c] row; order k, r
+            fk0 = fcr[:, 0:c]
+            fr0 = fcr[:, c:2 * c]
+            xk2_s[:] = xl2 * fk0 + (prev2 - prev2 * fk0)
+            xr2_s[:] = xl2 * fr0 + (prev2 - prev2 * fr0)
             x_s[:] = x
             acc_s[:] = jnp.zeros_like(acc_s)
 
@@ -4939,8 +5064,8 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
         def _fr_tile():
             t = p - P_FR0
             w = fr_w[0, 0]
-            d = fr_d[0, 0].T if quant else None
-            rg_s[pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
+            d = fr_d[0, 0] if quant else None
+            rg_s[:, pl.dslice(t * c_o, c_o)] = jax.nn.sigmoid(
                 mv_big(w, d, xr2_s[:])
             )
 
@@ -4949,18 +5074,18 @@ def _make_kernel_tiled_v5(c, h, s, f_dim, n_layer, quant, has_gate,
         def _fk_tile():
             t = p - P_FK0
             hk = mv_big(
-                fk_w[0][0], fk_d[0][0].T if quant else None, xk2_s[:]
+                fk_w[0][0], fk_d[0][0] if quant else None, xk2_s[:]
             )
             hk = jnp.square(jnp.maximum(hk, 0.0))
-            h_s[pl.dslice(t * f4, f4)] = hk
+            h_s[:, pl.dslice(t * f4, f4)] = hk
 
         # ---- phases P_FV0..: fv tiles consume hidden slices -----------
         @pl.when((p >= P_FV0) & (p < P_FV0 + nf))
         def _fv_tile():
             t = p - P_FV0
-            hk = h_s[pl.dslice(t * f4, f4)]
-            acc_s[:] += mv_big(
-                fv_w[0][0], fv_d[0].T if quant else None, hk
+            hk = h_s[:, pl.dslice(t * f4, f4)]
+            acc_s[:] = acc_s[:] + mv_big(
+                fv_w[0][0], fv_d[0] if quant else None, hk
             )
 
         # ---- finalize layer -------------------------------------------
@@ -5100,14 +5225,18 @@ def v5_decode_megakernel_tiled(
     )
 
     head_shape = (h4, s, s)
+    def rowst(a):
+        return jnp.swapaxes(a, 1, 2)     # [L, C, 1] <-> [L, 1, C]
+
     args = (
         [x0.astype(jnp.float32),
-         state_t["att_xx"], state_t["ffn_xx"], state_t["heads"]]
+         rowst(state_t["att_xx"]), rowst(state_t["ffn_xx"]),
+         state_t["heads"]]
         + mat_args + vec_args
         + [pack["amix"], pack["fmix"], pack["td"], pack["tf"]]
     )
     in_specs = (
-        [whole((c, 1)), per_layer((c, 1)), per_layer((c, 1)),
+        [whole((c, 1)), per_layer((1, c)), per_layer((1, c)),
          head_spec(head_shape)]
         + mat_specs + vec_specs
         + [per_layer((1, n_mix * c)), per_layer((1, 2 * c)),
@@ -5115,13 +5244,13 @@ def v5_decode_megakernel_tiled(
     )
 
     out_shapes = (
-        jax.ShapeDtypeStruct((c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
-        jax.ShapeDtypeStruct((n_layer, c, 1), jnp.float32),
+        jax.ShapeDtypeStruct((1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, 1, c), jnp.float32),
+        jax.ShapeDtypeStruct((n_layer, 1, c), jnp.float32),
         jax.ShapeDtypeStruct((n_layer, nh) + head_shape, jnp.float32),
     )
     out_specs = (
-        whole((c, 1)), per_layer((c, 1)), per_layer((c, 1)),
+        whole((1, c)), per_layer((1, c)), per_layer((1, c)),
         head_spec(head_shape),
     )
 
@@ -5132,22 +5261,22 @@ def v5_decode_megakernel_tiled(
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=[
-            pltpu.VMEM((c, 1), jnp.float32),      # x_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xo_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xk2_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xr2_s
-            pltpu.VMEM((c, 1), jnp.float32),      # acc_s
-            pltpu.VMEM((f_dim, 1), jnp.float32),  # h_s
-            pltpu.VMEM((c, 1), jnp.float32),      # r_s
-            pltpu.VMEM((c, 1), jnp.float32),      # k_s
-            pltpu.VMEM((c, 1), jnp.float32),      # v_s
-            pltpu.VMEM((c, 1), jnp.float32),      # g_s
-            pltpu.VMEM((c, 1), jnp.float32),      # rg_s
-            pltpu.VMEM((c, 1), jnp.float32),      # ap_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xr_in_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xk_in_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xv_in_s
-            pltpu.VMEM((c, 1), jnp.float32),      # xg_in_s
+            pltpu.VMEM((1, c), jnp.float32),      # x_s
+            pltpu.VMEM((1, c), jnp.float32),      # xo_s
+            pltpu.VMEM((1, c), jnp.float32),      # xk2_s
+            pltpu.VMEM((1, c), jnp.float32),      # xr2_s
+            pltpu.VMEM((1, c), jnp.float32),      # acc_s
+            pltpu.VMEM((1, f_dim), jnp.float32),  # h_s
+            pltpu.VMEM((1, c), jnp.float32),      # r_s
+            pltpu.VMEM((1, c), jnp.float32),      # k_s
+            pltpu.VMEM((1, c), jnp.float32),      # v_s
+            pltpu.VMEM((1, c), jnp.float32),      # g_s
+            pltpu.VMEM((1, c), jnp.float32),      # rg_s
+            pltpu.VMEM((1, c), jnp.float32),      # ap_s
+            pltpu.VMEM((1, c), jnp.float32),      # xr_in_s
+            pltpu.VMEM((1, c), jnp.float32),      # xk_in_s
+            pltpu.VMEM((1, c), jnp.float32),      # xv_in_s
+            pltpu.VMEM((1, c), jnp.float32),      # xg_in_s
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
@@ -5155,7 +5284,8 @@ def v5_decode_megakernel_tiled(
         ),
         interpret=interpret,
     )(*args)
-    return y, {"att_xx": att_xx, "ffn_xx": ffn_xx, "heads": heads}
+    return (y.T, {"att_xx": rowst(att_xx), "ffn_xx": rowst(ffn_xx),
+                  "heads": heads})
 
 
 # ---------------------------------------------------------------------------
