@@ -1577,7 +1577,11 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
         budget = (512 if wide else 1024) * 1024
     elif packed:
         per_head = s * s * batch * 4         # [s_j, s_i*B] f32, no pad
-        budget = 8 * 1024 * 1024
+        # 6MB (not 8): at 1.5B B=16 the 8MB whole-head window put the
+        # kernel 5.2MB over the 120MB scoped-vmem cap on chip; 6MB
+        # keeps nh=1 through B=8 (the measured configs) and splits the
+        # head tiles from B=16 up.
+        budget = 6 * 1024 * 1024
     else:
         per_head = s * s * lane * 4          # [s_i, s_j, B] f32
         budget = 8 * 1024 * 1024

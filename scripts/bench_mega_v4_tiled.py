@@ -117,13 +117,15 @@ def synth_pack_device(cfg, nf, nr, no, seed=0):
         return sub
 
     def qmat(shape):
-        # leading-dim chunks: randint materializes an int32 transient
-        # (4x the int8 output) - one-shot at 14B that is ~8GB and OOMs
-        # the chip; per-slice it is a few MB. (random.bits+bitcast hit
-        # a remote-compile failure on this stack.)
-        parts = [jax.random.randint(nxt(), shape[1:], -127, 128, jnp.int8)
-                 for _ in range(shape[0])]
-        return jnp.stack(parts)
+        # incremental .at[].set into one preallocated buffer: the
+        # per-slice parts list + jnp.stack held ~2x a mat's bytes and
+        # the 14B pack synthesis OOMed the 16GB chip; this form's peak
+        # is one mat + one slice.
+        q = jnp.zeros(shape, jnp.int8)
+        for si in range(shape[0]):
+            q = q.at[si].set(jax.random.randint(
+                nxt(), shape[1:], -127, 128, jnp.int8))
+        return q
 
     def scale(shape):
         return jnp.full(shape, 0.01, jnp.float32)
