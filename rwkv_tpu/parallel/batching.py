@@ -102,7 +102,10 @@ class ContinuousBatcher:
         self._logits = np.zeros((max_batch, model.config.n_vocab), np.float32)
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
-        self._jit_cache: Dict[Any, Any] = {}
+        # shared with the model so compiled scan fns survive batcher
+        # re-instantiation (a fresh batcher on the same engine must not
+        # pay the multi-step recompile)
+        self._jit_cache: Dict[Any, Any] = model._jit_cache
 
     # -- submission -------------------------------------------------------
     def submit(
@@ -218,7 +221,12 @@ class ContinuousBatcher:
 
     # -- on-device multi-step loop ----------------------------------------
     def _multi_step_fn(self, n_steps: int, n_stop: int):
-        key_cache = ("multi", n_steps, n_stop)
+        # cached on the MODEL: the compiled multi-step scan (~12s at
+        # 169M through the remote-compile tunnel) must survive batcher
+        # re-instantiation — a fresh ContinuousBatcher on the same
+        # ServingModel reuses it
+        key_cache = ("batcher-multi", self.max_batch, n_steps, n_stop,
+                     self.DEVICE_TOP_K)
         if key_cache not in self._jit_cache:
             model = self.model
             cfg = model.config
@@ -279,11 +287,19 @@ class ContinuousBatcher:
     def _run_device(self) -> None:
         b = self.max_batch
         counts = jnp.zeros((b, self.model.config.n_vocab), jnp.float32)
+        # logits live ON DEVICE across sync rounds: a host round-trip of
+        # the [B, V] block costs ~80 ms through the tunnel per sync and
+        # is only needed for rows _admit just prefilled
+        logits_dev = jnp.asarray(self._logits)
         while self.queue or any(s is not None for s in self.slots):
             admitted = self._admit()
             if admitted:
                 # fresh sequences start with zero penalty counts
                 counts = counts.at[jnp.asarray(admitted)].set(0.0)
+                idx = np.asarray(admitted)
+                logits_dev = logits_dev.at[jnp.asarray(idx)].set(
+                    jnp.asarray(self._logits[idx])
+                )
 
             reqs = list(self.slots)
             n_stop = max(
@@ -312,16 +328,15 @@ class ContinuousBatcher:
                     ctl["stops"][i, : len(r.stop_tokens)] = list(r.stop_tokens)
 
             fn, loop_arrs = self._multi_step_fn(self.sync_every, n_stop)
-            (self.state, logits, counts, _remaining, _active, toks, emitted,
-             self._key) = fn(
-                self.model.params, loop_arrs, self.state,
-                jnp.asarray(self._logits),
+            (self.state, logits_dev, counts, _remaining, _active, toks,
+             emitted, self._key) = fn(
+                self.model.params, loop_arrs, self.state, logits_dev,
                 counts, {k: jnp.asarray(v) for k, v in ctl.items()}, self._key,
             )
-            # ONE host sync for sync_every tokens:
+            # ONE (small) host sync for sync_every tokens: only the
+            # [B, n_steps] token/emitted blocks transit the tunnel
             toks_h = np.asarray(toks)
             emitted_h = np.asarray(emitted)
-            self._logits = np.array(logits)
 
             for i, req in enumerate(reqs):
                 if req is None:
@@ -337,6 +352,8 @@ class ContinuousBatcher:
                     req.done = True
                     self.finished[req.request_id] = req
                     self.slots[i] = None
+        # final host materialization (step()/external schedulers read it)
+        self._logits = np.array(logits_dev)
 
     def run(self, on_device: bool = True) -> Dict[int, Request]:
         """Drain the queue and all active slots; returns finished requests.
