@@ -149,6 +149,28 @@ def _pack_nibbles_split_half(a):
     return (((hi & 0xF) << 4) | (lo & 0xF)).astype(jnp.int8)
 
 
+# Timing-ablation knob for the w4 matvec ("" | "nomask" | "onedot").
+# DELIBERATELY not an env var: the ablations produce mathematically wrong
+# results, are read at trace time, and must never leak into a serving
+# process — bench scripts opt in explicitly via set_w4_ablate().
+_W4_ABLATE = [""]
+
+
+def set_w4_ablate(mode: str) -> None:
+    """Enable a w4-matvec timing ablation (bench scripts ONLY; results are
+    numerically wrong). Call BEFORE tracing; cached jit fns keep the mode
+    they were traced with."""
+    if mode not in ("", "nomask", "onedot"):
+        raise ValueError(f"unknown w4 ablation {mode!r}")
+    if mode:
+        import warnings
+
+        warnings.warn(
+            f"w4 ablation {mode!r} active: w4a8 outputs are WRONG "
+            "(timing-only mode)", stacklevel=2)
+    _W4_ABLATE[0] = mode
+
+
 def _w4_acc(mm, w, x8_lo, x8_hi):
     """Packed split-half biased-lo matvec accumulate; returns 16x the
     true integer accumulation (callers fold the /16 into the f32 scale).
@@ -161,11 +183,9 @@ def _w4_acc(mm, w, x8_lo, x8_hi):
     Both masks legalize as int8 vector ops in Mosaic (int8 shifts and
     subs do NOT — scripts/probe_w4_unpack.py), so the unpack costs two
     1-byte-wide VPU ops per element instead of ~8 4-byte-wide ones."""
-    import os as _os
-    _abl = _os.environ.get("RWKV_W4_ABLATE", "")
-    if _abl == "nomask":   # timing ablation: raw bytes, wrong math
+    if _W4_ABLATE[0] == "nomask":   # timing ablation: raw bytes, wrong math
         return mm(w, x8_hi) + 16 * mm(w, x8_lo)
-    if _abl == "onedot":   # timing ablation: single half-K dot
+    if _W4_ABLATE[0] == "onedot":   # timing ablation: single half-K dot
         return 17 * mm(w, x8_lo)
     lo_u = w & jnp.int8(15)
     hi16 = w & jnp.int8(-16)
@@ -1531,7 +1551,7 @@ def unpack_batched_state(heads_p, b, h, s):
 
 def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
                   n_proj: int = 3, packed: bool = False,
-                  w4: bool = False) -> tuple:
+                  w4: bool = False, v6_budget: tuple = (1, 2)) -> tuple:
     """(nh, nf, nr, no) so that each phase's double-buffered blocks stay
     small: head-tile state block <= ~8MB batched / ~2MB at B=1 (lane dim
     pads to 128 for B>1), fk/fv tile <= ~4.5MB, rkv/out row tiles <= ~8MB
@@ -1558,13 +1578,12 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
         # windows resident than v7 (rkvg + out + fr + fk/fv, plus v6's
         # decay/maa chain); at C=2048 and C=4096 the default windows
         # overflow the 128MB VMEM by 4-6MB on chip (v5e) — shrink the
-        # window budget (RWKV_V6_BUDGET_NUM/DEN override for on-chip
-        # probing — the halving costs 7B v6 ~170 GB/s of stream, and the
-        # measured overflow was only 3-5% of VMEM).
-        import os as _os
-
-        num = int(_os.environ.get("RWKV_V6_BUDGET_NUM", "1"))
-        den = int(_os.environ.get("RWKV_V6_BUDGET_DEN", "2"))
+        # window budget (`v6_budget` num/den, an explicit argument so
+        # pack shapes are deterministic for a given config — on-chip
+        # probes pass a different ratio; the halving costs 7B v6
+        # ~170 GB/s of stream with the column data plane, and is nearly
+        # free on the row plane: 11.76 vs 11.83 ms/tok).
+        num, den = v6_budget
         mm_budget = mm_budget * num // den
     if packed and batch > 1 and c >= 2048:
         # the packed-batch scratch columns ([C, B] f32, lane-padded)

@@ -220,13 +220,19 @@ class ContinuousBatcher:
         return done_now
 
     # -- on-device multi-step loop ----------------------------------------
-    def _multi_step_fn(self, n_steps: int, n_stop: int):
+    def _multi_step_fn(self, n_steps: int, n_stop: int,
+                       all_greedy: bool = False,
+                       use_penalties: bool = True):
         # cached on the MODEL: the compiled multi-step scan (~12s at
         # 169M through the remote-compile tunnel) must survive batcher
         # re-instantiation — a fresh ContinuousBatcher on the same
-        # ServingModel reuses it
+        # ServingModel reuses it.
+        # all_greedy / use_penalties are STATIC specializations computed
+        # per sync round: when every active slot is temperature==0 the
+        # sampler reduces to one argmax, and when no slot uses penalties
+        # the [B, V] counts bookkeeping drops out of the scan entirely.
         key_cache = ("batcher-multi", self.max_batch, n_steps, n_stop,
-                     self.DEVICE_TOP_K)
+                     self.DEVICE_TOP_K, all_greedy, use_penalties)
         if key_cache not in self._jit_cache:
             model = self.model
             cfg = model.config
@@ -253,16 +259,24 @@ class ContinuousBatcher:
 
                 def step(carry, key_i):
                     ps, logits, counts, remaining, active = carry
-                    pen = device_penalized_logits(
-                        logits, counts, ctl["presence"], ctl["frequency"]
-                    )
-                    tok = device_sample(
-                        pen, ctl["temperature"], ctl["top_p"], key_i, top_k
-                    )
+                    if use_penalties:
+                        pen = device_penalized_logits(
+                            logits, counts, ctl["presence"], ctl["frequency"]
+                        )
+                    else:
+                        pen = logits
+                    if all_greedy:
+                        tok = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+                    else:
+                        tok = device_sample(
+                            pen, ctl["temperature"], ctl["top_p"], key_i,
+                            top_k,
+                        )
                     tok = jnp.where(active, tok, 0)
-                    counts = counts.at[
-                        jnp.arange(tok.shape[0]), tok
-                    ].add(active.astype(counts.dtype))
+                    if use_penalties:
+                        counts = counts.at[
+                            jnp.arange(tok.shape[0]), tok
+                        ].add(active.astype(counts.dtype))
                     remaining = remaining - active.astype(jnp.int32)
                     hit_stop = jnp.any(tok[:, None] == ctl["stops"], axis=-1)
                     now_done = active & (hit_stop | (remaining <= 0))
@@ -285,12 +299,24 @@ class ContinuousBatcher:
         return self._jit_cache[key_cache]
 
     def _run_device(self) -> None:
-        b = self.max_batch
-        counts = jnp.zeros((b, self.model.config.n_vocab), jnp.float32)
         # logits live ON DEVICE across sync rounds: a host round-trip of
         # the [B, V] block costs ~80 ms through the tunnel per sync and
         # is only needed for rows _admit just prefilled
-        logits_dev = jnp.asarray(self._logits)
+        self._logits_dev = jnp.asarray(self._logits)
+        try:
+            self._run_device_loop()
+        finally:
+            # materialize the host snapshot even if the loop raises
+            # mid-drain (device OOM, tunnel loss): self._logits_dev is
+            # re-bound after each completed multi-step call, so the host
+            # logits stay consistent with self.state and a subsequent
+            # step() never samples from stale logits
+            self._logits = np.array(self._logits_dev)
+
+    def _run_device_loop(self) -> None:
+        b = self.max_batch
+        counts = jnp.zeros((b, self.model.config.n_vocab), jnp.float32)
+        logits_dev = self._logits_dev
         while self.queue or any(s is not None for s in self.slots):
             admitted = self._admit()
             if admitted:
@@ -327,12 +353,21 @@ class ContinuousBatcher:
                 if r is not None and r.stop_tokens:
                     ctl["stops"][i, : len(r.stop_tokens)] = list(r.stop_tokens)
 
-            fn, loop_arrs = self._multi_step_fn(self.sync_every, n_stop)
+            live = [r for r in reqs if r is not None]
+            fn, loop_arrs = self._multi_step_fn(
+                self.sync_every, n_stop,
+                all_greedy=all(r.temperature == 0.0 for r in live),
+                use_penalties=any(
+                    r.presence_penalty != 0.0 or r.frequency_penalty != 0.0
+                    for r in live
+                ),
+            )
             (self.state, logits_dev, counts, _remaining, _active, toks,
              emitted, self._key) = fn(
                 self.model.params, loop_arrs, self.state, logits_dev,
                 counts, {k: jnp.asarray(v) for k, v in ctl.items()}, self._key,
             )
+            self._logits_dev = logits_dev  # keep the recovery snapshot fresh
             # ONE (small) host sync for sync_every tokens: only the
             # [B, n_steps] token/emitted blocks transit the tunnel
             toks_h = np.asarray(toks)
@@ -352,8 +387,7 @@ class ContinuousBatcher:
                     req.done = True
                     self.finished[req.request_id] = req
                     self.slots[i] = None
-        # final host materialization (step()/external schedulers read it)
-        self._logits = np.array(logits_dev)
+        # final host materialization happens in _run_device's finally
 
     def run(self, on_device: bool = True) -> Dict[int, Request]:
         """Drain the queue and all active slots; returns finished requests.

@@ -119,12 +119,38 @@ def device_sample(logits, temperature, top_p, key, top_k: int = 0):
     import jax.numpy as jnp
 
     v = logits.shape[-1]
-    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    logits = logits.astype(jnp.float32)
 
     if top_k and top_k < v:
-        kth = jax.lax.top_k(probs, top_k)[0][:, -1:]
-        probs = jnp.where(probs < kth, 0.0, probs)
+        # k-domain path: ALL post-top-k work (nucleus cutoff, temperature,
+        # categorical) runs on [B, k], not [B, V]. lax.top_k returns values
+        # sorted descending, so no further sort is needed; the true
+        # full-vocab probabilities of the kept tokens come from one
+        # logsumexp reduction. A [B, 65536] f32 sort + full-vocab gumbel
+        # per scan step dominated the batcher's decode overhead
+        # (scripts/probe_batcher_overhead.py).
+        lse = jax.nn.logsumexp(logits, axis=-1, keepdims=True)
+        vals, idx = jax.lax.top_k(logits, top_k)        # [B, k] descending
+        probs = jnp.exp(vals - lse)                     # true probs, desc
+        greedy = idx[:, 0].astype(jnp.int32)
+
+        top_p_eff = jnp.where(top_p == 0.0, 1.0, top_p)[:, None]
+        exceeded = jnp.cumsum(probs, axis=-1) > top_p_eff
+        cut_idx = jnp.argmax(exceeded, axis=-1)  # first True (0 if none)
+        cutoff = jnp.take_along_axis(probs, cut_idx[:, None], axis=-1)
+        cutoff = jnp.where(top_p_eff >= 1.0, -1.0, cutoff)
+        probs = jnp.where(probs < cutoff, 0.0, probs)
+
+        safe_t = jnp.maximum(temperature, 1e-6)[:, None]
+        logp = jnp.where(probs > 0.0,
+                         jnp.log(jnp.maximum(probs, 1e-38)), -jnp.inf)
+        s = jax.random.categorical(key, logp / safe_t, axis=-1)
+        sampled = jnp.take_along_axis(idx, s[:, None], axis=-1)[:, 0]
+        return jnp.where(temperature <= 0.0, greedy,
+                         sampled.astype(jnp.int32))
+
+    probs = jax.nn.softmax(logits, axis=-1)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     top_p_eff = jnp.where(top_p == 0.0, 1.0, top_p)[:, None]
     sorted_desc = jnp.flip(jnp.sort(probs, axis=-1), axis=-1)

@@ -115,6 +115,43 @@ def test_device_sampler_matches_host_sampler():
         assert int(t) in nuclei[r]
 
 
+def test_device_sampler_topk_domain_matches_full():
+    """The k-domain sampler path (top_k > 0: one lax.top_k + [B, k] work)
+    must agree with the full-vocab path whenever the nucleus fits in k:
+    same greedy tokens, same nucleus membership, and the same cutoff set."""
+    import jax
+    import jax.numpy as jnp
+
+    from rwkv_tpu.utils.sampling import device_sample, softmax
+
+    rng = np.random.default_rng(7)
+    logits = rng.standard_normal((5, 96)).astype(np.float32) * 4
+    top_p = 0.75
+    probs = softmax(logits)
+    nuclei = []
+    for r in range(5):
+        sp = np.sort(probs[r])[::-1]
+        cut = sp[int(np.argmax(np.cumsum(sp) > top_p))]
+        nuclei.append(set(np.nonzero(probs[r] >= cut)[0].tolist()))
+    assert all(len(n) <= 16 for n in nuclei), "test setup: nucleus must fit k"
+
+    t = jnp.full((5,), 0.8, jnp.float32)
+    p = jnp.full((5,), top_p, jnp.float32)
+    for trial in range(8):
+        key = jax.random.PRNGKey(trial)
+        toks = np.asarray(device_sample(jnp.asarray(logits), t, p, key,
+                                        top_k=16))
+        for r, tok in enumerate(toks):
+            assert int(tok) in nuclei[r]
+    # greedy must match the full path exactly
+    zt = jnp.zeros((5,), jnp.float32)
+    g_k = np.asarray(device_sample(jnp.asarray(logits), zt, p,
+                                   jax.random.PRNGKey(0), top_k=16))
+    g_f = np.asarray(device_sample(jnp.asarray(logits), zt, p,
+                                   jax.random.PRNGKey(0), top_k=0))
+    np.testing.assert_array_equal(g_k, g_f)
+
+
 def test_stop_tokens_and_slot_reuse(srv):
     from rwkv_tpu.parallel.batching import ContinuousBatcher
 
