@@ -3,15 +3,21 @@
 Headline: single-stream greedy decode throughput (tokens/sec) of a
 169M-parameter-class RWKV v7 model (L=12, C=768, head 64, vocab 65536) on
 one chip. Primary path: the whole-model Pallas megakernel (one pallas_call
-for all layers, int8 weights + s8 MXU dots, ops/megakernel.py) + int8 head,
-whole 256-token decode loop in one on-device lax.scan. Falls back to the
-bf16 per-op serving engine if the megakernel path fails.
+for all layers, ops/megakernel.py) serving w4a8 — split-half packed int4
+big mats + int8 LoRA/head (the head stays int8, mirroring the reference's
+head-never-4-bit rule) — with the whole 512-token decode loop in one
+on-device lax.scan. Falls back to w8a8, then the bf16 per-op engine.
+w4a8 is the fastest serving format at every measured size (1.5B/7B tables
+in docs/STATUS.md), matching the reference's own "Q4 formats are fastest"
+property (README.md:35-43).
 
-Timing methodology (the axon tunnel adds ~30 ms fixed round-trip latency to
-ANY host synchronization and block_until_ready is asynchronous): each
+Timing methodology (the axon tunnel adds ~25-60 ms fixed round-trip latency
+to ANY host synchronization and block_until_ready is asynchronous): each
 measurement transfers only a 4-byte probe scalar, and the separately
 measured null round-trip overhead is subtracted before dividing by the
-token count.
+token count. The chain is 512 tokens so tunnel-latency jitter between the
+null-probe measurement and the chain runs stays ~1-2% of the result
+(at 256 tokens it was ~7% — the round-3/4 headline wobble).
 
 `vs_baseline` compares against the reference's best published 169M-class
 decode latency: 6.2 ms/token (cuBLAS offload, i7-13700K + RTX 3060 Ti,
@@ -64,32 +70,33 @@ def main():
 
     cfg = synth_config("7.0", n_layer=12, n_embed=768, n_vocab=65536, head_size=64)
     params_raw = synth_params(cfg, seed=0)
-    n_gen = 256
+    n_gen = 512
     overhead = _null_overhead(jax, jnp)
 
     def time_chain(chain_fn, *args):
         _ = np.asarray(chain_fn(*args))  # compile + settle
         best = float("inf")
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
             _ = np.asarray(chain_fn(*args))
             best = min(best, time.perf_counter() - t0)
         return max(best - overhead, 1e-9) / n_gen
 
-    # -- primary: whole-model megakernel, int8 weights + row-stored
-    # vectors + the LM head streamed inside the kernel (tile fetches
-    # interleaved with the layer phases; ops/megakernel.py) --
-    tps_single = None
-    srv = None
-    try:
+    # -- primary: whole-model megakernel with row-stored vectors,
+    # head-pair wkv state, and the LM head streamed inside the kernel
+    # (tile fetches interleaved with the layer phases; ops/megakernel.py).
+    # w4a8 first (int4 split-half big mats — the fastest format), then
+    # w8a8 if the w4 build/compile fails. --
+    def run_mega(precision):
         from rwkv_tpu.ops.megakernel import (
             head_tile_plan, v7_decode_megakernel,
         )
         from rwkv_tpu.ops.parity import layer_norm
 
-        mega = ServingModel((cfg, params_raw), precision="w8a8",
+        mega = ServingModel((cfg, params_raw), precision=precision,
                             megakernel=True, batch_bf16_shadow=True)
         pack_src = mega._mega_rows
+        assert pack_src is not None
         assert head_tile_plan(pack_src, cfg) is not None
         meta = {k: pack_src[k] for k in ("quant", "w4", "d_lora", "f_dim")}
         arrs = {k: v for k, v in pack_src.items() if k not in meta}
@@ -131,11 +138,19 @@ def main():
             mega_chain, mega.params, arrs, mega.init_state(1),
             jnp.zeros((cfg.n_vocab,), jnp.float32),
         )
-        tps_single = 1.0 / per_tok
-        srv = mega  # context metrics reuse the (w8a8) engine
-    except Exception as e:
-        print(f"megakernel path failed ({e}); falling back to bf16",
-              file=sys.stderr)
+        return 1.0 / per_tok, mega
+
+    tps_single = None
+    srv = None
+    for precision in ("w4a8", "w8a8"):
+        try:
+            tps_single, srv = run_mega(precision)
+            print(f"megakernel headline precision: {precision}",
+                  file=sys.stderr)
+            break
+        except Exception as e:
+            print(f"megakernel {precision} path failed ({e}); "
+                  "falling back", file=sys.stderr)
 
     if tps_single is None:
         srv = ServingModel((cfg, params_raw), precision="bf16")
@@ -181,7 +196,15 @@ def main():
         from rwkv_tpu.ops.parity import layer_norm as p_ln
         from rwkv_tpu.models import graph as G
 
-        pack_src = srv._mega_rows
+        # the lane-packed batched kernel is int8-only: when the headline
+        # engine is w4a8, build a w8a8 sibling for the batched metric
+        if srv is not None and srv._mega_rows is not None \
+                and not srv._mega_rows["w4"]:
+            srv_b = srv
+        else:
+            srv_b = ServingModel((cfg, params_raw), precision="w8a8",
+                                 megakernel=True, batch_bf16_shadow=True)
+        pack_src = srv_b._mega_rows
         assert pack_src is not None
         bmeta = {k: pack_src[k] for k in ("quant", "w4", "d_lora", "f_dim")}
         barrs = {k: v for k, v in pack_src.items()
@@ -207,7 +230,7 @@ def main():
                                               None, length=n_gen)
             return jnp.sum(toks)
 
-        bst = srv.init_state(batch)
+        bst = srv_b.init_state(batch)
         bstate_p = {
             "att_xx": jnp.transpose(bst["att_xx"], (1, 2, 0)),
             "ffn_xx": jnp.transpose(bst["ffn_xx"], (1, 2, 0)),
@@ -216,11 +239,11 @@ def main():
             ),
         }
         btoks = jnp.zeros((batch,), jnp.int32)
-        _ = np.asarray(packed_chain(srv.params, barrs, bstate_p, btoks))
+        _ = np.asarray(packed_chain(srv_b.params, barrs, bstate_p, btoks))
         best_b = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            _ = np.asarray(packed_chain(srv.params, barrs, bstate_p, btoks))
+            _ = np.asarray(packed_chain(srv_b.params, barrs, bstate_p, btoks))
             best_b = min(best_b, time.perf_counter() - t0)
         tps_batched = batch * n_gen / max(best_b - overhead, 1e-9)
     except Exception as e:

@@ -554,9 +554,11 @@ class ServingModel:
                 if self._mega is None:
                     # head=True folds the LM head into the decode kernel
                     # (B=1 non-tiled path); the tiled/batched consumers
-                    # ignore the extra keys.
+                    # ignore the extra keys. The head stays int8 under
+                    # w4a8 — mirroring the reference's head-never-
+                    # quantized-to-4-bit rule (rwkv_quantize.inc:1-13).
                     self._mega = build_mega_pack(params, cfg, quant=quant,
-                                                 w4=w4, head=not w4)
+                                                 w4=w4, head=True)
                 mega_mat_keys = ("rkv", "lora1", "lora2", "out", "fk", "fv")
             elif cfg.version_major == 6:
                 from rwkv_tpu.ops.megakernel import (
@@ -598,11 +600,16 @@ class ServingModel:
                 from rwkv_tpu.ops.megakernel import save_mega_pack
 
                 save_mega_pack(mega_pack_cache, self._mega)
-            # w4 is implemented on the tiled kernels only — always route
-            # through them regardless of model size.
-            self._mega_big = per_layer > 20 * 1024 * 1024 or w4
+            # B>1 w4 is implemented on the tiled kernels only — route
+            # batched decode through them; small v7 models additionally
+            # get the whole-layer w4 kernel (row vectors, head-pair
+            # state, in-kernel int8 head, int4 split-half big mats) for
+            # B=1 — the headline single-stream path.
+            small = per_layer <= 20 * 1024 * 1024
+            self._mega_big = not small or w4
             self._mega_rows = None
-            if not self._mega_big:
+            if (not self._mega_big
+                    or (w4 and small and cfg.version_major == 7)):
                 # row-stored vectors/scales for the non-tiled kernels
                 # (column windows are scatter DMAs that dominate the
                 # step; scripts/probe_layer_cost.py) — shares the big
@@ -1612,13 +1619,16 @@ class ServingModel:
                         run, arrs = self._mega4_fn()
                     return run(self.params, arrs, state, tokens[:, 0])
                 return self._perop_decode(state, tokens)
-            if b == 1 and not self._mega_big:
+            if b == 1 and self._mega_rows is not None:
+                # whole-layer kernel (w8a8 AND w4a8 — small models only;
+                # _mega_rows exists exactly for those configs)
                 run, arrs = self._mega_fn()
                 return run(self.params, arrs, state, tokens[:, 0])
             if b == 1:
                 run, arrs_t = self._mega_tiled1_fn()
                 return run(self.params, arrs_t, state, tokens[:, 0])
             if (2 <= b <= 32 and self._mega_rows is not None
+                    and not self._mega_rows["w4"]
                     and self.config.version_major == 7):
                 # lane-packed batched kernel: fastest measured path for
                 # every B in [2, 32] (1.3-1.8x over bf16/op, crossover

@@ -326,6 +326,12 @@ def rowify_mega_pack(pack: dict) -> dict:
     if pack["quant"]:
         for name in _MAT_KEYS:
             out[name + "_d"] = jnp.swapaxes(pack[name + "_d"], 1, 2)
+    if pack.get("w4"):
+        # big mats: unpacked int4 codes [L, N, K] -> split-half packed
+        # bytes [L, N, K/2] for the whole-layer kernel's matv4 (same
+        # layout the tiled kernels consume via retile_mega_pack)
+        for name in ("rkv", "out", "fk", "fv"):
+            out[name] = _pack_nibbles_split_half(pack[name])
     if "ln_out.weight" in pack:
         out["ln_out.weight"] = pack["ln_out.weight"].T
         out["ln_out.bias"] = pack["ln_out.bias"].T
@@ -405,7 +411,8 @@ def _emit_head_phases(i, n_layer, head_nt, v_t, quant, rows, ln, qx,
 
 
 def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
-                 head_nt=0, v_t=0, rows=False, srows=False, flat=False):
+                 head_nt=0, v_t=0, rows=False, srows=False, flat=False,
+                 w4=False):
     # flat=True: HEAD-PAIR wkv state [H/2, S_j, 2*S_i] — lane half p
     # holds head 2hh+p, so the lane dim is exactly 128 at S=64 where
     # the [H, S_j, S_i] layout pads S_i 64->128 and streams 2x the
@@ -513,6 +520,24 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
                 precision=jax.lax.Precision.HIGHEST,
             )
 
+        def matv4(w_ref, d_ref, row_lo, row_hi, xcol):
+            """w4 big-mat matvec: the window holds [rows, K/2] split-half
+            biased-lo packed int4 pairs (_pack_nibbles_split_half); two
+            contiguous half-K s8 dots + two int8 AND masks (_w4_acc), the
+            x16/-8 corrections folded into the f32 scale. Streams half
+            the weight bytes of the w8a8 window — the same layout the
+            tiled kernels serve 1.5B/7B w4a8 with."""
+            w = w_ref[0][row_lo:row_hi]
+            kh = w.shape[1]
+            x8, dx = qx(xcol)
+            acc16 = _w4_acc(mm, w, x8[:kh], x8[kh:])
+            dd = (d_ref[0][:, row_lo:row_hi].T if rows
+                  else d_ref[0][row_lo:row_hi])
+            return acc16.astype(jnp.float32) * (
+                dx * jnp.float32(_W4_INV16)) * dd
+
+        mv_big = matv4 if w4 else matv
+
         def _layer_step():
             x = x_s[:]
 
@@ -537,9 +562,9 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
             xa = xl + sx * cf[4]
             xg = xl + sx * cf[5]
 
-            r = matv(rkv, rkv_d if quant else None, 0 * c, 1 * c, xr)
-            k = matv(rkv, rkv_d if quant else None, 1 * c, 2 * c, xk)
-            v = matv(rkv, rkv_d if quant else None, 2 * c, 3 * c, xv)
+            r = mv_big(rkv, rkv_d if quant else None, 0 * c, 1 * c, xr)
+            k = mv_big(rkv, rkv_d if quant else None, 1 * c, 2 * c, xk)
+            v = mv_big(rkv, rkv_d if quant else None, 2 * c, 3 * c, xv)
 
             d = d_lora
             w_dn = jnp.tanh(matv(lora1, lora1_d if quant else None, 0 * d, 1 * d, xw))
@@ -675,7 +700,7 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
                 bonus = (v3 * dots).reshape(c, 1)
                 xo = (xo + bonus) * g
 
-            att_proj = matv(out_w, out_d if quant else None, 0, c, xo)
+            att_proj = mv_big(out_w, out_d if quant else None, 0, c, xo)
             if debug:
                 dbg_out[0] = jnp.concatenate([
                     cf[0], cf[1], cf[2], cf[3], cf[4], cf[5], xk, xa,
@@ -690,9 +715,9 @@ def _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant, debug=False,
             else:
                 ffn_out[0] = xl2
             xk2 = xl2 + sx2 * vec(xkw)
-            fk = matv(fk_w, fk_d if quant else None, 0, f_dim, xk2)
+            fk = mv_big(fk_w, fk_d if quant else None, 0, f_dim, xk2)
             fk = jnp.square(jnp.maximum(fk, 0.0))
-            ffn_proj = matv(fv_w, fv_d if quant else None, 0, c, fk)
+            ffn_proj = mv_big(fv_w, fv_d if quant else None, 0, c, fk)
             x = x + ffn_proj
 
             x_s[:] = x
@@ -756,9 +781,12 @@ def v7_decode_megakernel(
     # head-pair state [L, H/2, S_j, 2*S_i] (exact 128 lanes at S=64)
     flat = state_t["heads"].shape[1] == h // 2
     hshape = (h // 2, s, 2 * s) if flat else (h, s, s)
+    # w4: big mats arrive nibble-packed [L, N, K/2] (rowify_mega_pack);
+    # detected from the pack so per-op callers need no extra plumbing
+    w4 = bool(pack.get("w4")) and pack["rkv"].shape[-1] == c // 2
     kernel = _make_kernel(c, h, s, d_lora, f_dim, n_layer, quant,
                           debug=debug, head_nt=head_nt, v_t=v_t,
-                          rows=rows, srows=srows, flat=flat)
+                          rows=rows, srows=srows, flat=flat, w4=w4)
 
     def blocked(shape):
         if has_head:

@@ -517,6 +517,36 @@ def test_megamodel_w4a8_matches_int4_dequant_reference():
             assert lm[0].argmax() in top5, c
 
 
+def test_megamodel_w4a8_whole_layer_matches_tiled():
+    """Small v7 w4a8 B=1 routes through the WHOLE-LAYER kernel (row
+    vectors, head-pair state, in-kernel int8 head, split-half int4 big
+    mats). It must agree with the phase-tiled w4 kernel on the same
+    engine: both consume identical int4 codes with per-matvec int8
+    activation quantization, so only f32 reduction order differs."""
+    from rwkv_tpu.models.serve import ServingModel
+    from rwkv_tpu.models.synth import synth_config, synth_params
+
+    cfg = synth_config("7.0", n_layer=2, n_embed=512, n_vocab=512,
+                       head_size=64)
+    params = synth_params(cfg, seed=23, lora_dim=64)
+    srv = ServingModel((cfg, params), precision="w4a8", megakernel=True)
+    assert srv._mega_rows is not None and srv._mega_rows["w4"]
+    assert srv._mega_rows["rkv"].shape[-1] == cfg.n_embed // 2
+    assert "head8" in srv._mega_rows
+
+    run_t, arrs_t = srv._mega_tiled1_fn()
+    state_w = srv.init_state(1)
+    state_t = srv.init_state(1)
+    for tok in (3, 77, 200, 41):
+        lw, state_w = srv.decode(np.array([tok], np.int32), state_w)
+        lt, state_t = run_t(srv.params, arrs_t,
+                            state_t, jnp.asarray([tok], jnp.int32))
+        lw, lt = np.asarray(lw), np.asarray(lt)
+        scale = max(np.abs(lt).max(), 1e-6)
+        assert np.abs(lw - lt).max() / scale < 2e-5, tok
+        assert lw.argmax() == lt.argmax()
+
+
 @pytest.mark.parametrize("version", ["4.0", "5.2", "6.0"])
 def test_megamodel_w4a8_other_archs(version):
     """w4a8 on the v4/v5/v6 tiled kernels (C=512, fused config — the

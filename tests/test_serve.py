@@ -201,6 +201,70 @@ def test_serving_quant_file_golden_band(model, fmt, band):
     assert abs(diff) < band, diff
 
 
+@pytest.mark.parametrize(
+    "model,fmt,band",
+    # K-superblock formats (Q4_K/Q5_K): no reference fixtures exist
+    # (rwkv.cpp lists them as types its python wrapper names but its
+    # quantizer cannot emit, rwkv_file_format.inc:41-42) — files are
+    # produced by OUR quantizer from the FP32 fixtures. Bands ~2-4x the
+    # measured diff-sums; the profile lands between Q5_0 and Q8_0 on
+    # every model (better than the Q4_0/Q4_1 rows above), matching the
+    # K-formats' finer 6-bit-scale superblock design.
+    [
+        ("7v0-834K", "Q4_K", 0.3), ("7v0-834K", "Q5_K", 0.25),
+        ("4v0-660K", "Q4_K", 0.5), ("4v0-660K", "Q5_K", 0.8),
+        ("5v2-730K", "Q4_K", 120.0), ("5v2-730K", "Q5_K", 70.0),
+    ],
+)
+def test_serving_kquant_file_golden_band(model, fmt, band, tmp_path):
+    """Golden logit diff-sum bands for the K-superblock file formats
+    through the serving engine — the same gate the Q4_0..Q8_0 formats
+    have (measured: 7v0 -0.083/-0.059, 4v0 -0.139/+0.232,
+    5v2 +56.3/+28.5)."""
+    from rwkv_tpu.io.quantize import quantize_model_file
+    from rwkv_tpu.models.serve import ServingModel
+
+    src = str(require_fixture(f"tiny-rwkv-{model}-FP32.bin"))
+    out = str(tmp_path / f"{model}-{fmt}.bin")
+    quantize_model_file(src, out, fmt, verbose=False)
+    expected = np.fromfile(
+        str(require_fixture(f"expected-logits-{model}.bin")), dtype=np.float32
+    )
+    srv = ServingModel(out, precision="quant")
+    state = srv.init_state(1)
+    logits = None
+    for tok in b'"in':
+        logits, state = srv.decode(np.array([tok], np.int32), state)
+    diff = float(np.sum(np.asarray(logits[0]) - expected))
+    assert abs(diff) < band, diff
+
+
+@pytest.mark.parametrize("fmt", ["Q4_K", "Q5_K"])
+def test_serving_kquant_matches_parity_engine(fmt, tmp_path):
+    """A K-quant file routed through ServingModel must match the parity
+    engine's logits on the same file (both decode the same superblocks;
+    only activation precision/reduction order differ)."""
+    from rwkv_tpu.io.quantize import quantize_model_file
+    from rwkv_tpu.models.model import RWKVModel
+    from rwkv_tpu.models.serve import ServingModel
+
+    src = str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin"))
+    out = str(tmp_path / f"m-{fmt}.bin")
+    quantize_model_file(src, out, fmt, verbose=False)
+
+    srv = ServingModel(out, precision="quant")
+    par = RWKVModel(out)
+    state_s = srv.init_state(1)
+    state_p = par.init_state()
+    for tok in b'"in':
+        ls, state_s = srv.decode(np.array([tok], np.int32), state_s)
+        lp, state_p = par.eval(tok, state_p)
+    ls, lp = np.asarray(ls[0]), np.asarray(lp)
+    scale = max(np.abs(lp).max(), 1e-6)
+    assert np.abs(ls - lp).max() / scale < 1.5e-2, fmt
+    assert ls.argmax() == lp.argmax()
+
+
 def test_batch_bf16_shadow_routing():
     """batch_bf16_shadow=True: a quantized engine serves mid-B decode
     through a lazily-built bf16 weight copy (measured ~20% faster than
