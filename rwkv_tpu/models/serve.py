@@ -1441,14 +1441,20 @@ class ServingModel:
                 return logits, ps
 
         else:
-            def pack(state):
-                return jax.tree.map(lambda a: jnp.swapaxes(a, 0, 1), state)
+            # mirror decode()'s routing EXACTLY (same jitted closures):
+            # the host per-token path and the batcher's on-device scan
+            # must emit identical token streams for every configuration
+            # (v7 plain-batched, all v4/v5/v6, per-op/bf16-shadow, ...).
+            route = self._decode_route(b)
 
-            unpack = pack  # swapaxes(0, 1) is an involution
+            def pack(state):
+                return state
+
+            unpack = pack  # serving layout IS the route's native layout
             arrs = {}
 
             def step(params, _arrs, ps, tokens):
-                return forward_stacked(params, ps, tokens[None, :], cfg, True)
+                return route(ps, tokens)
 
         self._jit_cache[key] = (pack, step, unpack, arrs)
         return self._jit_cache[key]
@@ -1581,52 +1587,44 @@ class ServingModel:
             self._jit_cache[key] = (run, arrs)
         return self._jit_cache[key]
 
-    def decode(self, tokens, state):
-        """One decode step for a batch: tokens [B] -> (logits [B, V], state).
-        With megakernel=True, B=1 runs the whole-model Pallas kernel and
-        mega_min_batch <= B <= MEGA_MAX_BATCH runs its batched variant
-        (below mega_min_batch the per-op path is faster — the kernel's wkv
-        state stream pads the batch lane dim to 128, so its step cost is
-        flat in B while the per-op path scales down)."""
-        tokens = jnp.asarray(tokens, jnp.int32).reshape(-1, 1)
-        if self._mega_tp is not None and tokens.shape[0] == 1:
+    def _decode_route(self, b: int):
+        """Route selection for a B=b decode step, shared by :meth:`decode`
+        and the batcher's multi-step loop fallback (decode_loop_fns), so
+        the host per-token path and the on-device scan run IDENTICAL
+        numerics for every configuration. Returns a callable
+        ``(state, tokens_1d) -> (logits, state)`` on the serving-layout
+        state [B, L, ...]."""
+        if self._mega_tp is not None and b == 1:
             run, arrs_tp = self._megatp_fn()
-            return run(self.params, arrs_tp, state, tokens[:, 0])
+            return lambda st, tk: run(self.params, arrs_tp, st, tk)
         if self._mega is not None:
-            b = tokens.shape[0]
             if self.config.version_major in (4, 5, 6):
                 # whole-layer kernels are B=1 only; big v4/v5/v6
                 # models route to their phase-tiled kernels at B=1;
                 # everything else falls back to the per-op path.
-                if (b == 1 and self._mega_big
-                        and self.config.version_major == 6):
-                    run, arrs_t = self._mega6_tiled1_fn()
-                    return run(self.params, arrs_t, state, tokens[:, 0])
-                if (b == 1 and self._mega_big
-                        and self.config.version_major == 5):
-                    run, arrs_t = self._mega5_tiled1_fn()
-                    return run(self.params, arrs_t, state, tokens[:, 0])
-                if (b == 1 and self._mega_big
-                        and self.config.version_major == 4):
-                    run, arrs_t = self._mega4_tiled1_fn()
-                    return run(self.params, arrs_t, state, tokens[:, 0])
-                if b == 1 and not self._mega_big:
-                    if self.config.version_major == 6:
-                        run, arrs = self._mega6_fn()
-                    elif self.config.version_major == 5:
-                        run, arrs = self._mega5_fn()
-                    else:
-                        run, arrs = self._mega4_fn()
-                    return run(self.params, arrs, state, tokens[:, 0])
-                return self._perop_decode(state, tokens)
+                if b == 1 and self._mega_big:
+                    run, arrs_t = {
+                        6: self._mega6_tiled1_fn,
+                        5: self._mega5_tiled1_fn,
+                        4: self._mega4_tiled1_fn,
+                    }[self.config.version_major]()
+                    return lambda st, tk: run(self.params, arrs_t, st, tk)
+                if b == 1:
+                    run, arrs = {
+                        6: self._mega6_fn,
+                        5: self._mega5_fn,
+                        4: self._mega4_fn,
+                    }[self.config.version_major]()
+                    return lambda st, tk: run(self.params, arrs, st, tk)
+                return self._perop_route()
             if b == 1 and self._mega_rows is not None:
                 # whole-layer kernel (w8a8 AND w4a8 — small models only;
                 # _mega_rows exists exactly for those configs)
                 run, arrs = self._mega_fn()
-                return run(self.params, arrs, state, tokens[:, 0])
+                return lambda st, tk: run(self.params, arrs, st, tk)
             if b == 1:
                 run, arrs_t = self._mega_tiled1_fn()
-                return run(self.params, arrs_t, state, tokens[:, 0])
+                return lambda st, tk: run(self.params, arrs_t, st, tk)
             if (2 <= b <= 32 and self._mega_rows is not None
                     and not self._mega_rows["w4"]
                     and self.config.version_major == 7):
@@ -1635,16 +1633,37 @@ class ServingModel:
                 # table above); its whole-layer state windows stop
                 # fitting VMEM past B=32.
                 run, arrs_p = self._mega_batched_packed_fn(b)
-                return run(self.params, arrs_p, state, tokens[:, 0])
+                return lambda st, tk: run(self.params, arrs_p, st, tk)
             if self._mega_big and 2 <= b < 128:
                 # lane-packed tiled kernel: mid-B big-model decode (the
                 # plain layout pads the state lane dim B -> 128)
                 run, arrs_t = self._mega_batched_fn(b, packed=True)
-                return run(self.params, arrs_t, state, tokens[:, 0])
+                return lambda st, tk: run(self.params, arrs_t, st, tk)
             if self.mega_min_batch <= b <= MEGA_MAX_BATCH:
                 run, arrs_t = self._mega_batched_fn(b)
-                return run(self.params, arrs_t, state, tokens[:, 0])
-        return self._perop_decode(state, tokens)
+                return lambda st, tk: run(self.params, arrs_t, st, tk)
+        return self._perop_route()
+
+    def _perop_route(self):
+        """Per-op decode route on the serving-layout state (bf16 shadow
+        for mid-B when enabled — see _perop_decode)."""
+        def run(st, tk):
+            if self._batch_bf16_shadow and tk.shape[0] > 1:
+                return self._batched_fn(1, True, shadow=True)(
+                    self._shadow(), st, tk[:, None]
+                )
+            return self._batched_fn(1, True)(self.params, st, tk[:, None])
+        return run
+
+    def decode(self, tokens, state):
+        """One decode step for a batch: tokens [B] -> (logits [B, V], state).
+        With megakernel=True, B=1 runs the whole-model Pallas kernel and
+        mega_min_batch <= B <= MEGA_MAX_BATCH runs its batched variant
+        (below mega_min_batch the per-op path is faster — the kernel's wkv
+        state stream pads the batch lane dim to 128, so its step cost is
+        flat in B while the per-op path scales down)."""
+        tokens = jnp.asarray(tokens, jnp.int32).reshape(-1)
+        return self._decode_route(tokens.shape[0])(state, tokens)
 
     def _perop_decode(self, state, tokens):
         """Per-op decode step, routed to the bf16 shadow weights for

@@ -102,6 +102,7 @@ class ContinuousBatcher:
         self._logits = np.zeros((max_batch, model.config.n_vocab), np.float32)
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
+        self._ps = None  # kernel-native packed state (drain-loop carry)
         # shared with the model so compiled scan fns survive batcher
         # re-instantiation (a fresh batcher on the same engine must not
         # pay the multi-step recompile)
@@ -244,24 +245,27 @@ class ContinuousBatcher:
             )
 
             @jax.jit
-            def run(params, loop_arrs, state, logits, counts, ctl, key):
-                # ctl: dict of per-slot arrays — temperature, top_p,
-                # presence, frequency [B] f32; remaining [B] i32;
-                # active [B] bool; stops [B, n_stop] i32 (pad -1).
+            def run(params, loop_arrs, ps, logits, counts, remaining,
+                    active, samp, key):
+                # ps: KERNEL-NATIVE packed state, carried across sync
+                # rounds (pack/unpack happen only at admission/drain —
+                # see _pack_state_fn/_unpack_state_fn). remaining [B]
+                # i32, active [B] bool and counts [B, V] are device
+                # carries too: the host never re-uploads them. samp:
+                # per-slot sampling ctl — temperature, top_p, presence,
+                # frequency [B] f32; stops [B, n_stop] i32 (pad -1) —
+                # uploaded only when admissions change it.
                 from rwkv_tpu.ops.kernels import force_mode
 
                 fm = force_mode(mm_force)
                 fm.__enter__()  # trace-time; spans the scan below
-                # Kernel-native state layout is carried ACROSS the scan:
-                # pack once here, unpack once after (decode_loop_fns) —
-                # not 2 state-sized layout moves per decoded token.
-                ps = pack_fn(state)
 
                 def step(carry, key_i):
                     ps, logits, counts, remaining, active = carry
                     if use_penalties:
                         pen = device_penalized_logits(
-                            logits, counts, ctl["presence"], ctl["frequency"]
+                            logits, counts, samp["presence"],
+                            samp["frequency"],
                         )
                     else:
                         pen = logits
@@ -269,7 +273,7 @@ class ContinuousBatcher:
                         tok = jnp.argmax(pen, axis=-1).astype(jnp.int32)
                     else:
                         tok = device_sample(
-                            pen, ctl["temperature"], ctl["top_p"], key_i,
+                            pen, samp["temperature"], samp["top_p"], key_i,
                             top_k,
                         )
                     tok = jnp.where(active, tok, 0)
@@ -278,116 +282,185 @@ class ContinuousBatcher:
                             jnp.arange(tok.shape[0]), tok
                         ].add(active.astype(counts.dtype))
                     remaining = remaining - active.astype(jnp.int32)
-                    hit_stop = jnp.any(tok[:, None] == ctl["stops"], axis=-1)
+                    hit_stop = jnp.any(tok[:, None] == samp["stops"], axis=-1)
                     now_done = active & (hit_stop | (remaining <= 0))
                     emitted = active
                     active = active & ~now_done
                     logits, ps = step_fn(params, loop_arrs, ps, tok)
-                    return (ps, logits, counts, remaining, active), (tok, emitted)
+                    # one fused download per round: emitted tokens, -1
+                    # where the slot was already inactive
+                    return ((ps, logits, counts, remaining, active),
+                            jnp.where(emitted, tok, -1))
 
                 keys = jax.random.split(key, n_steps + 1)
-                carry = (ps, logits, counts, ctl["remaining"], ctl["active"])
-                (ps, logits, counts, remaining, active), (toks, emitted) = (
+                carry = (ps, logits, counts, remaining, active)
+                (ps, logits, counts, remaining, active), tok_enc = (
                     jax.lax.scan(step, carry, keys[1:])
                 )
-                state = unpack_fn(ps)
                 fm.__exit__(None, None, None)
-                return (state, logits, counts, remaining, active,
-                        toks.T, emitted.T, keys[0])
+                return (ps, logits, counts, remaining, active,
+                        tok_enc.T, keys[0])
 
             self._jit_cache[key_cache] = (run, loop_arrs)
         return self._jit_cache[key_cache]
+
+    def _pack_state_fn(self):
+        key = ("batcher-pack", self.max_batch)
+        if key not in self._jit_cache:
+            pack_fn, _, unpack_fn, _ = self.model.decode_loop_fns(
+                self.max_batch
+            )
+            self._jit_cache[key] = (jax.jit(pack_fn), jax.jit(unpack_fn))
+        return self._jit_cache[key]
 
     def _run_device(self) -> None:
         # logits live ON DEVICE across sync rounds: a host round-trip of
         # the [B, V] block costs ~80 ms through the tunnel per sync and
         # is only needed for rows _admit just prefilled
         self._logits_dev = jnp.asarray(self._logits)
+        self._ps = None
         try:
             self._run_device_loop()
         finally:
-            # materialize the host snapshot even if the loop raises
-            # mid-drain (device OOM, tunnel loss): self._logits_dev is
-            # re-bound after each completed multi-step call, so the host
-            # logits stay consistent with self.state and a subsequent
-            # step() never samples from stale logits
+            # materialize the host snapshots even if the loop raises
+            # mid-drain (device OOM, tunnel loss): self._logits_dev /
+            # self._ps are re-bound after each completed multi-step call,
+            # so the host state stays consistent and a subsequent step()
+            # never samples from stale logits
+            if self._ps is not None:
+                _, unpack = self._pack_state_fn()
+                self.state = unpack(self._ps)
+                self._ps = None
             self._logits = np.array(self._logits_dev)
 
+    def _consume_round(self, reqs, tok_enc) -> None:
+        """Fold one sync round's emitted tokens (single fused [B, n]
+        download; -1 = slot inactive at that step) into the requests and
+        retire finished slots."""
+        toks_h = np.asarray(tok_enc)
+        for i, req in enumerate(reqs):
+            if req is None:
+                continue
+            for t in toks_h[i]:
+                if t < 0:
+                    break
+                req.generated.append(int(t))
+            if (
+                len(req.generated) >= req.max_new_tokens
+                or (req.generated and req.generated[-1] in req.stop_tokens)
+            ):
+                req.done = True
+                self.finished[req.request_id] = req
+                self.slots[i] = None
+
     def _run_device_loop(self) -> None:
+        """Pipelined drain: ONE fused token download per sync round,
+        overlapped with the NEXT round's device compute (the round k+1
+        dispatch is issued before round k's download blocks — through a
+        remote-tunnel runtime the transfer latency hides entirely behind
+        the scan). remaining/active/counts and the kernel-native packed
+        state are device carries across rounds; the host re-uploads only
+        the per-slot sampling ctl, and only when admissions change it."""
         b = self.max_batch
-        counts = jnp.zeros((b, self.model.config.n_vocab), jnp.float32)
-        logits_dev = self._logits_dev
-        while self.queue or any(s is not None for s in self.slots):
-            admitted = self._admit()
-            if admitted:
-                # fresh sequences start with zero penalty counts
-                counts = counts.at[jnp.asarray(admitted)].set(0.0)
-                idx = np.asarray(admitted)
-                logits_dev = logits_dev.at[jnp.asarray(idx)].set(
-                    jnp.asarray(self._logits[idx])
+        model = self.model
+        pack, unpack = self._pack_state_fn()
+        counts = jnp.zeros((b, model.config.n_vocab), jnp.float32)
+        slots0 = list(self.slots)
+        remaining = jnp.asarray(np.array(
+            [r.max_new_tokens - len(r.generated) if r else 0 for r in slots0],
+            np.int32))
+        active = jnp.asarray(np.array([r is not None for r in slots0], bool))
+        samp_dirty = True
+        samp_dev = fn = loop_arrs = None
+        pending = None  # (slots snapshot, tok_enc device array)
+
+        while (self.queue or any(s is not None for s in self.slots)
+               or pending is not None):
+            # admissions (pending must be drained first: _admit writes
+            # into the serving-layout state and changes the slot set)
+            if (pending is None and self.queue
+                    and any(s is None for s in self.slots)):
+                if self._ps is not None:
+                    self.state = unpack(self._ps)
+                    self._ps = None
+                admitted = self._admit()
+                if admitted:
+                    idx = jnp.asarray(np.asarray(admitted))
+                    counts = counts.at[idx].set(0.0)
+                    self._logits_dev = self._logits_dev.at[idx].set(
+                        jnp.asarray(self._logits[np.asarray(admitted)])
+                    )
+                    remaining = remaining.at[idx].set(jnp.asarray(np.array(
+                        [self.slots[i].max_new_tokens for i in admitted],
+                        np.int32)))
+                    active = active.at[idx].set(True)
+                    samp_dirty = True
+
+            live = [r for r in self.slots if r is not None]
+            if not live:
+                if pending is not None:
+                    self._consume_round(*pending)
+                    pending = None
+                continue
+
+            if samp_dirty:
+                reqs = list(self.slots)
+                n_stop = max([len(r.stop_tokens) for r in live] + [1])
+                stops = np.full((b, n_stop), -1, np.int32)
+                for i, r in enumerate(reqs):
+                    if r is not None and r.stop_tokens:
+                        stops[i, : len(r.stop_tokens)] = list(r.stop_tokens)
+                samp_dev = {
+                    "temperature": jnp.asarray(np.array(
+                        [r.temperature if r else 1.0 for r in reqs],
+                        np.float32)),
+                    "top_p": jnp.asarray(np.array(
+                        [r.top_p if r else 1.0 for r in reqs], np.float32)),
+                    "presence": jnp.asarray(np.array(
+                        [r.presence_penalty if r else 0.0 for r in reqs],
+                        np.float32)),
+                    "frequency": jnp.asarray(np.array(
+                        [r.frequency_penalty if r else 0.0 for r in reqs],
+                        np.float32)),
+                    "stops": jnp.asarray(stops),
+                }
+                fn, loop_arrs = self._multi_step_fn(
+                    self.sync_every, n_stop,
+                    all_greedy=all(r.temperature == 0.0 for r in live),
+                    use_penalties=any(
+                        r.presence_penalty != 0.0
+                        or r.frequency_penalty != 0.0 for r in live
+                    ),
                 )
+                samp_dirty = False
 
-            reqs = list(self.slots)
-            n_stop = max(
-                [len(r.stop_tokens) for r in reqs if r is not None] + [1]
-            )
-            ctl = {
-                "temperature": np.array(
-                    [r.temperature if r else 1.0 for r in reqs], np.float32
-                ),
-                "top_p": np.array([r.top_p if r else 1.0 for r in reqs], np.float32),
-                "presence": np.array(
-                    [r.presence_penalty if r else 0.0 for r in reqs], np.float32
-                ),
-                "frequency": np.array(
-                    [r.frequency_penalty if r else 0.0 for r in reqs], np.float32
-                ),
-                "remaining": np.array(
-                    [r.max_new_tokens - len(r.generated) if r else 0 for r in reqs],
-                    np.int32,
-                ),
-                "active": np.array([r is not None for r in reqs], bool),
-                "stops": np.full((b, n_stop), -1, np.int32),
-            }
-            for i, r in enumerate(reqs):
-                if r is not None and r.stop_tokens:
-                    ctl["stops"][i, : len(r.stop_tokens)] = list(r.stop_tokens)
+            if self._ps is None:
+                self._ps = pack(self.state)
 
-            live = [r for r in reqs if r is not None]
-            fn, loop_arrs = self._multi_step_fn(
-                self.sync_every, n_stop,
-                all_greedy=all(r.temperature == 0.0 for r in live),
-                use_penalties=any(
-                    r.presence_penalty != 0.0 or r.frequency_penalty != 0.0
-                    for r in live
-                ),
+            (self._ps, self._logits_dev, counts, remaining, active,
+             tok_enc, self._key) = fn(
+                model.params, loop_arrs, self._ps, self._logits_dev,
+                counts, remaining, active, samp_dev, self._key,
             )
-            (self.state, logits_dev, counts, _remaining, _active, toks,
-             emitted, self._key) = fn(
-                self.model.params, loop_arrs, self.state, logits_dev,
-                counts, {k: jnp.asarray(v) for k, v in ctl.items()}, self._key,
+            prev = pending
+            pending = (list(self.slots), tok_enc)
+            if prev is not None:
+                # consume round k-1 while round k computes (async dispatch)
+                self._consume_round(*prev)
+            # keep one round in flight only while the host's bookkeeping
+            # says some slot could still be active after it completes (a
+            # slot with stop tokens may finish earlier — that costs at
+            # most one idle speculative round)
+            inflight_done = all(
+                (r.max_new_tokens - len(r.generated)
+                 - self.sync_every) <= 0
+                for r in pending[0] if r is not None
             )
-            self._logits_dev = logits_dev  # keep the recovery snapshot fresh
-            # ONE (small) host sync for sync_every tokens: only the
-            # [B, n_steps] token/emitted blocks transit the tunnel
-            toks_h = np.asarray(toks)
-            emitted_h = np.asarray(emitted)
-
-            for i, req in enumerate(reqs):
-                if req is None:
-                    continue
-                for t in range(toks_h.shape[1]):
-                    if not emitted_h[i, t]:
-                        break
-                    req.generated.append(int(toks_h[i, t]))
-                if (
-                    len(req.generated) >= req.max_new_tokens
-                    or (req.generated and req.generated[-1] in req.stop_tokens)
-                ):
-                    req.done = True
-                    self.finished[req.request_id] = req
-                    self.slots[i] = None
-        # final host materialization happens in _run_device's finally
+            if self.queue or inflight_done:
+                self._consume_round(*pending)
+                pending = None
+        # final state/logits materialization happens in _run_device's
+        # finally block
 
     def run(self, on_device: bool = True) -> Dict[int, Request]:
         """Drain the queue and all active slots; returns finished requests.

@@ -48,6 +48,11 @@ N_NEW = int(sys.argv[sys.argv.index("--new") + 1]) if "--new" in sys.argv \
     else 128
 SYNC = int(sys.argv[sys.argv.index("--sync") + 1]) if "--sync" in sys.argv \
     else 32
+TEMPS = ([float(t) for t in
+          sys.argv[sys.argv.index("--temps") + 1].split(",")]
+         if "--temps" in sys.argv else
+         [float(sys.argv[sys.argv.index("--temp") + 1])]
+         if "--temp" in sys.argv else [0.0])
 
 
 def main():
@@ -77,12 +82,13 @@ def main():
     print(f"model built on device in {time.perf_counter() - t0:.1f}s "
           f"(mega_big={srv._mega_big})", flush=True)
 
-    for b in BATCHES:
+    for temp in TEMPS:
+      for b in BATCHES:
         batcher = ContinuousBatcher(srv, max_batch=b, sync_every=SYNC)
         # warmup: compiles admission shapes + the multi-step loop fn
         for i in range(b):
             batcher.submit([1 + i, 2, 3, 4], max_new_tokens=SYNC,
-                           temperature=0.0)
+                           temperature=temp)
         t0 = time.perf_counter()
         batcher.run()
         warm = time.perf_counter() - t0
@@ -90,15 +96,16 @@ def main():
         batcher = ContinuousBatcher(srv, max_batch=b, sync_every=SYNC)
         for i in range(b):
             batcher.submit([1 + i, 2, 3, 4], max_new_tokens=N_NEW,
-                           temperature=0.0)
+                           temperature=temp)
         t0 = time.perf_counter()
         done = batcher.run()
         dt = time.perf_counter() - t0
         assert all(len(r.generated) == N_NEW for r in done.values())
-        n_syncs = (N_NEW + SYNC - 1) // SYNC + 1  # + final empty round
+        # pipelined drain: one dispatch+download round per sync window
+        n_syncs = (N_NEW + SYNC - 1) // SYNC
         raw = b * N_NEW / dt
         corr = b * N_NEW / max(dt - n_syncs * ov, 1e-9)
-        print(f"B={b:3d}: {raw:8.0f} tok/s raw, {corr:8.0f} tok/s "
+        print(f"T={temp} B={b:3d}: {raw:8.0f} tok/s raw, {corr:8.0f} tok/s "
               f"sync-corrected ({dt * 1e3 / N_NEW:7.3f} ms/step raw, "
               f"warmup {warm:.1f}s)", flush=True)
 
