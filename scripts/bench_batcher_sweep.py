@@ -46,8 +46,11 @@ BATCHES = ([int(b) for b in
            if "--batches" in sys.argv else [4, 8, 16, 32, 64])
 N_NEW = int(sys.argv[sys.argv.index("--new") + 1]) if "--new" in sys.argv \
     else 128
-SYNC = int(sys.argv[sys.argv.index("--sync") + 1]) if "--sync" in sys.argv \
-    else 32
+SYNCS = ([int(s) for s in sys.argv[sys.argv.index("--syncs") + 1]
+          .split(",")]
+         if "--syncs" in sys.argv else
+         [int(sys.argv[sys.argv.index("--sync") + 1])]
+         if "--sync" in sys.argv else [32])
 TEMPS = ([float(t) for t in
           sys.argv[sys.argv.index("--temps") + 1].split(",")]
          if "--temps" in sys.argv else
@@ -84,30 +87,36 @@ def main():
 
     for temp in TEMPS:
       for b in BATCHES:
-        batcher = ContinuousBatcher(srv, max_batch=b, sync_every=SYNC)
-        # warmup: compiles admission shapes + the multi-step loop fn
-        for i in range(b):
-            batcher.submit([1 + i, 2, 3, 4], max_new_tokens=SYNC,
-                           temperature=temp)
-        t0 = time.perf_counter()
-        batcher.run()
-        warm = time.perf_counter() - t0
+       for SYNC in SYNCS:
+        try:
+            batcher = ContinuousBatcher(srv, max_batch=b, sync_every=SYNC)
+            # warmup: compiles admission shapes + the multi-step loop fn
+            for i in range(b):
+                batcher.submit([1 + i, 2, 3, 4], max_new_tokens=SYNC,
+                               temperature=temp)
+            t0 = time.perf_counter()
+            batcher.run()
+            warm = time.perf_counter() - t0
 
-        batcher = ContinuousBatcher(srv, max_batch=b, sync_every=SYNC)
-        for i in range(b):
-            batcher.submit([1 + i, 2, 3, 4], max_new_tokens=N_NEW,
-                           temperature=temp)
-        t0 = time.perf_counter()
-        done = batcher.run()
-        dt = time.perf_counter() - t0
-        assert all(len(r.generated) == N_NEW for r in done.values())
-        # pipelined drain: one dispatch+download round per sync window
-        n_syncs = (N_NEW + SYNC - 1) // SYNC
-        raw = b * N_NEW / dt
-        corr = b * N_NEW / max(dt - n_syncs * ov, 1e-9)
-        print(f"T={temp} B={b:3d}: {raw:8.0f} tok/s raw, {corr:8.0f} tok/s "
-              f"sync-corrected ({dt * 1e3 / N_NEW:7.3f} ms/step raw, "
-              f"warmup {warm:.1f}s)", flush=True)
+            batcher = ContinuousBatcher(srv, max_batch=b, sync_every=SYNC)
+            for i in range(b):
+                batcher.submit([1 + i, 2, 3, 4], max_new_tokens=N_NEW,
+                               temperature=temp)
+            t0 = time.perf_counter()
+            done = batcher.run()
+            dt = time.perf_counter() - t0
+            assert all(len(r.generated) == N_NEW for r in done.values())
+            # pipelined drain: one dispatch+download per sync window
+            n_syncs = (N_NEW + SYNC - 1) // SYNC
+            raw = b * N_NEW / dt
+            corr = b * N_NEW / max(dt - n_syncs * ov, 1e-9)
+            print(f"T={temp} B={b:3d} sync={SYNC:3d}: {raw:8.0f} tok/s "
+                  f"raw, {corr:8.0f} tok/s sync-corrected "
+                  f"({dt * 1e3 / N_NEW:7.3f} ms/step raw, "
+                  f"warmup {warm:.1f}s)", flush=True)
+        except Exception as e:
+            print(f"T={temp} B={b} sync={SYNC}: FAILED "
+                  f"{type(e).__name__}: {e}", flush=True)
 
 
 if __name__ == "__main__":

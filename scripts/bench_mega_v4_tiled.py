@@ -116,16 +116,25 @@ def synth_pack_device(cfg, nf, nr, no, seed=0):
         key, sub = jax.random.split(key)
         return sub
 
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(1,))
+    def _build_mat(key, shape):
+        # jitted fori_loop fill: XLA plans ONE result buffer with the
+        # loop carry updated in place, so peak memory = the mat + one
+        # slice's randint temp. The round-4 eager per-slice .at[].set
+        # churned a fresh buffer per slice and RESOURCE_EXHAUSTED the
+        # 16GB chip during the 7.2GB 14B pack synthesis.
+        def body(i, q):
+            return q.at[i].set(jax.random.randint(
+                jax.random.fold_in(key, i), shape[1:], -127, 128,
+                jnp.int8))
+
+        return jax.lax.fori_loop(
+            0, shape[0], body, jnp.zeros(shape, jnp.int8))
+
     def qmat(shape):
-        # incremental .at[].set into one preallocated buffer: the
-        # per-slice parts list + jnp.stack held ~2x a mat's bytes and
-        # the 14B pack synthesis OOMed the 16GB chip; this form's peak
-        # is one mat + one slice.
-        q = jnp.zeros(shape, jnp.int8)
-        for si in range(shape[0]):
-            q = q.at[si].set(jax.random.randint(
-                nxt(), shape[1:], -127, 128, jnp.int8))
-        return q
+        return _build_mat(nxt(), shape)
 
     def scale(shape):
         return jnp.full(shape, 0.01, jnp.float32)

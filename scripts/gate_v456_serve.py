@@ -22,11 +22,14 @@ from rwkv_tpu.models.synth import synth_config, synth_params
 
 def main():
     print(f"backend: {jax.default_backend()}", flush=True)
+    seeds = ([int(s) for s in sys.argv[sys.argv.index("--seeds") + 1]
+              .split(",")] if "--seeds" in sys.argv else [5])
     ok = True
     for version in ("4.0", "5.1", "5.2", "6.0", "7.0"):
+      for seed in seeds:
         cfg = synth_config(version, n_layer=3, n_embed=256, n_vocab=1024,
                            head_size=64)
-        params = synth_params(cfg, seed=5, lora_dim=32)
+        params = synth_params(cfg, seed=seed, lora_dim=32)
         ref = ServingModel((cfg, params), precision="w8a8")
         mega = ServingModel((cfg, params), precision="w8a8",
                             megakernel=True)
@@ -43,7 +46,7 @@ def main():
         band = 1e-1  # cross-path w8a8 band (v5/v6 activation scales)
         passed = worst < band and argmax_ok
         ok &= passed
-        print(f"gate {version}: worst rel {worst:.5f} argmax "
+        print(f"gate {version} seed={seed}: worst rel {worst:.5f} argmax "
               f"{'OK' if argmax_ok else 'MISMATCH'} "
               f"{'PASS' if passed else 'FAIL'}", flush=True)
     assert ok

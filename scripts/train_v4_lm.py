@@ -1,0 +1,233 @@
+"""Train a real byte-level RWKV-v4 LM on device, then export a ggmf
+FP32 checkpoint — the missing piece of the README perplexity-table
+reproduction (BASELINE.md quality table; VERDICT "real-checkpoint
+perplexity parity").
+
+Why: the reference's one unverified headline is "perplexity per quant
+format matches" on a REAL 169M checkpoint (RWKV-4 Pile 169M: L=12
+C=768). Full Pile checkpoints are unavailable in this environment, so
+this script trains a same-architecture byte-level model (L=12 C=768,
+n_vocab=256) on the text shipped inside this repo + the reference tree
+(public content, ~2 MB), producing organically-distributed weights at a
+size where int4 error is meaningful; scripts/ppl_format_sweep.py then
+measures held-out perplexity per quantized format and shape-compares the
+deltas to README.md:33-43.
+
+Training runs in the POST-CONVERSION parameterization forward_stacked
+consumes (one reparameterization: time_decay = -exp(w_raw), trained as
+w_raw for stability); at save time the raw .pth-convention state dict is
+reconstructed and written through the byte-exact converter path.
+
+Usage: timeout 5400 python scripts/train_v4_lm.py [--steps N] [--small]
+       [--out /tmp/v4lm.bin]
+"""
+
+import glob
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_comp")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+if "--small" in sys.argv:
+    jax.config.update("jax_platforms", "cpu")
+
+SMALL = "--small" in sys.argv
+STEPS = (int(sys.argv[sys.argv.index("--steps") + 1])
+         if "--steps" in sys.argv else (20 if SMALL else 3000))
+OUT = (sys.argv[sys.argv.index("--out") + 1]
+       if "--out" in sys.argv else "/tmp/v4lm-fp32.bin")
+if SMALL:
+    L_, C_, T_, B_ = 2, 128, 64, 4
+else:
+    L_, C_, T_, B_ = 12, 768, 512, 8
+VOCAB = 256
+HOLDOUT = 16384  # bytes reserved for the perplexity sweep
+
+
+def load_corpus() -> np.ndarray:
+    paths = []
+    for root in ("/root/repo", "/root/reference"):
+        for pat in ("**/*.md", "**/*.py", "**/*.c", "**/*.cpp", "**/*.inc",
+                    "**/*.h"):
+            paths += glob.glob(os.path.join(root, pat), recursive=True)
+    paths = [p for p in sorted(set(paths)) if "native/build" not in p]
+    blobs = []
+    for p in paths:
+        try:
+            blobs.append(open(p, "rb").read())
+        except OSError:
+            pass
+    data = b"\n\n".join(blobs)
+    return np.frombuffer(data, dtype=np.uint8)
+
+
+def init_params(key):
+    """Serving-layout stacked v4 params; time_decay via w_raw."""
+    c = C_
+    ks = iter(jax.random.split(key, 64))
+
+    def mat(out, kin, scale=1.0):
+        return (jax.random.normal(next(ks), (L_, out, kin), jnp.float32)
+                * (scale / np.sqrt(kin)))
+
+    def vec(fill):
+        return jnp.full((L_, c), fill, jnp.float32)
+
+    ratios = np.arange(L_, dtype=np.float32)[:, None] / max(L_ - 1, 1)
+    chan = np.arange(c, dtype=np.float32)[None, :] / c
+    # RWKV-LM-style init: decay spread per channel, mix ratios by depth
+    decay_raw = -5.0 + 8.0 * chan ** (0.7 + 1.3 * ratios)     # [L, C]
+    first = 0.5 * (np.mod(np.arange(c), 3) - 1.0) + np.log(0.3)
+    return {
+        "emb": jax.random.normal(next(ks), (VOCAB, c), jnp.float32) * 1e-4,
+        "ln0": (jnp.ones((c,)), jnp.zeros((c,))),
+        "ln_out": (jnp.ones((c,)), jnp.zeros((c,))),
+        "head": (jax.random.normal(next(ks), (VOCAB, c), jnp.float32)
+                 * (0.5 / np.sqrt(c))),  # [V, C] (ggml mm orientation)
+        "blocks": {
+            "ln1.weight": vec(1.0), "ln1.bias": vec(0.0),
+            "ln2.weight": vec(1.0), "ln2.bias": vec(0.0),
+            "att.time_decay_raw": jnp.asarray(decay_raw),
+            "att.time_first": jnp.broadcast_to(
+                jnp.asarray(first, jnp.float32), (L_, c)).copy(),
+            "att.time_mix_k": jnp.asarray(
+                np.broadcast_to(chan ** ratios, (L_, c)).copy()),
+            "att.time_mix_v": jnp.asarray(
+                np.broadcast_to(chan ** ratios + 0.3 * ratios,
+                                (L_, c)).copy()),
+            "att.time_mix_r": jnp.asarray(
+                np.broadcast_to(0.5 * chan ** ratios, (L_, c)).copy()),
+            "att.key.weight": mat(c, c, 0.1),
+            "att.value.weight": mat(c, c, 0.1),
+            "att.receptance.weight": mat(c, c, 0.1),
+            "att.output.weight": mat(c, c, 0.0),
+            "ffn.time_mix_k": jnp.asarray(
+                np.broadcast_to(chan ** ratios, (L_, c)).copy()),
+            "ffn.time_mix_r": jnp.asarray(
+                np.broadcast_to(chan ** ratios, (L_, c)).copy()),
+            "ffn.key.weight": mat(4 * c, c, 1.0),
+            "ffn.receptance.weight": mat(c, c, 0.0),
+            "ffn.value.weight": mat(c, 4 * c, 0.0),
+        },
+    }
+
+
+def to_serving(train_params):
+    """Reparameterize: time_decay = -exp(raw) (the on-disk convention)."""
+    blocks = dict(train_params["blocks"])
+    blocks["att.time_decay"] = -jnp.exp(blocks.pop("att.time_decay_raw"))
+    return {**train_params, "blocks": blocks}
+
+
+def main():
+    from rwkv_tpu.models.serve import forward_stacked
+    from rwkv_tpu.models.synth import synth_config
+
+    cfg = synth_config("4.0", n_layer=L_, n_embed=C_, n_vocab=VOCAB,
+                       head_size=64)
+    data = load_corpus()
+    train_data = jnp.asarray(data[:-HOLDOUT].astype(np.int32))
+    print(f"corpus: {data.size / 1e6:.2f} MB ({train_data.size / 1e6:.2f} "
+          f"train / {HOLDOUT / 1e3:.0f}k held out); model L={L_} C={C_} "
+          f"on {jax.devices()[0]}", flush=True)
+
+    params = init_params(jax.random.PRNGKey(0))
+    n_params = sum(int(np.prod(x.shape))
+                   for x in jax.tree.leaves(params))
+    print(f"{n_params / 1e6:.1f}M params, {STEPS} steps "
+          f"T={T_} B={B_}", flush=True)
+
+    warmup = min(100, STEPS // 4)
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, 6e-4 if not SMALL else 1e-3, warmup, STEPS, 6e-5)
+    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(sched))
+    opt_state = opt.init(params)
+
+    def init_state_lb():
+        return {
+            "att_xx": jnp.zeros((L_, B_, C_), jnp.float32),
+            "ffn_xx": jnp.zeros((L_, B_, C_), jnp.float32),
+            "aa": jnp.zeros((L_, B_, C_), jnp.float32),
+            "bb": jnp.zeros((L_, B_, C_), jnp.float32),
+            "pp": jnp.full((L_, B_, C_), -1e30, jnp.float32),
+        }
+
+    def loss_fn(p, tokens):  # tokens [T+1, B]
+        sp = to_serving(p)
+        logits, _ = forward_stacked(sp, init_state_lb(), tokens[:-1], cfg,
+                                    "all")  # [T, B, V]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        tgt = tokens[1:]
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)
+        return jnp.mean(nll)
+
+    @jax.jit
+    def train_step(p, opt_state, offs, key):
+        idx = offs[:, None] + jnp.arange(T_ + 1)[None, :]
+        tokens = train_data[idx].T  # [T+1, B]
+        loss, grads = jax.value_and_grad(loss_fn)(p, tokens)
+        updates, opt_state = opt.update(grads, opt_state, p)
+        return optax.apply_updates(p, updates), opt_state, loss
+
+    rng = np.random.default_rng(0)
+    t0 = time.perf_counter()
+    losses = []
+    for step in range(STEPS):
+        offs = jnp.asarray(rng.integers(
+            0, train_data.size - T_ - 1, (B_,)), jnp.int32)
+        params, opt_state, loss = train_step(
+            params, opt_state, offs, None)
+        if step % 50 == 0 or step == STEPS - 1:
+            lv = float(loss)
+            losses.append(lv)
+            el = time.perf_counter() - t0
+            print(f"step {step:5d}: loss {lv:6.3f} "
+                  f"(ppl {np.exp(lv):8.2f})  {el:6.1f}s", flush=True)
+    assert losses[-1] < losses[0], "training diverged"
+
+    # ---- export: reconstruct the raw .pth-convention dict and write ----
+    sp = jax.tree.map(np.asarray, to_serving(params))
+    sd = {"emb.weight": sp["emb"],
+          "blocks.0.ln0.weight": sp["ln0"][0],
+          "blocks.0.ln0.bias": sp["ln0"][1],
+          "ln_out.weight": sp["ln_out"][0],
+          "ln_out.bias": sp["ln_out"][1],
+          "head.weight": np.ascontiguousarray(sp["head"])}
+    for li in range(L_):
+        for k, v in sp["blocks"].items():
+            if k == "att.time_decay":
+                # invert the converter's -exp(): store raw
+                v = np.log(np.maximum(-v, 1e-30))
+            sd[f"blocks.{li}.{k}"] = np.ascontiguousarray(v[li])
+
+    from rwkv_tpu.io.ggmf import (
+        FILE_VERSION_1, GGMF_MAGIC, GgmfHeader, GgmfTensor, GgmlDType,
+        write_ggmf_header, write_ggmf_tensor,
+    )
+    from rwkv_tpu.tools.convert_checkpoint import preprocess_state_dict
+
+    tensors, version = preprocess_state_dict(sd)
+    assert version == "4.0", version
+    header = GgmfHeader(GGMF_MAGIC, FILE_VERSION_1, VOCAB, C_, L_,
+                        GgmlDType.FP32)
+    with open(OUT, "wb") as f:
+        write_ggmf_header(f, header)
+        for name, t in tensors.items():
+            write_ggmf_tensor(
+                f, GgmfTensor(name, GgmlDType.FP32, tuple(t.shape),
+                              t.tobytes()))
+    print(f"wrote {OUT} ({os.path.getsize(OUT) / 1e6:.1f} MB), final "
+          f"train ppl {np.exp(losses[-1]):.2f}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
