@@ -313,6 +313,102 @@ class ContinuousBatcher:
             self._jit_cache[key] = (jax.jit(pack_fn), jax.jit(unpack_fn))
         return self._jit_cache[key]
 
+    def _drain_fn(self, n_rounds_cap: int, n_stop: int,
+                  all_greedy: bool, use_penalties: bool):
+        """Whole-drain device loop: a lax.while_loop over sync rounds
+        (each an inner sync_every-step scan) that exits when every slot
+        is done — ONE dispatch and ONE [B, cap*sync] token download for
+        the entire drain segment. Through a remote-tunnel runtime a
+        single dispatch costs ~100+ ms; per-round dispatching dominated
+        the serving stack even with the pipelined loop.
+        n_rounds_cap is bucketed by the caller (power of two) so
+        compiles stay O(log max_tokens)."""
+        n_steps = self.sync_every
+        key_cache = ("batcher-drain", self.max_batch, n_steps,
+                     n_rounds_cap, n_stop, self.DEVICE_TOP_K, all_greedy,
+                     use_penalties)
+        if key_cache not in self._jit_cache:
+            model = self.model
+            cfg = model.config
+            top_k = min(self.DEVICE_TOP_K, cfg.n_vocab)
+            mm_force = model._mm_force
+            _, step_fn, _, loop_arrs = model.decode_loop_fns(self.max_batch)
+            b = self.max_batch
+
+            @jax.jit
+            def run(params, loop_arrs, ps, logits, counts, remaining,
+                    active, samp, key):
+                from rwkv_tpu.ops.kernels import force_mode
+
+                fm = force_mode(mm_force)
+                fm.__enter__()
+
+                def step(carry, key_i):
+                    ps, logits, counts, remaining, active = carry
+                    if use_penalties:
+                        pen = device_penalized_logits(
+                            logits, counts, samp["presence"],
+                            samp["frequency"],
+                        )
+                    else:
+                        pen = logits
+                    if all_greedy:
+                        tok = jnp.argmax(pen, axis=-1).astype(jnp.int32)
+                    else:
+                        tok = device_sample(
+                            pen, samp["temperature"], samp["top_p"],
+                            key_i, top_k,
+                        )
+                    tok = jnp.where(active, tok, 0)
+                    if use_penalties:
+                        counts = counts.at[
+                            jnp.arange(b), tok
+                        ].add(active.astype(counts.dtype))
+                    remaining = remaining - active.astype(jnp.int32)
+                    hit = jnp.any(tok[:, None] == samp["stops"], axis=-1)
+                    emitted = active
+                    active = active & ~(hit | (remaining <= 0))
+                    logits, ps = step_fn(params, loop_arrs, ps, tok)
+                    return ((ps, logits, counts, remaining, active),
+                            jnp.where(emitted, tok, -1))
+
+                buf0 = jnp.full((n_rounds_cap, n_steps, b), -1, jnp.int32)
+
+                def round_body(carry):
+                    r, ps, logits, counts, remaining, active, buf, key = carry
+                    key, sub = jax.random.split(key)
+                    keys = jax.random.split(sub, n_steps)
+                    (ps, logits, counts, remaining, active), toks = (
+                        jax.lax.scan(
+                            step,
+                            (ps, logits, counts, remaining, active),
+                            keys,
+                        )
+                    )
+                    buf = jax.lax.dynamic_update_slice_in_dim(
+                        buf, toks[None], r, axis=0)
+                    return (r + 1, ps, logits, counts, remaining, active,
+                            buf, key)
+
+                def round_cond(carry):
+                    r, _ps, _l, _c, _rm, active, _buf, _k = carry
+                    return (r < n_rounds_cap) & jnp.any(active)
+
+                (r, ps, logits, counts, remaining, active, buf, key) = (
+                    jax.lax.while_loop(
+                        round_cond, round_body,
+                        (jnp.int32(0), ps, logits, counts, remaining,
+                         active, buf0, key),
+                    )
+                )
+                fm.__exit__(None, None, None)
+                # [B, cap*sync] round-major token stream per slot
+                tok_all = jnp.transpose(buf, (2, 0, 1)).reshape(b, -1)
+                return (ps, logits, counts, remaining, active, tok_all, key)
+
+            self._jit_cache[key_cache] = (run, loop_arrs)
+        return self._jit_cache[key_cache]
+
     def _run_device(self) -> None:
         # logits live ON DEVICE across sync rounds: a host round-trip of
         # the [B, V] block costs ~80 ms through the tunnel per sync and
@@ -424,18 +520,36 @@ class ContinuousBatcher:
                         np.float32)),
                     "stops": jnp.asarray(stops),
                 }
-                fn, loop_arrs = self._multi_step_fn(
-                    self.sync_every, n_stop,
+                flags = dict(
                     all_greedy=all(r.temperature == 0.0 for r in live),
                     use_penalties=any(
                         r.presence_penalty != 0.0
                         or r.frequency_penalty != 0.0 for r in live
                     ),
                 )
+                fn, loop_arrs = self._multi_step_fn(
+                    self.sync_every, n_stop, **flags)
                 samp_dirty = False
 
             if self._ps is None:
                 self._ps = pack(self.state)
+
+            if not self.queue and pending is None:
+                # no admissions possible: fuse the ENTIRE remaining
+                # drain into one device while_loop — one dispatch + one
+                # token download for the whole segment
+                max_rem = max(
+                    r.max_new_tokens - len(r.generated) for r in live)
+                rounds = max(1, -(-max_rem // self.sync_every))
+                cap = 1 << (rounds - 1).bit_length()
+                fnd, loop_arrs_d = self._drain_fn(cap, n_stop, **flags)
+                (self._ps, self._logits_dev, counts, remaining, active,
+                 tok_all, self._key) = fnd(
+                    model.params, loop_arrs_d, self._ps, self._logits_dev,
+                    counts, remaining, active, samp_dev, self._key,
+                )
+                self._consume_round(list(self.slots), tok_all)
+                continue
 
             (self._ps, self._logits_dev, counts, remaining, active,
              tok_enc, self._key) = fn(
