@@ -88,6 +88,11 @@ class ContinuousBatcher:
     # static top-k bound for the on-device nucleus sort (see device_sample);
     # exact for any nucleus that fits in this many tokens.
     DEVICE_TOP_K = 512
+    # fixed round cap for the fused whole-drain while_loop: ONE compile
+    # serves every drain length (the loop exits early when all slots
+    # finish; longer drains just re-dispatch). The token buffer is
+    # [cap, sync_every, B] int32 — tiny.
+    DRAIN_ROUNDS_CAP = 32
 
     def __init__(self, model: ServingModel, max_batch: int = 8, seed: int = 0,
                  sync_every: int = 8):
@@ -103,6 +108,7 @@ class ContinuousBatcher:
         self._rng = np.random.default_rng(seed)
         self._key = jax.random.PRNGKey(seed)
         self._ps = None  # kernel-native packed state (drain-loop carry)
+        self._logits_stale = False  # host copy lags _logits_dev after runs
         # shared with the model so compiled scan fns survive batcher
         # re-instantiation (a fresh batcher on the same engine must not
         # pay the multi-step recompile)
@@ -121,17 +127,21 @@ class ContinuousBatcher:
         return rid
 
     # -- admission --------------------------------------------------------
-    def _admit(self) -> List[int]:
+    def _admit(self, device_rows: bool = False):
         """Move queued requests into free slots with BATCHED prefill:
         prompts are walked through the shared power-of-two chunk buckets,
         and every prompt needing the same chunk size this round runs in one
-        batched call. Returns the admitted slot indices."""
+        batched call. Returns the admitted slot indices; with
+        device_rows=True, returns (slots, logits_rows) where logits_rows
+        is a [k, V] DEVICE array (the device loop scatters it into its
+        logits carry without a host round trip — a [V] download+upload
+        per admission costs ~50 ms each through the remote tunnel)."""
         free = [i for i, r in enumerate(self.slots) if r is None]
         admit = []
         while free and self.queue:
             admit.append((free.pop(0), self.queue.pop(0)))
         if not admit:
-            return []
+            return ([], None) if device_rows else []
 
         kn = len(admit)
         pool = self.model.init_state(kn)
@@ -176,9 +186,13 @@ class ContinuousBatcher:
         for i, (slot, req) in enumerate(admit):
             row_state = take_rows(pool, np.asarray([i]))
             self.state = write_slot(self.state, slot, row_state)
-            self._logits[slot] = np.asarray(logits_rows[i])
+            if not device_rows:
+                self._logits[slot] = np.asarray(logits_rows[i])
             self.slots[slot] = req
             admitted_slots.append(slot)
+        if device_rows:
+            return admitted_slots, (jnp.stack(logits_rows)
+                                    if admitted_slots else None)
         return admitted_slots
 
     # -- single-token host path (kept for external schedulers) ------------
@@ -196,6 +210,9 @@ class ContinuousBatcher:
     def step(self) -> List[Request]:
         """One scheduler iteration: admit, batched decode, sample, retire.
         Returns requests that finished this step."""
+        if self._logits_stale:
+            self._logits = np.array(self._logits_dev)
+            self._logits_stale = False
         self._admit()
         active = [i for i, r in enumerate(self.slots) if r is not None]
         if not active:
@@ -427,7 +444,10 @@ class ContinuousBatcher:
                 _, unpack = self._pack_state_fn()
                 self.state = unpack(self._ps)
                 self._ps = None
-            self._logits = np.array(self._logits_dev)
+            # the host logits copy is refreshed LAZILY (step() / the next
+            # external reader): an eager [B, V] download costs ~50-80 ms
+            # through the remote tunnel per drain
+            self._logits_stale = True
 
     def _consume_round(self, reqs, tok_enc) -> None:
         """Fold one sync round's emitted tokens (single fused [B, n]
@@ -479,13 +499,13 @@ class ContinuousBatcher:
                 if self._ps is not None:
                     self.state = unpack(self._ps)
                     self._ps = None
-                admitted = self._admit()
+                admitted, rows_dev = self._admit(device_rows=True)
                 if admitted:
                     idx = jnp.asarray(np.asarray(admitted))
                     counts = counts.at[idx].set(0.0)
                     self._logits_dev = self._logits_dev.at[idx].set(
-                        jnp.asarray(self._logits[np.asarray(admitted)])
-                    )
+                        rows_dev)
+                    self._logits_stale = True
                     remaining = remaining.at[idx].set(jnp.asarray(np.array(
                         [self.slots[i].max_new_tokens for i in admitted],
                         np.int32)))
@@ -535,14 +555,12 @@ class ContinuousBatcher:
                 self._ps = pack(self.state)
 
             if not self.queue and pending is None:
-                # no admissions possible: fuse the ENTIRE remaining
-                # drain into one device while_loop — one dispatch + one
-                # token download for the whole segment
-                max_rem = max(
-                    r.max_new_tokens - len(r.generated) for r in live)
-                rounds = max(1, -(-max_rem // self.sync_every))
-                cap = 1 << (rounds - 1).bit_length()
-                fnd, loop_arrs_d = self._drain_fn(cap, n_stop, **flags)
+                # no admissions possible: fuse up to DRAIN_ROUNDS_CAP
+                # sync rounds into one device while_loop — one dispatch
+                # + one token download per segment (the loop exits early
+                # when every slot finishes; longer drains re-dispatch)
+                fnd, loop_arrs_d = self._drain_fn(
+                    self.DRAIN_ROUNDS_CAP, n_stop, **flags)
                 (self._ps, self._logits_dev, counts, remaining, active,
                  tok_all, self._key) = fnd(
                     model.params, loop_arrs_d, self._ps, self._logits_dev,

@@ -175,6 +175,11 @@ def gate():
 
 
 def main():
+    if "--ablate" in sys.argv:
+        # timing-only w4 ablation (WRONG math): 'nomask' | 'onedot'
+        from rwkv_tpu.ops.megakernel import set_w4_ablate
+
+        set_w4_ablate(sys.argv[sys.argv.index("--ablate") + 1])
     if "--gate" in sys.argv:
         return 0 if gate() else 1
     cfg = synth_config(

@@ -178,8 +178,14 @@ def main():
 
     orig_auto = ch.wkv7_auto
 
-    def auto_override(s, r, w, k, v, a, b, chunk_size=16):
-        return orig_auto(s, r, w, k, v, a, b, chunk_size=CHUNK)
+    if "--nowkv" in sys.argv:
+        # timing ablation (WRONG math): wkv replaced by a zero-flop
+        # passthrough — isolates the recurrence's share of prefill time
+        def auto_override(s, r, w, k, v, a, b, chunk_size=16):
+            return v, s
+    else:
+        def auto_override(s, r, w, k, v, a, b, chunk_size=16):
+            return orig_auto(s, r, w, k, v, a, b, chunk_size=CHUNK)
 
     ch.wkv7_auto = auto_override
 
