@@ -85,6 +85,29 @@ def test_device_loop_matches_host_loop(srv):
         assert res_d[rd].generated == res_h[rh].generated
 
 
+def test_device_drain_multi_segment(srv):
+    """A drain longer than DRAIN_ROUNDS_CAP * sync_every must span
+    multiple fused-drain dispatches and still match the host path."""
+    from rwkv_tpu.parallel.batching import ContinuousBatcher
+
+    prompts = [list(b"ab"), list(b"xy")]
+    n_new = 9  # sync_every=2, cap monkeypatched to 2 -> 3 segments
+    kwargs = dict(max_new_tokens=n_new, temperature=0.0)
+
+    host = ContinuousBatcher(srv, max_batch=2, sync_every=2)
+    rids_h = [host.submit(p, **kwargs) for p in prompts]
+    res_h = host.run(on_device=False)
+
+    dev = ContinuousBatcher(srv, max_batch=2, sync_every=2)
+    dev.DRAIN_ROUNDS_CAP = 2
+    rids_d = [dev.submit(p, **kwargs) for p in prompts]
+    res_d = dev.run(on_device=True)
+
+    for rh, rd in zip(rids_h, rids_d):
+        assert res_d[rd].generated == res_h[rh].generated
+        assert len(res_d[rd].generated) == n_new
+
+
 def test_device_sampler_matches_host_sampler():
     """device_sample must agree with sample_probs' filtering: with top_p
     masking most of the vocab, both must only ever emit nucleus tokens."""
