@@ -1645,11 +1645,18 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
     # windows starve the wide row-tiled pipeline); element-parity wins
     # at both sizes (1.5B 2.234 ms, 7B 11.51 ms on chip).
     whb = 2 if quant else 4
+    # Row-plane kernels store [1, tile_rows] f32 rows at tile_rows-strided
+    # offsets; Mosaic requires lane-dim store offsets to be multiples of
+    # 128, so tile row counts must be too (when the dim allows it). At
+    # C=5120 (14B) the budget-only rule picked 320-row tiles and the
+    # kernel failed to lower.
     nf = 1
-    while (f * c * whb) // (2 * nf) > mm_budget or f % nf:
+    while ((f * c * whb) // (2 * nf) > mm_budget or f % nf
+           or (f % 128 == 0 and (f // nf) % 128)):
         nf += 1
     m = 1
-    while ((c // m) * c * whb) // 2 > mm_budget or c % m:
+    while (((c // m) * c * whb) // 2 > mm_budget or c % m
+           or (c % 128 == 0 and (c // m) % 128)):
         m += 1
     return nh, nf, n_proj * m, m
 
