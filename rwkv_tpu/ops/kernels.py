@@ -440,7 +440,14 @@ def quant_matmul(x: jnp.ndarray, w: PackedQuantWeight, force: Optional[str] = No
     mode = force if force is not None else _FORCED_MODE[-1]
     if mode is None:
         on_tpu = jax.default_backend() == "tpu"
-        mode = "pallas" if (on_tpu and _kernel_ok(k, n, w.pack4)) else "xla"
+        # The Pallas kernel holds the FULL [m, k] activation block in
+        # VMEM per grid step (sized for decode-shaped m); long-sequence
+        # prefill (m in the thousands) blows the scoped-vmem limit, and
+        # at those shapes XLA's int8 GEMM is MXU-efficient anyway —
+        # w8a8's _xla path is bit-identical to the kernel.
+        big_m = x2.shape[0] * max(k, n) * 5 > 12 * 2**20
+        mode = ("pallas" if (on_tpu and _kernel_ok(k, n, w.pack4)
+                             and not big_m) else "xla")
     if mode == "xla":
         out = _xla_quant_matmul(x2, w)
     else:
