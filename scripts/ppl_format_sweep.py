@@ -92,11 +92,11 @@ def perplexity(path: str, eval_tokens: np.ndarray) -> float:
 
 
 def main():
-    from train_v4_lm import HOLDOUT, load_corpus
+    from train_v4_lm import load_corpus, split_corpus
     from rwkv_tpu.io.quantize import quantize_model_file
 
-    data = load_corpus()
-    eval_tokens = data[-HOLDOUT:].astype(np.int32)[:N_EVAL + 1]
+    _, hold = split_corpus(load_corpus())
+    eval_tokens = hold.astype(np.int32)[:N_EVAL + 1]
     print(f"model {MODEL}; eval on {len(eval_tokens) - 1} held-out "
           f"tokens; device {jax.devices()[0]}", flush=True)
 

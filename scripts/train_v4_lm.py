@@ -53,6 +53,19 @@ VOCAB = 256
 HOLDOUT = 16384  # bytes reserved for the perplexity sweep
 
 
+def split_corpus(data: np.ndarray):
+    """Deterministic interleaved holdout: every 97th 2KB block (~1%) is
+    held out, so the eval slice spans the whole corpus instead of the
+    tail (which can land inside one atypical file)."""
+    nb = data.size // 2048
+    blocks = data[: nb * 2048].reshape(nb, 2048)
+    hold = blocks[::97].reshape(-1)
+    mask = np.ones(nb, bool)
+    mask[::97] = False
+    train = blocks[mask].reshape(-1)
+    return train, hold
+
+
 def load_corpus() -> np.ndarray:
     paths = []
     for root in ("/root/repo", "/root/reference"):
@@ -135,10 +148,11 @@ def main():
     cfg = synth_config("4.0", n_layer=L_, n_embed=C_, n_vocab=VOCAB,
                        head_size=64)
     data = load_corpus()
-    train_data = jnp.asarray(data[:-HOLDOUT].astype(np.int32))
-    print(f"corpus: {data.size / 1e6:.2f} MB ({train_data.size / 1e6:.2f} "
-          f"train / {HOLDOUT / 1e3:.0f}k held out); model L={L_} C={C_} "
-          f"on {jax.devices()[0]}", flush=True)
+    train_np, hold = split_corpus(data)
+    train_data = jnp.asarray(train_np.astype(np.int32))
+    print(f"corpus: {data.size / 1e6:.2f} MB ({train_np.size / 1e6:.2f} "
+          f"train / {hold.size / 1e3:.0f}k held out, interleaved); "
+          f"model L={L_} C={C_} on {jax.devices()[0]}", flush=True)
 
     params = init_params(jax.random.PRNGKey(0))
     n_params = sum(int(np.prod(x.shape))
