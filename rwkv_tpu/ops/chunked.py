@@ -255,6 +255,12 @@ def wkv7_auto(s, r, w, k, v, a, b, chunk_size: int = 16):
     from rwkv_tpu.models.graph import wkv7_scan
 
     t = r.shape[0]
+    if chunk_size == 16 and t >= 1024 and t % 32 == 0:
+        # long-prefill heuristic: P=32 with the grouped kernel measured
+        # 39.0% vs 35.5% MFU at 1.5B T=2048 on chip (fewer, larger
+        # chunk operators; decay ratios stay finite for P <= 32 — see
+        # module header)
+        chunk_size = 32
     if t == 1 or t % chunk_size != 0:
         return wkv7_scan(s, r, w, k, v, a, b)
 
@@ -414,23 +420,37 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
     v_op = to_nhps(chunked(v))
     elast = jnp.exp(lcum[:, -1])[:, :, None, :]     # [NC, H, 1, S]
 
+    # chunk GROUPS: cg chunks per grid step (pass-A operators batched
+    # over cg*h, pass-B two dots per chunk) — the one-chunk-per-step
+    # kernel's ~9.5 us serial grid step dominated T=2048 prefill. VMEM
+    # per step ~ cg * (5 ops + A/B/E/Y) blocks; cg=8 measures fastest.
+    cg = 1
+    for cand in (8, 4, 2):
+        if nc % cand == 0:
+            cg = cand
+            break
+    n_groups = nc // cg
+
     def opspec():
         return pl.BlockSpec(
-            (1, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
+            (cg, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
-    kernel = _wkv7_chunk_kernel(p, s_dim, h, nc)
+    if cg > 1:
+        kernel = _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg)
+    else:
+        kernel = _wkv7_chunk_kernel(p, s_dim, h, nc)
     out, s_next = pl.pallas_call(
         kernel,
-        grid=(nc,),
+        grid=(n_groups,),
         in_specs=[opspec() for _ in range(5)]
-        + [pl.BlockSpec((1, h, 1, s_dim), lambda cc: (cc, 0, 0, 0),
+        + [pl.BlockSpec((cg, h, 1, s_dim), lambda cc: (cc, 0, 0, 0),
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((h, s_dim, s_dim), lambda cc: (0, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=(
-            pl.BlockSpec((1, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
+            pl.BlockSpec((cg, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h, s_dim, s_dim), lambda cc: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -456,6 +476,177 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
     )
     # [NC, H, P, S] -> [T, H, S]
     out = jnp.swapaxes(out, 1, 2).reshape(t, h, s_dim)
+    return out, s_next
+
+
+def _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg):
+    """Grouped two-pass kernel body: each grid step loads CG chunks,
+    computes every chunk-local operator BATCHED over (CG*H) in VMEM
+    (pass A: bmat/kmat, Neumann inverse, A/B/E/Y — see
+    wkv7_chunked_twopass for the algebra), then runs the CG sequential
+    state updates at TWO batched dots each (pass B). vs the one-chunk-
+    per-step kernel this cuts grid steps CG-fold and shrinks the serial
+    dependency chain from ~15 ops to 2 per chunk; vs the XLA two-pass
+    it keeps the [*, S, S] operators in VMEM instead of round-tripping
+    ~200 MB/layer of HBM."""
+    import jax as _jax
+    import jax.numpy as _jnp
+    from jax.experimental import pallas as pl
+
+    def bdot(x, y, cx, cy):
+        return _jax.lax.dot_general(
+            x, y, (((cx,), (cy,)), ((0,), (0,))),
+            preferred_element_type=_jnp.float32,
+        )
+
+    def kernel(atil_ref, btil_ref, ktil_ref, rhat_ref, v_ref, elast_ref,
+               s0_ref, out_ref, snext_ref, t_s):
+        gi = pl.program_id(0)
+
+        @pl.when(gi == 0)
+        def _():
+            t_s[:] = s0_ref[:]
+
+        def fold(ref):
+            return ref[...].reshape(cg * h, p, s_dim)
+
+        atil, btil, ktil = fold(atil_ref), fold(btil_ref), fold(ktil_ref)
+        rhat, v = fold(rhat_ref), fold(v_ref)
+        elast = elast_ref[...].reshape(cg * h, 1, s_dim)
+
+        ti = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 0)
+        ui = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 1)
+        strict = (ui < ti).astype(_jnp.float32)[None]
+        incl = (ui <= ti).astype(_jnp.float32)[None]
+        eyep = (ui == ti).astype(_jnp.float32)[None]
+        si = _jax.lax.broadcasted_iota(_jnp.int32, (s_dim, s_dim), 0)
+        sj = _jax.lax.broadcasted_iota(_jnp.int32, (s_dim, s_dim), 1)
+        eyes = (si == sj).astype(_jnp.float32)[None]
+
+        bmat = bdot(atil, btil, 2, 2) * strict       # [CGH, P, P]
+        kmat = bdot(atil, ktil, 2, 2) * strict
+        inv = eyep + bmat
+        bpow = bmat
+        for _lv in range(max((p - 1).bit_length() - 1, 0)):
+            bpow = bdot(bpow, bpow, 2, 1)
+            inv = bdot(inv, eyep + bpow, 2, 1)
+
+        br = bdot(rhat, btil, 2, 2) * incl
+        kr = bdot(rhat, ktil, 2, 2) * incl
+        g_op = bdot(br, inv, 2, 1)
+        e_op = rhat + bdot(g_op, atil, 2, 1)         # [CGH, P, S_j]
+        y_op = bdot(bdot(g_op, kmat, 2, 1) + kr, v, 2, 1)
+        f_op = bdot(inv, atil, 2, 1)
+        m_op = bdot(f_op, btil, 1, 1)                # [CGH, S_j, S_j']
+        s_loc = bdot(inv, bdot(kmat, v, 2, 1), 2, 1)
+        r_op = bdot(s_loc, btil, 1, 1) + bdot(v, ktil, 1, 1)
+        a_op = (eyes + m_op) * elast
+        b_op = r_op * elast
+
+        def g4(x, c, last):
+            return x.reshape(cg, h, p if not last else s_dim,
+                             x.shape[-1])[c]
+
+        tmat = t_s[:]
+        for c in range(cg):
+            out_ref[c] = bdot(g4(e_op, c, False), tmat, 2, 2) \
+                + g4(y_op, c, False)
+            tmat = bdot(tmat, g4(a_op, c, True), 2, 1) + g4(b_op, c, True)
+        t_s[:] = tmat
+
+        @pl.when(gi == n_groups - 1)
+        def _():
+            snext_ref[:] = t_s[:]
+
+    return kernel
+
+
+def wkv7_chunked_twopass(s0, r, w, k, v, a, b, chunk_size: int = 16):
+    """Chunked wkv7 in the delta-rule TWO-PASS form. Shapes as
+    wkv7_chunked_pallas: r/w/k/v/a/b [T, H, S]; s0 [H, S_i, S_j].
+
+    The sequential-grid Pallas kernel costs ~9.5 us per chunk step
+    (a ~15-op dependency chain of tiny per-head dots), which at T=2048
+    dominated whole-model prefill (scripts/probe_wkv7_prefill.py:
+    1.22 ms/layer). The recurrence is AFFINE in the chunk state:
+
+        tmat_{c+1} = tmat_c @ A_c + B_c
+        out_c      = E_c (.) tmat_c + Y_c
+
+    so pass 1 computes all chunk-local operators (bmat/kmat, the
+    Neumann inverse, and A/B/E/Y) BATCHED over every chunk at once —
+    large MXU-friendly dot_generals, fully parallel — and pass 2 is a
+    lax.scan whose body is just TWO batched matmuls per chunk. Same
+    math as the kernel, reassociated."""
+    t, h, s_dim = r.shape
+    p = chunk_size
+    nc = t // p
+
+    lw = jnp.log(jnp.maximum(w, jnp.float32(1e-30)))
+    lw_c = lw.reshape(nc, p, h, s_dim)
+    lcum = jnp.cumsum(lw_c, axis=1)
+    lcum_ex = lcum - lw_c
+
+    def prep(x, scale):
+        # [T, H, S] -> [NC, H, P, S]
+        return jnp.swapaxes((x.reshape(nc, p, h, s_dim) * scale), 1, 2)
+
+    atil = prep(a, jnp.exp(lcum_ex))
+    btil = prep(b, jnp.exp(-lcum))
+    ktil = prep(k, jnp.exp(-lcum))
+    rhat = prep(r, jnp.exp(lcum))
+    v_op = prep(v, 1.0)
+    elast = jnp.exp(lcum[:, -1])                     # [NC, H, S_j]
+
+    def cdot(x, y, cx, cy):
+        return jax.lax.dot_general(
+            x, y, (((cx,), (cy,)), ((0, 1), (0, 1))),
+            preferred_element_type=jnp.float32,
+        )
+
+    ti = jax.lax.broadcasted_iota(jnp.int32, (p, p), 0)
+    ui = jax.lax.broadcasted_iota(jnp.int32, (p, p), 1)
+    strict = (ui < ti).astype(jnp.float32)
+    incl = (ui <= ti).astype(jnp.float32)
+    eyep = (ui == ti).astype(jnp.float32)
+
+    bmat = cdot(atil, btil, 3, 3) * strict           # [NC, H, P, P]
+    kmat = cdot(atil, ktil, 3, 3) * strict
+    # (I - bmat)^{-1}: finite Neumann product (bmat strictly lower)
+    inv = eyep + bmat
+    bpow = bmat
+    for _lv in range(max((p - 1).bit_length() - 1, 0)):
+        bpow = cdot(bpow, bpow, 3, 2)
+        inv = cdot(inv, eyep + bpow, 3, 2)
+
+    br = cdot(rhat, btil, 3, 3) * incl
+    kr = cdot(rhat, ktil, 3, 3) * incl
+    g_op = cdot(br, inv, 3, 2)                       # [NC, H, P, P]
+    e_op = rhat + cdot(g_op, atil, 3, 2)             # [NC, H, P, S_j]
+    y_loc = cdot(cdot(g_op, kmat, 3, 2) + kr, v_op, 3, 2)  # [.., P, S_i]
+    f_op = cdot(inv, atil, 3, 2)                     # [NC, H, P, S_j]
+    m_op = cdot(f_op, btil, 2, 2)                    # [NC, H, S_j, S_j']
+    s_loc = cdot(inv, cdot(kmat, v_op, 3, 2), 3, 2)  # [NC, H, P, S_i]
+    r_op = cdot(s_loc, btil, 2, 2) + cdot(v_op, ktil, 2, 2)  # [S_i, S_j]
+    eyes = jnp.eye(s_dim, dtype=jnp.float32)
+    a_op = (eyes[None, None] + m_op) * elast[:, :, None, :]
+    b_op = r_op * elast[:, :, None, :]
+
+    def hdot(x, y, cx, cy):
+        return jax.lax.dot_general(
+            x, y, (((cx,), (cy,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )
+
+    def step(tmat, inp):
+        a_c, b_c, e_c, y_c = inp
+        out = hdot(e_c, tmat, 2, 2) + y_c            # [H, P, S_i]
+        tmat = hdot(tmat, a_c, 2, 1) + b_c           # [H, S_i, S_j]
+        return tmat, out
+
+    s_next, outs = jax.lax.scan(step, s0.astype(jnp.float32),
+                                (a_op, b_op, e_op, y_loc))
+    out = jnp.swapaxes(outs, 1, 2).reshape(t, h, s_dim)
     return out, s_next
 
 
