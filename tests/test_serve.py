@@ -265,6 +265,28 @@ def test_serving_kquant_matches_parity_engine(fmt, tmp_path):
     assert ls.argmax() == lp.argmax()
 
 
+def test_serving_w4a8_whole_layer_golden_band():
+    """The round-5 whole-layer w4a8 route (small v7 models: split-half
+    int4 big mats + int8 LoRA/in-kernel head) against the reference's
+    expected logits — measured diff-sum -0.188 on the 7v0 fixture,
+    matching the dequant-emulated w4 column of the quality table
+    (-0.246, docs/STATUS.md)."""
+    from rwkv_tpu.models.serve import ServingModel
+
+    path = str(require_fixture("tiny-rwkv-7v0-834K-FP32.bin"))
+    expected = np.fromfile(
+        str(require_fixture("expected-logits-7v0-834K.bin")), dtype=np.float32
+    )
+    srv = ServingModel(path, precision="w4a8", megakernel=True)
+    assert srv._mega_rows is not None and srv._mega_rows["w4"]
+    state = srv.init_state(1)
+    logits = None
+    for tok in b'"in':
+        logits, state = srv.decode(np.array([tok], np.int32), state)
+    diff = float(np.sum(np.asarray(logits[0]) - expected))
+    assert abs(diff) < 0.5, diff
+
+
 def test_batch_bf16_shadow_routing():
     """batch_bf16_shadow=True: a quantized engine serves mid-B decode
     through a lazily-built bf16 weight copy (measured ~20% faster than
