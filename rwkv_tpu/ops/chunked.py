@@ -388,10 +388,17 @@ def _wkv7_chunk_kernel(p, s_dim, h, n_chunks):
 def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
                         interpret: bool = False):
     """Single-sequence chunked wkv7 as ONE pallas_call. Shapes: r/w/k/v/a/b
-    [T, H, S]; s0 [H, S, S] (i=value, j=key). Same math as wkv7_chunked —
-    the de-decay factors are precomputed in XLA (cheap, vectorized over T),
-    and the per-chunk matmul/solve pipeline runs on-chip with the chunk
-    state resident in VMEM (no [P, P, ...] HBM intermediates)."""
+    [T, H, S]; s0 [H, S, S] (i=value, j=key). Same math as wkv7_chunked.
+
+    The kernel runs the two-pass (grouped) form: CG chunks per grid
+    step, all chunk-local operators computed batched over CG*H in VMEM
+    — including the de-decay factors (a~, b~, k~, r^); only the
+    zero-math [T, H, S] -> [NC, H, P, S] operand transposes and the
+    log-decay cumsum stay outside. (Measured equal to XLA-side factor
+    prep at 1.5B T=2048 — XLA fuses the factor math into the operand
+    copies — but with 4 fewer HBM-resident intermediates; the
+    --preponly ablation overstates prep because forcing the factors
+    live defeats that fusion.)"""
     import jax as _jax
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -400,33 +407,37 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
     p = chunk_size
     nc = t // p
 
+    # log-decay + in-chunk cumulative sum (2 cheap fused XLA passes);
+    # everything derived from them moves into the kernel
     lw = jnp.log(jnp.maximum(w, jnp.float32(1e-30)))
-    lw_c = lw.reshape(nc, p, h, s_dim)
-    lcum = jnp.cumsum(lw_c, axis=1)
-    lcum_ex = lcum - lw_c
+    lcum = jnp.cumsum(lw.reshape(nc, p, h, s_dim), axis=1)
 
-    def chunked(x):
-        return x.reshape(nc, p, h, s_dim)
-
-    # operand layout [NC, H, P, S]: block (1, 1, P, S) — last two block
-    # dims (P, S) satisfy Mosaic's (8, 128)-divisible-or-full rule.
     def to_nhps(x):
-        return jnp.swapaxes(x, 1, 2)
+        return jnp.swapaxes(x.reshape(nc, p, h, s_dim), 1, 2)
 
-    atil = to_nhps(chunked(a) * jnp.exp(lcum_ex))
-    btil = to_nhps(chunked(b) * jnp.exp(-lcum))
-    ktil = to_nhps(chunked(k) * jnp.exp(-lcum))
-    rhat = to_nhps(chunked(r) * jnp.exp(lcum))
-    v_op = to_nhps(chunked(v))
-    elast = jnp.exp(lcum[:, -1])[:, :, None, :]     # [NC, H, 1, S]
+    ops = [to_nhps(x) for x in (a, b, k, r, v)]
+    lcum_t = to_nhps(lcum.reshape(t, h, s_dim))
+    lw_t = to_nhps(lw)
 
     # chunk GROUPS: cg chunks per grid step (pass-A operators batched
-    # over cg*h, pass-B two dots per chunk) — the one-chunk-per-step
-    # kernel's ~9.5 us serial grid step dominated T=2048 prefill. VMEM
-    # per step ~ cg * (5 ops + A/B/E/Y) blocks; cg=8 measures fastest.
+    # over cg*h, pass-B two dots per chunk) — a one-chunk-per-step
+    # kernel costs ~9.5 us of serial dependency chain per chunk. cg is
+    # bounded by scoped VMEM: 7 operand blocks + out + state (~9 blocks
+    # live; "arbitrary" grid semantics — no double buffering) plus the
+    # batched pass-A operators (verified against the compiler's
+    # scoped-vmem report at P=32).
     cg = 1
     for cand in (8, 4, 2):
-        if nc % cand == 0:
+        if nc % cand:
+            continue
+        blk = cand * h * p * s_dim * 4
+        pass_a = cand * h * 4 * (7 * p * p + 4 * p * s_dim
+                                 + 4 * s_dim * s_dim)
+        # x2: double-buffered inputs + the in-kernel elementwise temps
+        # (de-decay factors) roughly double the analytic lower bound
+        # (calibrated against the compiler's scoped-vmem report: P=32
+        # cg=8 reports 104.8M vs the 98M estimate here)
+        if 2 * (9 * blk + pass_a) <= 90 * 2**20:
             cg = cand
             break
     n_groups = nc // cg
@@ -437,17 +448,12 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
             memory_space=pltpu.VMEM,
         )
 
-    if cg > 1:
-        kernel = _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg)
-    else:
-        kernel = _wkv7_chunk_kernel(p, s_dim, h, nc)
+    kernel = _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg)
     out, s_next = pl.pallas_call(
         kernel,
         grid=(n_groups,),
-        in_specs=[opspec() for _ in range(5)]
-        + [pl.BlockSpec((cg, h, 1, s_dim), lambda cc: (cc, 0, 0, 0),
-                        memory_space=pltpu.VMEM),
-           pl.BlockSpec((h, s_dim, s_dim), lambda cc: (0, 0, 0),
+        in_specs=[opspec() for _ in range(7)]
+        + [pl.BlockSpec((h, s_dim, s_dim), lambda cc: (0, 0, 0),
                         memory_space=pltpu.VMEM)],
         out_specs=(
             pl.BlockSpec((cg, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
@@ -468,10 +474,8 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
         ),
         interpret=interpret,
     )(
-        atil.astype(jnp.float32), btil.astype(jnp.float32),
-        ktil.astype(jnp.float32), rhat.astype(jnp.float32),
-        v_op.astype(jnp.float32),
-        elast.astype(jnp.float32),
+        *[x.astype(jnp.float32) for x in ops],
+        lcum_t.astype(jnp.float32), lw_t.astype(jnp.float32),
         s0.astype(jnp.float32),
     )
     # [NC, H, P, S] -> [T, H, S]
@@ -480,15 +484,15 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
 
 
 def _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg):
-    """Grouped two-pass kernel body: each grid step loads CG chunks,
-    computes every chunk-local operator BATCHED over (CG*H) in VMEM
-    (pass A: bmat/kmat, Neumann inverse, A/B/E/Y — see
-    wkv7_chunked_twopass for the algebra), then runs the CG sequential
-    state updates at TWO batched dots each (pass B). vs the one-chunk-
-    per-step kernel this cuts grid steps CG-fold and shrinks the serial
-    dependency chain from ~15 ops to 2 per chunk; vs the XLA two-pass
-    it keeps the [*, S, S] operators in VMEM instead of round-tripping
-    ~200 MB/layer of HBM."""
+    """Grouped two-pass kernel body: each grid step loads CG chunks of
+    RAW operands + the log-decay cumsum, derives the de-decay factors
+    in VMEM, computes every chunk-local operator BATCHED over (CG*H)
+    (pass A: bmat/kmat, Neumann inverse, and the affine state
+    operators A/B/E/Y — see wkv7_chunked_twopass for the algebra),
+    then runs the CG sequential state updates at TWO batched dots each
+    (pass B). vs a one-chunk-per-step kernel this cuts grid steps
+    CG-fold and shrinks the serial chain to 2 ops per chunk; vs an
+    XLA two-pass it keeps every operator out of HBM."""
     import jax as _jax
     import jax.numpy as _jnp
     from jax.experimental import pallas as pl
@@ -499,7 +503,7 @@ def _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg):
             preferred_element_type=_jnp.float32,
         )
 
-    def kernel(atil_ref, btil_ref, ktil_ref, rhat_ref, v_ref, elast_ref,
+    def kernel(a_ref, b_ref, k_ref, r_ref, v_ref, lcum_ref, lw_ref,
                s0_ref, out_ref, snext_ref, t_s):
         gi = pl.program_id(0)
 
@@ -510,9 +514,16 @@ def _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg):
         def fold(ref):
             return ref[...].reshape(cg * h, p, s_dim)
 
-        atil, btil, ktil = fold(atil_ref), fold(btil_ref), fold(ktil_ref)
-        rhat, v = fold(rhat_ref), fold(v_ref)
-        elast = elast_ref[...].reshape(cg * h, 1, s_dim)
+        lcum = fold(lcum_ref)
+        lw = fold(lw_ref)
+        e_neg = _jnp.exp(-lcum)
+        e_pos = _jnp.exp(lcum)
+        atil = fold(a_ref) * _jnp.exp(lcum - lw)
+        btil = fold(b_ref) * e_neg
+        ktil = fold(k_ref) * e_neg
+        rhat = fold(r_ref) * e_pos
+        v = fold(v_ref)
+        elast = e_pos[:, p - 1 : p, :]               # [CGH, 1, S]
 
         ti = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 0)
         ui = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 1)
@@ -543,15 +554,15 @@ def _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg):
         a_op = (eyes + m_op) * elast
         b_op = r_op * elast
 
-        def g4(x, c, last):
-            return x.reshape(cg, h, p if not last else s_dim,
-                             x.shape[-1])[c]
+        def g4(x, c, rows):
+            return x.reshape(cg, h, rows, x.shape[-1])[c]
 
         tmat = t_s[:]
         for c in range(cg):
-            out_ref[c] = bdot(g4(e_op, c, False), tmat, 2, 2) \
-                + g4(y_op, c, False)
-            tmat = bdot(tmat, g4(a_op, c, True), 2, 1) + g4(b_op, c, True)
+            out_ref[c] = bdot(g4(e_op, c, p), tmat, 2, 2) \
+                + g4(y_op, c, p)
+            tmat = bdot(tmat, g4(a_op, c, s_dim), 2, 1) \
+                + g4(b_op, c, s_dim)
         t_s[:] = tmat
 
         @pl.when(gi == n_groups - 1)

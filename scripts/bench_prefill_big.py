@@ -183,6 +183,30 @@ def main():
         # passthrough — isolates the recurrence's share of prefill time
         def auto_override(s, r, w, k, v, a, b, chunk_size=16):
             return v, s
+    elif "--preponly" in sys.argv:
+        # timing ablation (WRONG math): the chunk kernel's XLA-side
+        # operand prep (cumsum + de-decay exps + transposes) runs and
+        # is forced live, but the kernel itself is skipped — splits the
+        # wkv block into prep vs kernel in the REAL layer graph
+        def auto_override(s, r, w, k, v, a, b, chunk_size=16):
+            t_len = r.shape[0]
+            p_ = 32 if (t_len >= 1024 and t_len % 32 == 0) else CHUNK
+            nc = t_len // p_
+            h_, s_d = r.shape[-2], r.shape[-1]
+            lw = jnp.log(jnp.maximum(w, jnp.float32(1e-30)))
+            lw_c = lw.reshape(nc, p_, h_, s_d)
+            lcum = jnp.cumsum(lw_c, axis=1)
+            lcum_ex = lcum - lw_c
+
+            def pre(x, sc):
+                return jnp.swapaxes(
+                    x.reshape(nc, p_, h_, s_d) * sc, 1, 2)
+
+            acc = (pre(a, jnp.exp(lcum_ex)) + pre(b, jnp.exp(-lcum))
+                   + pre(k, jnp.exp(-lcum)) + pre(r, jnp.exp(lcum))
+                   + pre(v, 1.0))
+            out = jnp.swapaxes(acc, 1, 2).reshape(t_len, h_, s_d)
+            return out, s
     else:
         def auto_override(s, r, w, k, v, a, b, chunk_size=16):
             return orig_auto(s, r, w, k, v, a, b, chunk_size=CHUNK)
