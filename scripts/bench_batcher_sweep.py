@@ -38,6 +38,8 @@ from rwkv_tpu.parallel.batching import ContinuousBatcher
 
 if "--small" in sys.argv:   # CPU smoke (forces the cpu backend)
     L, C, VOCAB, HEAD, LORA = 2, 256, 512, 64, 32
+elif "--169m" in sys.argv:  # 169M-class on chip
+    L, C, VOCAB, HEAD, LORA = 12, 768, 65536, 64, 64
 else:
     L, C, VOCAB, HEAD, LORA = 24, 2048, 65536, 64, 96
 PRECISION = "w4a8" if "--w4a8" in sys.argv else "w8a8"
@@ -59,7 +61,8 @@ TEMPS = ([float(t) for t in
 
 
 def main():
-    size = "small" if "--small" in sys.argv else "1.5B"
+    size = ("small" if "--small" in sys.argv
+            else "169M" if "--169m" in sys.argv else "1.5B")
     print(f"{size} v7 {PRECISION} ContinuousBatcher sweep on "
           f"{jax.devices()[0]}", flush=True)
 

@@ -11,7 +11,8 @@ through the tunnel:
 Then timing: 1.5B-class v6 (L=24 C=2048, fused) or --7b (L=32 C=4096,
 row-tiled) with the retiled w8a8 pack synthesized ON DEVICE.
 
-Usage:  timeout 3000 python scripts/bench_mega_v6_tiled.py [--7b] [--skip-gate]
+Usage:  timeout 3000 python scripts/bench_mega_v6_tiled.py [--7b|--14b]
+        [--w4] [--skip-gate]
 """
 
 import os
@@ -146,9 +147,11 @@ def synth_pack_device(cfg, d_maa, d_dec, nh, nf, ng, no, seed=0):
     def scale(shape):
         return jnp.full(shape, 0.01, jnp.float32)
 
-    pack = {"quant": True, "d_maa": d_maa, "d_dec": d_dec, "f_dim": f,
-            "nh": nh, "nf": nf, "ng": ng, "no": no}
-    pack["rkvg"] = qmat((L, ng, c_g, c))
+    w4 = "--w4" in sys.argv
+    kk = c // 2 if w4 else c      # split-half packed nibbles along K
+    pack = {"quant": True, "w4": w4, "d_maa": d_maa, "d_dec": d_dec,
+            "f_dim": f, "nh": nh, "nf": nf, "ng": ng, "no": no}
+    pack["rkvg"] = qmat((L, ng, c_g, kk))
     pack["rkvg_d"] = scale((L, ng, 1, c_g))
     pack["maa1"] = qmat((L, 5 * d_maa, c))
     pack["maa1_d"] = scale((L, 1, 5 * d_maa))
@@ -156,13 +159,13 @@ def synth_pack_device(cfg, d_maa, d_dec, nh, nf, ng, no, seed=0):
     pack["dw1_d"] = scale((L, 1, d_dec))
     pack["dw2"] = qmat((L, c, d_dec))
     pack["dw2_d"] = scale((L, 1, c))
-    pack["out"] = qmat((L, no, c_o, c))
+    pack["out"] = qmat((L, no, c_o, kk))
     pack["out_d"] = scale((L, no, 1, c_o))
-    pack["fr"] = qmat((L, no, c_o, c))
+    pack["fr"] = qmat((L, no, c_o, kk))
     pack["fr_d"] = scale((L, no, 1, c_o))
-    pack["fk"] = qmat((L, nf, f4, c))
+    pack["fk"] = qmat((L, nf, f4, kk))
     pack["fk_d"] = scale((L, nf, 1, f4))
-    pack["fv"] = qmat((L, nf, c, f4))
+    pack["fv"] = qmat((L, nf, c, f4 // 2 if w4 else f4))
     pack["fv_d"] = scale((L, 1, c))
     # TRANSPOSED [L, d, 5C] — retile_mega_pack_v6's layout (no 64->128
     # lane padding on the window)
@@ -189,7 +192,11 @@ def synth_pack_device(cfg, d_maa, d_dec, nh, nf, ng, no, seed=0):
 
 
 def timing():
-    if "--7b" in sys.argv:
+    if "--14b" in sys.argv:
+        # Finch 14B class (RWKV-6 World 14B: L=61 C=4096); w4a8 is the
+        # only single-chip format at this size
+        L, C, VOCAB, HEAD, size = 61, 4096, 65536, 64, "14B"
+    elif "--7b" in sys.argv:
         L, C, VOCAB, HEAD, size = 32, 4096, 65536, 64, "7B"
     else:
         L, C, VOCAB, HEAD, size = 24, 2048, 65536, 64, "1.5B"
@@ -280,7 +287,8 @@ def timing():
         best = min(best, time.perf_counter() - t0)
     per_tok = max(best - ov, 1e-9) / N_GEN
     print(
-        f"{size} v6 w8a8 TILED megakernel decode, B=1: "
+        f"{size} v6 {'w4a8' if '--w4' in sys.argv else 'w8a8'} "
+        f"TILED megakernel decode, B=1: "
         f"{per_tok * 1e3:7.3f} ms/tok  {1 / per_tok:8.1f} tok/s  "
         f"(weight stream {nbytes / 1e9 / per_tok:.0f} GB/s)",
         flush=True,
