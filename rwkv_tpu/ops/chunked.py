@@ -386,7 +386,7 @@ def _wkv7_chunk_kernel(p, s_dim, h, n_chunks):
 
 
 def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
-                        interpret: bool = False):
+                        interpret: bool = False, ablate: str = ""):
     """Single-sequence chunked wkv7 as ONE pallas_call. Shapes: r/w/k/v/a/b
     [T, H, S]; s0 [H, S, S] (i=value, j=key). Same math as wkv7_chunked.
 
@@ -448,7 +448,8 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
             memory_space=pltpu.VMEM,
         )
 
-    kernel = _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg)
+    kernel = _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg,
+                                        ablate=ablate)
     out, s_next = pl.pallas_call(
         kernel,
         grid=(n_groups,),
@@ -483,7 +484,7 @@ def wkv7_chunked_pallas(s0, r, w, k, v, a, b, chunk_size: int = 16,
     return out, s_next
 
 
-def _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg):
+def _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg, ablate: str = ""):
     """Grouped two-pass kernel body: each grid step loads CG chunks of
     RAW operands + the log-decay cumsum, derives the de-decay factors
     in VMEM, computes every chunk-local operator BATCHED over (CG*H)
@@ -534,6 +535,47 @@ def _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg):
         sj = _jax.lax.broadcasted_iota(_jnp.int32, (s_dim, s_dim), 1)
         eyes = (si == sj).astype(_jnp.float32)[None]
 
+        if ablate == "nopassa":
+            # timing ablation (WRONG math): chunk-local operators are
+            # constants — isolates pass B + factor prep
+            z = _jnp.zeros((cg * h, p, s_dim), _jnp.float32)
+            e_op, y_op = rhat, z
+            a_op = _jnp.broadcast_to(eyes, (cg * h, s_dim, s_dim))
+            b_op = _jnp.zeros((cg * h, s_dim, s_dim), _jnp.float32)
+        elif ablate == "nofactors":
+            # timing ablation (WRONG math): skip the de-decay exps
+            atil2, btil2, ktil2, rhat2 = (fold(a_ref), fold(b_ref),
+                                          fold(k_ref), fold(r_ref))
+            e_op, y_op, a_op, b_op = _passa(
+                atil2, btil2, ktil2, rhat2, v, elast)
+        else:
+            e_op, y_op, a_op, b_op = _passa(
+                atil, btil, ktil, rhat, v, elast)
+
+        def g4(x, c, rows):
+            return x.reshape(cg, h, rows, x.shape[-1])[c]
+
+        tmat = t_s[:]
+        for c in range(cg):
+            out_ref[c] = bdot(g4(e_op, c, p), tmat, 2, 2) \
+                + g4(y_op, c, p)
+            tmat = bdot(tmat, g4(a_op, c, s_dim), 2, 1) \
+                + g4(b_op, c, s_dim)
+        t_s[:] = tmat
+
+        @pl.when(gi == n_groups - 1)
+        def _():
+            snext_ref[:] = t_s[:]
+
+    def _passa(atil, btil, ktil, rhat, v, elast):
+        ti = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 0)
+        ui = _jax.lax.broadcasted_iota(_jnp.int32, (p, p), 1)
+        strict = (ui < ti).astype(_jnp.float32)[None]
+        incl = (ui <= ti).astype(_jnp.float32)[None]
+        eyep = (ui == ti).astype(_jnp.float32)[None]
+        si = _jax.lax.broadcasted_iota(_jnp.int32, (s_dim, s_dim), 0)
+        sj = _jax.lax.broadcasted_iota(_jnp.int32, (s_dim, s_dim), 1)
+        eyes = (si == sj).astype(_jnp.float32)[None]
         bmat = bdot(atil, btil, 2, 2) * strict       # [CGH, P, P]
         kmat = bdot(atil, ktil, 2, 2) * strict
         inv = eyep + bmat
@@ -553,21 +595,7 @@ def _wkv7_chunk_kernel_grouped(p, s_dim, h, n_groups, cg):
         r_op = bdot(s_loc, btil, 1, 1) + bdot(v, ktil, 1, 1)
         a_op = (eyes + m_op) * elast
         b_op = r_op * elast
-
-        def g4(x, c, rows):
-            return x.reshape(cg, h, rows, x.shape[-1])[c]
-
-        tmat = t_s[:]
-        for c in range(cg):
-            out_ref[c] = bdot(g4(e_op, c, p), tmat, 2, 2) \
-                + g4(y_op, c, p)
-            tmat = bdot(tmat, g4(a_op, c, s_dim), 2, 1) \
-                + g4(b_op, c, s_dim)
-        t_s[:] = tmat
-
-        @pl.when(gi == n_groups - 1)
-        def _():
-            snext_ref[:] = t_s[:]
+        return e_op, y_op, a_op, b_op
 
     return kernel
 
