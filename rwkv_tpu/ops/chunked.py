@@ -740,7 +740,7 @@ def _wkv6_chunk_kernel(p, s_dim, h, n_chunks):
             preferred_element_type=_jnp.float32,
         )
 
-    def kernel(r_ref, k_ref, v_ref, lcum_ref, lcex_ref, llast_ref, tf_ref,
+    def kernel(r_ref, k_ref, v_ref, lcum_ref, lw_ref, tf_ref,
                s0_ref, out_ref, snext_ref, t_s):
         c = pl.program_id(0)
 
@@ -748,13 +748,19 @@ def _wkv6_chunk_kernel(p, s_dim, h, n_chunks):
         def _():
             t_s[:] = s0_ref[:]
 
-        r = r_ref[0]          # block (1, H, P, S) -> [H, P, S]
-        k = k_ref[0]
-        v = v_ref[0]
-        lcum = lcum_ref[0]
-        lcex = lcex_ref[0]
-        llast = llast_ref[0]  # [H, 1, S]
-        tf = tf_ref[:]        # [H, 1, S]
+        def fold(ref):
+            # natural block (1, P, H, S) -> [H, P, S]: the (P, H) swap
+            # runs on VMEM-resident data
+            return _jnp.transpose(ref[0], (1, 0, 2))
+
+        r = fold(r_ref)
+        k = fold(k_ref)
+        v = fold(v_ref)
+        lcum = fold(lcum_ref)
+        lw = fold(lw_ref)
+        lcex = lcum - lw
+        llast = lcum[:, p - 1 : p, :]  # [H, 1, S]
+        tf = tf_ref[:]                 # [H, 1, S]
 
         rq = r * _jnp.exp(lcex)
         kap = k * _jnp.exp(llast - lcum)
@@ -804,24 +810,24 @@ def wkv6_chunked_pallas(s0, r, k, v, w, tf, chunk_size: int = 16,
     if w.ndim == 2:
         w = jnp.broadcast_to(w, r.shape)
     lw = jnp.log(jnp.maximum(w, jnp.float32(1e-38)))
-    lw_c = lw.reshape(nc, p, h, s_dim)
-    lcum = jnp.cumsum(lw_c, axis=1)
-    lcum_ex = lcum - lw_c
+    lcum = jnp.cumsum(lw.reshape(nc, p, h, s_dim), axis=1)
 
-    def to_nhps(x):
-        return jnp.swapaxes(x.reshape(nc, p, h, s_dim), 1, 2)
+    # operands ship in the NATURAL token-major layout (zero-copy
+    # reshapes); the (P, H) swap and the lcum_ex/llast derivations run
+    # in VMEM inside the kernel — the XLA-side swapaxes alternative
+    # materializes ~5 HBM relayout copies per layer (the wkv7 kernel's
+    # measured dominant cost before the same change).
+    def nat(x):
+        return x.reshape(nc, p, h, s_dim)
 
-    r_op = to_nhps(r)
-    k_op = to_nhps(k)
-    v_op = to_nhps(v)
-    lcum_op = jnp.swapaxes(lcum, 1, 2)
-    lcex_op = jnp.swapaxes(lcum_ex, 1, 2)
-    llast = lcum[:, -1][:, :, None, :]              # [NC, H, 1, S]
+    r_op, k_op, v_op = nat(r), nat(k), nat(v)
+    lcum_op = lcum
+    lw_op = nat(lw)
     tf_op = tf[:, None, :]                          # [H, 1, S]
 
     def opspec():
         return pl.BlockSpec(
-            (1, h, p, s_dim), lambda cc: (cc, 0, 0, 0),
+            (1, p, h, s_dim), lambda cc: (cc, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -830,9 +836,7 @@ def wkv6_chunked_pallas(s0, r, k, v, w, tf, chunk_size: int = 16,
         kernel,
         grid=(nc,),
         in_specs=[opspec() for _ in range(5)]
-        + [pl.BlockSpec((1, h, 1, s_dim), lambda cc: (cc, 0, 0, 0),
-                        memory_space=pltpu.VMEM),
-           pl.BlockSpec((h, 1, s_dim), lambda cc: (0, 0, 0),
+        + [pl.BlockSpec((h, 1, s_dim), lambda cc: (0, 0, 0),
                         memory_space=pltpu.VMEM),
            pl.BlockSpec((h, s_dim, s_dim), lambda cc: (0, 0, 0),
                         memory_space=pltpu.VMEM)],
@@ -857,8 +861,7 @@ def wkv6_chunked_pallas(s0, r, k, v, w, tf, chunk_size: int = 16,
     )(
         r_op.astype(jnp.float32), k_op.astype(jnp.float32),
         v_op.astype(jnp.float32),
-        lcum_op.astype(jnp.float32), lcex_op.astype(jnp.float32),
-        llast.astype(jnp.float32),
+        lcum_op.astype(jnp.float32), lw_op.astype(jnp.float32),
         tf_op.astype(jnp.float32),
         s0.astype(jnp.float32),
     )
