@@ -40,6 +40,8 @@ if "--small" in sys.argv:   # CPU smoke (forces the cpu backend)
     L, C, VOCAB, HEAD, LORA = 2, 256, 512, 64, 32
 elif "--169m" in sys.argv:  # 169M-class on chip
     L, C, VOCAB, HEAD, LORA = 12, 768, 65536, 64, 64
+elif "--7b" in sys.argv:    # 7B-class on chip
+    L, C, VOCAB, HEAD, LORA = 32, 4096, 65536, 64, 128
 else:
     L, C, VOCAB, HEAD, LORA = 24, 2048, 65536, 64, 96
 PRECISION = "w4a8" if "--w4a8" in sys.argv else "w8a8"
@@ -62,7 +64,8 @@ TEMPS = ([float(t) for t in
 
 def main():
     size = ("small" if "--small" in sys.argv
-            else "169M" if "--169m" in sys.argv else "1.5B")
+            else "169M" if "--169m" in sys.argv
+            else "7B" if "--7b" in sys.argv else "1.5B")
     print(f"{size} v7 {PRECISION} ContinuousBatcher sweep on "
           f"{jax.devices()[0]}", flush=True)
 
