@@ -959,7 +959,6 @@ class ServingModel:
         _, nf, nr, no = choose_tiling(
             cfg, self._mega["quant"], 1,
             f_dim=self._mega["f_dim"], n_proj=3,
-            w4=bool(self._mega.get("w4")),
         )
         key = ("megapack4", nf, nr, no)
         if key not in self._jit_cache:
@@ -1019,7 +1018,6 @@ class ServingModel:
         nh, nf, ng, no = choose_tiling(
             cfg, self._mega["quant"], 1,
             f_dim=self._mega["f_dim"], n_proj=n_mix,
-            w4=bool(self._mega.get("w4")),
         )
         key = ("megapack5", nf, ng, no)
         if key not in self._jit_cache:
@@ -1088,7 +1086,6 @@ class ServingModel:
         nh, nf, ng, no = choose_tiling(
             cfg, self._mega["quant"], 1,
             f_dim=self._mega["f_dim"], n_proj=4,
-            w4=bool(self._mega.get("w4")),
         )
         key = ("megapack6", nf, ng, no)
         if key not in self._jit_cache:
@@ -1155,8 +1152,7 @@ class ServingModel:
 
         cfg = self.config
         nh, nf, nr, no = choose_tiling(cfg, self._mega["quant"], b,
-                                       packed=packed,
-                                       w4=bool(self._mega.get("w4")))
+                                       packed=packed)
         key = ("megapack", nf, nr, no)
         if key not in self._jit_cache:
             self._jit_cache[key] = retile_mega_pack(

@@ -1579,7 +1579,7 @@ def unpack_batched_state(heads_p, b, h, s):
 
 def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
                   n_proj: int = 3, packed: bool = False,
-                  w4: bool = False, v6_budget: tuple = (1, 2)) -> tuple:
+                  v6_budget: tuple = (1, 2)) -> tuple:
     """(nh, nf, nr, no) so that each phase's double-buffered blocks stay
     small: head-tile state block <= ~8MB batched / ~2MB at B=1 (lane dim
     pads to 128 for B>1), fk/fv tile <= ~4.5MB, rkv/out row tiles <= ~8MB
@@ -1589,9 +1589,8 @@ def choose_tiling(cfg, quant: bool, batch: int, f_dim: int = None,
 
     w4 windows keep w8a8's ROW counts (same tile shapes, half the bytes
     per window after nibble packing): measured on chip, halving the
-    phase count instead ("byte-sized" 2x-row windows) loses 3x at 7B.
-    The `w4` flag is accepted for call-site stability but no longer
-    changes the tiling."""
+    phase count instead ("byte-sized" 2x-row windows) loses 3x at 7B —
+    so the tiling is format-independent and takes no w4 flag."""
     h, s, c = cfg.head_count, cfg.head_size, cfg.n_embed
     f = f_dim if f_dim is not None else 4 * c
     # Tile budgets shrink at 7B-class widths: the fixed VMEM costs

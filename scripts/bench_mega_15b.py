@@ -186,7 +186,7 @@ def main():
         "7.0", n_layer=L, n_embed=C, n_vocab=VOCAB, head_size=HEAD
     )
     h, s = cfg.head_count, cfg.head_size
-    nh, nf, nr, no = choose_tiling(cfg, True, BATCH, w4="--w4" in sys.argv)
+    nh, nf, nr, no = choose_tiling(cfg, True, BATCH)
     if os.environ.get("RWKV_TILING"):   # "nh,nf,nr,no" override (probes)
         nh, nf, nr, no = (int(v) for v in
                           os.environ["RWKV_TILING"].split(","))
