@@ -47,6 +47,10 @@ OUT = (sys.argv[sys.argv.index("--out") + 1]
        if "--out" in sys.argv else "/tmp/v4lm-fp32.bin")
 if SMALL:
     L_, C_, T_, B_ = 2, 128, 64, 4
+elif "--draft" in sys.argv:
+    # small draft for REAL speculative-decoding measurements against the
+    # full trained model (same corpus -> meaningful acceptance)
+    L_, C_, T_, B_ = 4, 256, 512, 16
 else:
     L_, C_, T_, B_ = 12, 768, 512, 8
 VOCAB = 256
